@@ -1,13 +1,36 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.queries.Registry
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Star-join revenue per region for recent orders — exercises scan,
+    * filter (pushed to parquet), broadcast + shuffle joins, and hash agg
+    * in one plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("r_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 extensions);
+    * defined in graft.queries.* and assembled by the Registry. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Registry.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = Registry.oracleSql
 }

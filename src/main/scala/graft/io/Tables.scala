@@ -1,0 +1,35 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers/writers for the star-schema testdata and generic parquet IO.
+  *
+  * Schema-on-read from the parquet footer (the reference does the same:
+  * parquet_slicer.py:50, nyc_taxi_etl.py:42); explicit StructType schemas
+  * are used only in test fixtures where strictness matters.
+  *
+  * At 100 TB these readers are unchanged: `spark.read.parquet(dir)` maps
+  * row-groups/file-splits to tasks natively, replacing the reference's
+  * manual row-range chunking (parquet_slicer.py:53-58) with Spark's own
+  * split planning (`spark.sql.files.maxPartitionBytes` is the tuning knob).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** zstd parquet sink — the reference's designed output format
+    * (parquet_assembler.py:34-37) without its lossy text round-trip. */
+  def writeZstd(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+}

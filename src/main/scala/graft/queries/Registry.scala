@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine query: a Spark DataFrame program plus, where the
+  * semantics are ANSI-SQL-expressible, an equivalent DuckDB oracle query
+  * (driver correctness gate — see /root/repo/src/main/scala/graft/Verify.scala).
+  *
+  * Oracle discipline (SURVEY.md §7.5): aggregates of doubles go through
+  * exact DECIMAL arithmetic on BOTH sides so the final double cast is
+  * bit-identical regardless of summation order; no timezone-dependent or
+  * double→string rendering in compared columns; every computed column is
+  * aliased identically in Spark and SQL.
+  */
+final case class Q(
+  name: String,
+  run: (SparkSession, String) => DataFrame,
+  oracle: Option[String] = None)
+
+object Registry {
+  def all: Seq[Q] =
+    Relational.qs ++ TextOps.qs ++ Dedup.qs ++ Similarity.qs ++
+      Events.qs ++ Multimodal.qs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,27 @@
+package graft
+
+import graft.queries.Registry
+
+/** Smoke: every declared query runs on sf0.001 and returns a sane frame;
+  * every oracle key refers to a declared query; the flagship entry
+  * returns rows. Value-level correctness is the driver's DuckDB gate
+  * (mimicked locally by tools/oracle_check.py). */
+class RegistrySpec extends SparkSpec {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  for (q <- Registry.all) {
+    test(s"${q.name} runs on sf0.001") {
+      val df = q.run(spark, sfTiny)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+}

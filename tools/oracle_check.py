@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local dev mimic of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the sfDir parquet tables,
+normalizes both sides (columns sorted by name, rows sorted), and reports
+row-count / schema / value equality. Dev tool only — the engine itself is
+pure Scala/Spark.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [c for c in sorted(cols)], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})")
+        got_rows, got_cols = got.fetchall(), [c[0] for c in got.description]
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got_rows)} rows "
+                  f"{'OK' if len(got_rows) > 0 else 'EMPTY!'}")
+            n_noracle += 1
+            continue
+        exp = con.execute(oracle[name])
+        exp_rows, exp_cols = exp.fetchall(), [c[0] for c in exp.description]
+        gc, gr = normalize(got_rows, got_cols)
+        ec, er = normalize(exp_rows, exp_cols)
+        status = []
+        if gc != ec:
+            status.append(f"SCHEMA got={gc} exp={ec}")
+        if len(gr) != len(er):
+            status.append(f"ROWS got={len(gr)} exp={len(er)}")
+        elif gc == ec:
+            bad = [(a, b) for a, b in zip(gr, er) if a != b]
+            # tolerate float noise separately so we can report it distinctly
+            really_bad = []
+            for a, b in bad:
+                ok = len(a) == len(b) and all(
+                    (x == y) or (isinstance(x, float) and isinstance(y, float)
+                                 and (math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)))
+                    for x, y in zip(a, b))
+                if not ok:
+                    really_bad.append((a, b))
+            if really_bad:
+                status.append(f"VALUES {len(really_bad)} diff, first: "
+                              f"{really_bad[0][0]} != {really_bad[0][1]}")
+            elif bad:
+                status.append(f"FLOAT-NOISE {len(bad)} rows (within 1e-9)")
+        if status:
+            n_fail += 1
+            print(f"  [FAIL] {name}: " + "; ".join(status))
+        else:
+            n_pass += 1
+            print(f"  [pass] {name}: {len(gr)} rows exact")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
