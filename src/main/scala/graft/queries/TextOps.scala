@@ -1,5 +1,107 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface over the `documents` table: token statistics,
+  * heuristic language ID, quality scoring, rolling-hash fingerprinting,
+  * corpus n-gram profile. All single-pass, shuffle only where an
+  * aggregation genuinely needs one — per-document metrics are pure
+  * projections that scale embarrassingly at 100 TB.
+  */
 object TextOps {
-  val qs: Seq[Q] = Seq()
+
+  private val stopSql = EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- token statistics (pure projection, no shuffle) -----------------
+    Q("t01_token_stats",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .select(col("doc_id"),
+          tokenCount("toks").as("n_tokens"),
+          distinctTokenCount("toks").as("n_distinct"),
+          length(trim(col("text"))).cast("long").as("n_chars_trim"),
+          (length(replace(trim(col("text")), lit(" "), lit("")))
+            .cast("double") / tokenCount("toks")).as("avg_token_len")),
+      Some("""
+        SELECT doc_id,
+          len(string_split_regex(trim(text), ' +')) AS n_tokens,
+          len(list_distinct(string_split_regex(trim(text), ' +'))) AS n_distinct,
+          CAST(LENGTH(trim(text)) AS BIGINT) AS n_chars_trim,
+          CAST(LENGTH(REPLACE(trim(text), ' ', '')) AS DOUBLE)
+            / len(string_split_regex(trim(text), ' +')) AS avg_token_len
+        FROM documents""")),
+
+    // ---- heuristic language ID (n-gram/marker-word scoring) -------------
+    Q("t02_langid",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .withColumn("en_score", wordlistCount("toks", EnglishStopwords))
+        .select(col("doc_id"), col("en_score"),
+          (col("en_score").cast("double") / tokenCount("toks")).as("en_ratio"),
+          when(col("en_score") > 0, lit("en")).otherwise(lit("und"))
+            .as("predicted_lang")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks FROM documents)
+        SELECT doc_id,
+          len(list_filter(toks, x -> x IN ($stopSql))) AS en_score,
+          CAST(len(list_filter(toks, x -> x IN ($stopSql))) AS DOUBLE) / len(toks) AS en_ratio,
+          CASE WHEN len(list_filter(toks, x -> x IN ($stopSql))) > 0
+               THEN 'en' ELSE 'und' END AS predicted_lang
+        FROM t""")),
+
+    // ---- quality scoring -------------------------------------------------
+    Q("t03_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .withColumn("len_score",
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+        .withColumn("stop_ratio",
+          wordlistCount("toks", EnglishStopwords).cast("double") / tokenCount("toks"))
+        .withColumn("diversity",
+          distinctTokenCount("toks").cast("double") / tokenCount("toks"))
+        .select(col("doc_id"), col("len_score"), col("stop_ratio"), col("diversity"),
+          (col("len_score") * 0.4 + col("stop_ratio") * 0.2 + col("diversity") * 0.4)
+            .as("quality")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars, string_split_regex(trim(text), ' +') toks FROM documents)
+        SELECT doc_id,
+          LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS len_score,
+          CAST(len(list_filter(toks, x -> x IN ($stopSql))) AS DOUBLE) / len(toks) AS stop_ratio,
+          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+          LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+            + CAST(len(list_filter(toks, x -> x IN ($stopSql))) AS DOUBLE) / len(toks) * 0.2
+            + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.4 AS quality
+        FROM t""")),
+
+    // ---- rolling-hash document fingerprint ------------------------------
+    Q("t04_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), rollingHashFingerprint("text").as("fingerprint")),
+      Some("""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        FROM documents""")),
+
+    // ---- corpus-level n-gram profile (top-20 bigrams) -------------------
+    Q("t05_ngram_profile",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .select(explode(wordNgrams("toks", 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20),
+      Some("""
+        WITH t AS (SELECT string_split_regex(trim(text), ' +') toks FROM documents),
+        g AS (SELECT g.gram FROM t,
+              unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) g(gram))
+        SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+        ORDER BY n DESC, gram ASC LIMIT 20"""))
+  )
 }
