@@ -1,24 +1,58 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
+  * emits ONE machine-parseable JSON line (also written to bench.json).
+  *
+  * Honesty rules learned from round 1:
+  *  - a warmup pass at sf0.001 runs first so JIT/session startup isn't
+  *    billed to whichever query happens to run first;
+  *  - the action is a noop-format write, not count() — count() lets Spark
+  *    prune every projection, which would time a cheaper plan than the
+  *    query declares;
+  *  - failures are NOT swallowed: per-query error strings are reported in
+  *    the JSON and the process exits nonzero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.getOrCreate("graft-bench")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    // warmup on the tiny SF: exercises every plan shape once
+    val warmDir = "/root/testdata/sf0.001"
+    queries.foreach { case (_, fn) =>
+      try runOnce(fn, warmDir) catch { case _: Throwable => () }
+    }
+
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try runOnce(fn, sfDir)
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

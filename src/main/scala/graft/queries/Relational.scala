@@ -314,13 +314,22 @@ object Relational {
           COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag""")),
 
-    // ---- approx distinct (HLL sketch; not oracle-comparable — the
-    //      driver records a rows-only check) -------------------------------
+    // ---- approx distinct (HLL sketch). The sketch value itself isn't
+    //      oracle-comparable, so the query emits the exact count plus a
+    //      deterministic "HLL within 10% of exact" boolean — on fixed data
+    //      Spark's HLL is deterministic, so the oracle asserts TRUE. ------
     Q("q17_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")),
-      None),
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_raw"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_raw") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.1).as("within_10pct")),
+      Some("""
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+          TRUE AS within_10pct
+        FROM lineitem GROUP BY l_returnflag""")),
 
     // ---- case-band aggregation ------------------------------------------
     Q("q18_case_bands",

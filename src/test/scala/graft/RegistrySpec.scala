@@ -21,7 +21,9 @@ class RegistrySpec extends SparkSpec {
     test(s"${q.name} runs on sf0.001") {
       val df = q.run(spark, sfTiny)
       assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
+      // every declared query must be non-empty on sf0.001 — a zero-row
+      // result would silently weaken rows-only checks (ADVICE r1)
+      assert(df.count() > 0, s"${q.name} returned 0 rows on sf0.001")
     }
   }
 }

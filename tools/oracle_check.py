@@ -12,18 +12,18 @@ pure Scala/Spark.
 import json, math, sys, glob, os
 import duckdb
 
+def sort_key(t):
+    # floats participate in the sort via a coarse (6 sig-digit) rendering so
+    # two values equal within 1e-9 relative tolerance land in the same spot
+    # on both sides; exact comparison happens after alignment via isclose.
+    return tuple(
+        (x is None, str(type(x)), f"{x:.6e}" if isinstance(x, float) else str(x))
+        for x in t)
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=sort_key)
     return [c for c in sorted(cols)], out
 
 def main(sf_dir, out_dir):
