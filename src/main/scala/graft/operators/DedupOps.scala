@@ -7,15 +7,21 @@ import graft.functions.TextFunctions._
 /** Distributed deduplication operators for document corpora.
   *
   * Four families, in increasing scale-sophistication:
-  *  - exact: hash-groupBy on the raw text (one shuffle);
+  *  - exact: content-hash ranking (one shuffle, keyed by hash);
   *  - n-gram Jaccard: shingle-postings self-join — exact pairwise
-  *    similarity, cost ~ sum over grams of df(gram)^2;
+  *    similarity, cost ~ sum over grams of df(gram)^2; at corpus scale
+  *    run it only as the verifier on a candidate pair list;
   *  - MinHash + LSH banding: signature agg (one shuffle) + band-bucket
   *    join — candidate generation is linear in corpus size, the 100 TB
-  *    path (the shingle join above is the verifier on candidates only);
-  *  - SimHash: 64-bit signature, banded by 16-bit quarters (pigeonhole:
-  *    hamming<=3 guaranteed candidate; wider radii still high-recall),
-  *    verify with bit_count(xor).
+  *    path; candidates are exact-verified so precision is exact and the
+  *    band/row config bounds the recall loss (r=2, b=64 ⇒ a J=0.6 pair
+  *    is missed with prob (1-0.36)^64 ≈ 4e-13);
+  *  - SimHash: 64-bit signature, banded into 64/bands-bit keys
+  *    (pigeonhole: hamming <= bands-1 is guaranteed a shared band) plus a
+  *    token-count log2 bucket as a secondary join key so band buckets stay
+  *    bounded at large N (near-dups have near-equal lengths; each doc is
+  *    emitted into its own and the next bucket, so pairs one boundary
+  *    apart still collide).
   *
   * All signatures are built from xxhash64 (stable across runs/executors),
   * so results are deterministic — required by the driver's repeated
@@ -37,12 +43,53 @@ object DedupOps {
     Seq.fill(k)(((next() % (M - 2)) + 1 | 1L, next() % M))
   }
 
-  /** distinct (doc_id, shingle) postings with a stable 31-bit shingle id */
+  /** lowercase-hex content hash for exact dedup — md5 so the oracle can
+    * recompute it (DuckDB ships md5; xxhash64 it does not). */
+  def contentHash(textCol: Column): Column = md5(textCol.cast("binary"))
+
+  /** Per-doc exact-dedup verdict: duplicate rank within each identical-
+    * content group (ordered by doc_id) and a canonical flag. Keyed by the
+    * content hash — one shuffle, no skew beyond true duplicate groups. */
+  def exactDedupRanks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    docs.select(col("doc_id"), contentHash(col("text")).as("content_hash"))
+      .withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("is_canonical", col("dup_rank") === 1)
+  }
+
+  /** distinct (doc_id, gram) postings; gram identity is the full 64-bit
+    * xxhash64 — a 31-bit id would collide pervasively at corpus scale and
+    * inflate Jaccard. The bounded-domain mod happens only inside the
+    * MinHash affine step where it is actually required. */
   def shinglePostings(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("toks", tokens("text"))
       .select(col("doc_id"), explode(wordNgrams("toks", n)).as("gram"))
       .distinct()
-      .withColumn("gram_id", pmod(xxhash64(col("gram")), lit(M)))
+      .withColumn("gram_id", xxhash64(col("gram")))
+
+  private def jaccardOf(common: Column, sa: Column, sb: Column): Column =
+    common.cast("double") / (sa + sb - common)
+
+  /** exact n-gram Jaccard >= minJaccard for a given candidate pair list
+    * (doc_a < doc_b) — the verifier every approximate family funnels
+    * through, so precision is always exact. */
+  def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int,
+                    minJaccard: Double): DataFrame = {
+    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cands.as("c")
+      .join(posts.as("a"), col("c.doc_a") === col("a.doc_id"))
+      .join(posts.as("b"),
+        col("c.doc_b") === col("b.doc_id") && col("a.gram_id") === col("b.gram_id"))
+      .groupBy(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardOf(col("common"), col("sa.sz"), col("sb.sz")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   /** exact pairwise n-gram Jaccard >= minJaccard over all doc pairs.
     * At 100 TB run this only on LSH candidates (see minHashCandidates) —
@@ -59,8 +106,7 @@ object DedupOps {
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("common"))).as("jaccard"))
+        jaccardOf(col("common"), col("sa.sz"), col("sb.sz")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -68,15 +114,18 @@ object DedupOps {
     * groupBy — partial min aggregation is map-side combined) */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
     val posts = shinglePostings(docs, n)
+      .withColumn("gid31", pmod(col("gram_id"), lit(M)))
     val mins = hashFamily(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("gram_id") + lit(b), lit(M))).as(s"mh_$i")
+      min(pmod(lit(a) * col("gid31") + lit(b), lit(M))).as(s"mh_$i")
     }
     posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: docs sharing any (band, band-signature) bucket.
-    * bands * rowsPerBand must equal k of the signature. */
+  /** LSH banding: docs sharing any (band, band-signature) bucket. */
   def minHashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val nSig = sigs.columns.count(_.startsWith("mh_"))
+    require(bands * rowsPerBand == nSig,
+      s"bands($bands) * rowsPerBand($rowsPerBand) must equal signature size($nSig)")
     val bandCols = (0 until bands).map { bnd =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(rows: _*).as("sig"))
@@ -97,25 +146,14 @@ object DedupOps {
     * shape: no all-pairs join ever materializes). */
   def minHashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
+    require(k % bands == 0, s"bands($bands) must divide k($k)")
     val cands = minHashCandidates(minHashSignatures(docs, n, k), bands, k / bands)
-    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
-    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    cands.as("c")
-      .join(posts.as("a"), col("c.doc_a") === col("a.doc_id"))
-      .join(posts.as("b"),
-        col("c.doc_b") === col("b.doc_id") && col("a.gram_id") === col("b.gram_id"))
-      .groupBy(col("c.doc_a").as("doc_a"), col("c.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("common"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    verifyJaccard(cands, docs, n, minJaccard)
   }
 
   /** 64-bit SimHash per doc from distinct-token xxhash64s: bit k of the
-    * signature is the sign of sum over tokens of (+-1 for bit k). */
+    * signature is the sign of sum over tokens of (+-1 for bit k). Also
+    * carries the distinct-token count (length bucketing key for banding). */
   def simHashSignatures(docs: DataFrame): DataFrame = {
     val toks = docs.withColumn("toks", tokens("text"))
       .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("tok"))
@@ -124,32 +162,53 @@ object DedupOps {
       sum(when(shiftright(col("th"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"s_$k")
     }
-    val sums = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_tok"): _*)
     val sig = (0 until 64).map { k =>
       when(col(s"s_$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("doc_id"), sig.as("simhash"))
+    sums.select(col("doc_id"), sig.as("simhash"), col("n_tok"))
   }
 
-  /** near-dup pairs with hamming(simhash) <= maxHamming, banded by the
-    * four 16-bit quarters so candidate generation joins on equality
-    * (guaranteed recall for hamming <= 3, high recall beyond). */
-  def simHashNearDups(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sigs = simHashSignatures(docs)
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*))
-        .as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+  /** SimHash candidate pairs with hamming <= maxHamming. Banding into
+    * `bands` equal slices of the 64-bit signature (equality join per
+    * band; pigeonhole guarantees recall for hamming <= bands-1), with a
+    * log2 token-count bucket as secondary key: each doc lands in bucket
+    * L and L+1, so near-dups up to one length boundary apart still meet
+    * while band buckets shrink from N/2^width to per-length-class size. */
+  def simHashCandidates(sigs: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
+    require(64 % bands == 0, s"bands($bands) must divide 64")
+    require(maxHamming < bands,
+      s"recall guarantee needs maxHamming($maxHamming) < bands($bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val lenBucket = floor(log2(col("n_tok") + 1)).cast("int")
+    val keys = for {
+      b <- 0 until bands
+      dl <- 0 to 1
+    } yield struct(lit(b).as("band"),
+      shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"),
+      (lenBucket + dl).as("lb"))
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("bk.lb").as("lb"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dups, exact-verified by n-gram Jaccard (same contract
+    * as minHashNearDups: approximate recall, exact precision). */
+  def simHashNearDups(docs: DataFrame, maxHamming: Int, bands: Int,
+                      n: Int, minJaccard: Double): DataFrame =
+    verifyJaccard(
+      simHashCandidates(simHashSignatures(docs), maxHamming, bands)
+        .select("doc_a", "doc_b"),
+      docs, n, minJaccard)
 }

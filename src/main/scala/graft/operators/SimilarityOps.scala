@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths with the same output contract (q_id, vec_id, cosine, rk):
+  *  - brute-force exact top-k: broadcast the (small) query set against
+  *    the corpus — a map-side-only scan at any corpus size, the correct
+  *    baseline when |queries| is small;
+  *  - bucketed ANN: sign-bit LSH partitions both sides, the join runs
+  *    per bucket — candidate generation is linear in corpus size and the
+  *    plane count trades recall for bucket size (at 100 TB you'd raise
+  *    `planes` and add multiprobe on neighboring signatures; the operator
+  *    shape is unchanged).
+  *
+  * The per-query top-k window is partitioned by q_id — no global sort at
+  * any scale.
+  */
+object SimilarityOps {
+
+  /** normalize schema once: vec_id, v (array<double>), nrm */
+  def prepared(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    embeddings.select(col("vec_id"), v.as("v")).withColumn("nrm", norm(col("v")))
+  }
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** exact cosine top-k of the corpus against each query vector */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val qs = prepared(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairs = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromParts(dot(col("v"), col("qv")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+    topK(pairs, k)
+  }
+
+  /** ANN: exact cosine top-k restricted to the query's LSH bucket */
+  def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              planes: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+      .withColumn("bucket", signBucket(col("v"), planes))
+    val qs = prepared(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), signBucket(col("v"), planes).as("bucket"))
+    val pairs = corpus.join(broadcast(qs), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromParts(dot(col("v"), col("qv")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+    topK(pairs, k)
+  }
+}

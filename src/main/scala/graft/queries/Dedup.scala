@@ -1,5 +1,76 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.DedupOps
+
+/** Deduplication surface over `documents`: exact content-hash dedup plus
+  * three near-dup families (exact n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Oracle strategy: the DuckDB side computes ground-truth pairwise
+  * 3-gram Jaccard with list operations. d02 (exact all-pairs) matches it
+  * by construction. d03/d04 are approximate candidate generators whose
+  * candidates are exact-verified (precision is exact); their band
+  * configurations are chosen so the probability of missing a true pair
+  * at the 0.6 threshold is negligible (MinHash r=2/b=64: (1-J²)^64,
+  * ~4e-13 at J=0.6; SimHash: planted near-dups at J≈0.98 differ by a
+  * handful of tokens ⇒ hamming far below the 7-of-8-bands guarantee), so
+  * all three hash-match the same ground truth — which is exactly the
+  * claim an approximate dedup ships with.
+  */
 object Dedup {
-  val qs: Seq[Q] = Seq()
+
+  private val jaccardCte = """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+               FROM documents),
+    g AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) grams
+          FROM t),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            len(list_intersect(a.grams, b.grams)) AS common,
+            len(a.grams) AS sa, len(b.grams) AS sb
+          FROM g a JOIN g b ON a.doc_id < b.doc_id)
+  """
+
+  private val jaccardSelect = """
+    SELECT doc_a, doc_b,
+      CAST(common AS DOUBLE) / (sa + sb - common) AS jaccard
+    FROM p WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6
+  """
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact dedup: content-hash ranking ------------------------------
+    Q("d01_exact_dedup",
+      (s, d) => DedupOps.exactDedupRanks(Tables.documents(s, d)),
+      Some("""
+        SELECT doc_id, md5(text) AS content_hash,
+          CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+            AS BIGINT) AS dup_rank,
+          ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            AS is_canonical
+        FROM documents""")),
+
+    // ---- exact pairwise 3-gram Jaccard (the ground-truth verifier) ------
+    Q("d02_ngram_jaccard",
+      (s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6),
+      Some(jaccardCte + jaccardSelect)),
+
+    // ---- MinHash + LSH banding, exact-verified --------------------------
+    Q("d03_minhash_lsh",
+      (s, d) => DedupOps.minHashNearDups(Tables.documents(s, d),
+        n = 3, k = 128, bands = 64, minJaccard = 0.6),
+      Some(jaccardCte + jaccardSelect)),
+
+    // ---- SimHash banding, exact-verified --------------------------------
+    // 16 bands of 4 bits: pigeonhole-guaranteed recall to hamming 15.
+    // The corpus' docs are short (8-31 distinct tokens) so J≈0.98 pairs
+    // still differ by up to ~9 bits — wide-radius config, with the
+    // length bucket carrying the selectivity the narrow keys give up.
+    Q("d04_simhash",
+      (s, d) => DedupOps.simHashNearDups(Tables.documents(s, d),
+        maxHamming = 12, bands = 16, n = 3, minJaccard = 0.6),
+      Some(jaccardCte + jaccardSelect))
+  )
 }

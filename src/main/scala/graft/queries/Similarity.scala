@@ -1,5 +1,75 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.SimilarityOps
+
+/** Similarity search over `embeddings` (array<float>, 64-dim): exact
+  * brute-force cosine top-k and a bucketed LSH ANN variant. Query set =
+  * vec_id < 5 drawn from the corpus itself.
+  *
+  * The DuckDB oracle recomputes cosines with the identical left-to-right
+  * double fold (list_reduce over a 0.0-prepended product list ==
+  * Spark's aggregate(zip_with(...), 0.0, +)), so the doubles are
+  * bit-identical and the top-k cut (ordered by cosine desc, vec_id asc)
+  * is deterministic on both engines.
+  */
 object Similarity {
-  val qs: Seq[Q] = Seq()
+
+  /** shared oracle prelude: vectors as DOUBLE[], with left-fold norms */
+  private val normCte = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_reduce(list_prepend(0.0,
+              list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+              (x, y) -> x + y)) AS nrm
+          FROM e)
+  """
+
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0,
+       list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       (x, y) -> x + y)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact brute-force cosine top-10 --------------------------------
+    Q("s01_cosine_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some(normCte + s"""
+        , q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        p AS (SELECT q.q_id, c.vec_id,
+                ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+              FROM n c, q WHERE c.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 10""")),
+
+    // ---- LSH-bucketed ANN top-5 (4 sign planes -> 16 buckets) -----------
+    Q("s02_ann_lsh",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 4)
+      },
+      Some(normCte + s"""
+        , b AS (SELECT vec_id, v, nrm,
+                  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+                 + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+                 + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                FROM n),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket
+              FROM b WHERE vec_id < 5),
+        p AS (SELECT q.q_id, c.vec_id,
+                ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+              FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 5"""))
+  )
 }

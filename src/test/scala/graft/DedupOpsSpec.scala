@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+    3L -> "completely different text with no shared shingles at all",
+    4L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    5L -> "one two three"                                // too short for many grams
+  )
+
+  test("exactDedupRanks groups identical content and ranks by doc_id") {
+    val r = DedupOps.exactDedupRanks(corpus)
+      .select("doc_id", "dup_rank", "is_canonical")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r(1L) == (1L, true))   // canonical of the 1/4 group
+    assert(r(4L) == (2L, false))
+    assert(r(2L) == (1L, true))   // unique contents are their own canonicals
+    assert(r(3L) == (1L, true))
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair with correct jaccard") {
+    val pairs = DedupOps.ngramJaccardPairs(corpus, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1-2 share 6 of 7 trigrams each: J = 6/(7+7-6) = 0.75; 1-4 identical: J = 1.0
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && math.abs(j - 0.75) < 1e-12 })
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 4 && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
+  }
+
+  test("minHashNearDups recalls exact and near dups, exact-verified") {
+    val pairs = DedupOps.minHashNearDups(corpus, n = 3, k = 128, bands = 64,
+      minJaccard = 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((2L, 4L)))
+  }
+
+  test("simHashNearDups finds exact dup (hamming 0) and near dup") {
+    val pairs = DedupOps.simHashNearDups(corpus, maxHamming = 12, bands = 16,
+      n = 3, minJaccard = 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("band-math misconfigurations are rejected") {
+    val sigs = DedupOps.minHashSignatures(corpus, 3, 16)
+    intercept[IllegalArgumentException](DedupOps.minHashCandidates(sigs, 5, 3))
+    intercept[IllegalArgumentException](
+      DedupOps.minHashNearDups(corpus, 3, 16, 5, 0.5))
+    intercept[IllegalArgumentException](
+      DedupOps.simHashNearDups(corpus, 12, 12, 3, 0.5)) // 12 does not divide 64
+    intercept[IllegalArgumentException](
+      DedupOps.simHashNearDups(corpus, 8, 8, 3, 0.5))   // radius >= bands
+  }
+}

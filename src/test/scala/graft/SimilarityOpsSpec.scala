@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim corpus with known geometry (floats, like the real table)
+  private def emb(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private val corpus = emb(
+    0L -> Seq(1f, 0f, 0f, 0f),
+    1L -> Seq(1f, 0.01f, 0f, 0f),   // nearly parallel to 0
+    2L -> Seq(0f, 1f, 0f, 0f),      // orthogonal to 0
+    3L -> Seq(-1f, 0f, 0f, 0f),     // antipodal to 0
+    4L -> Seq(0.7f, 0.7f, 0f, 0f)   // 45 degrees from 0
+  )
+
+  test("bruteForceTopK orders by exact cosine, excludes self") {
+    val r = SimilarityOps.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 0), k = 4)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Double]("cosine")))
+    assert(r.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(math.abs(r(0)._2 - 1.0) < 1e-3)   // ~parallel
+    assert(math.abs(r(2)._2) < 1e-12)        // orthogonal
+    assert(math.abs(r(3)._2 + 1.0) < 1e-12)  // antipodal
+    assert(!r.map(_._1).contains(0L))
+  }
+
+  test("lshTopK restricts candidates to the query's sign bucket") {
+    // planes=1: bucket = sign of dim 1 -> {0,1,4} vs {2} (x=0 -> bit 0) vs {3}
+    val r = SimilarityOps.lshTopK(corpus,
+        corpus.filter(col("vec_id") === 0), k = 4, planes = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(r == Set(1L, 4L)) // 2 and 3 live in the other bucket
+  }
+}
