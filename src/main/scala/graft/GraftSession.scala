@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // events.parquet stores TIMESTAMP(NANOS), which the Parquet reader
+      // rejects outright; read the raw int64 and convert in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Readers/writers for the star-schema testdata and generic parquet IO.
   *
@@ -24,7 +25,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) in the parquet footer — Spark has no
+    * nanosecond timestamp type, so the session reads it as raw int64
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and we truncate to
+    * microseconds here (integer div — the value exceeds double's 2^53
+    * mantissa, so float division would corrupt it). DuckDB performs the
+    * same ns→us truncation, keeping the oracle aligned. */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,5 +1,106 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Event-stream analytics over `events` (ts, user_id, event_type, value,
+  * props JSON) in batch form; the same transforms run incrementally in
+  * graft.streaming.EventStreams.
+  *
+  * Scale notes: tumbling/sliding windows are plain keyed aggregations
+  * (partial+final, no global sort); sessionization is windowed per
+  * user_id — state is bounded by a user's events, the natural partition
+  * key at any scale.
+  */
 object Events {
-  val qs: Seq[Q] = Seq()
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- tumbling 1-hour windows ----------------------------------------
+    Q("e01_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value")),
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- sliding windows (1 hour, sliding every 30 min) -----------------
+    Q("e02_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("n")),
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts - o) + o AS window_start,
+          COUNT(*) AS n
+        FROM events
+        CROSS JOIN (VALUES (INTERVAL '0' MINUTE), (INTERVAL '30' MINUTE)) t(o)
+        GROUP BY 1""")),
+
+    // ---- sessionization: 30-min inactivity gap --------------------------
+    Q("e03_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            (col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
+              .cast("int"))
+          .withColumn("session_seq",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"))
+      },
+      // unix_timestamp truncates to whole seconds; the oracle mirrors that
+      // with epoch(date_trunc('second', ts)) so gap edges agree exactly.
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(date_trunc('second', ts))
+                    - epoch(date_trunc('second', LAG(ts) OVER w)) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        s AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM g)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          COUNT(*) AS n_events,
+          MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_seq""")),
+
+    // ---- JSON prop extraction + banded agg ------------------------------
+    Q("e04_json_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), sum(col("k")).as("sum_k")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+          MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+          SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type"""))
+  )
 }

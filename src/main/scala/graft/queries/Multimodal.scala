@@ -1,5 +1,56 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.MultimodalOps
+
+/** Multimodal surface: documents joined to their embeddings carried as
+  * nested struct columns, and a binary-asset pipeline with computed
+  * metadata. Struct columns are the Spark-side representation; query
+  * outputs are flat so the oracle hash compares scalars.
+  *
+  * Aggregates over float columns go through min/max (order-insensitive)
+  * — never a float sum, whose partial-aggregation order would not be
+  * reproducible across engines.
+  */
 object Multimodal {
-  val qs: Seq[Q] = Seq()
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- struct-column pipeline: join, nest, filter/agg on nested fields
+    Q("m01_struct_join",
+      (s, d) => Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          struct(col("text"), col("lang"), col("source"), col("n_chars")).as("doc"),
+          struct(col("embedding"), col("label")).as("vec"))
+        .filter(col("doc.n_chars") > 100)
+        .groupBy(col("doc.lang").as("lang"), col("vec.label").as("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc.n_chars")).as("sum_chars"),
+          min(element_at(col("vec.embedding").cast("array<double>"), 1)).as("min_e1"),
+          max(element_at(col("vec.embedding").cast("array<double>"), 1)).as("max_e1")),
+      Some("""
+        SELECT lang, label, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+          MIN(CAST(embedding[1] AS DOUBLE)) AS min_e1,
+          MAX(CAST(embedding[1] AS DOUBLE)) AS max_e1
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        WHERE n_chars > 100
+        GROUP BY lang, label""")),
+
+    // ---- binary-asset metadata pipeline (content as opaque bytes) -------
+    //      the "magic" prefix hex stands in for media-format sniffing
+    Q("m02_binary_assets",
+      (s, d) => MultimodalOps.buildAssets(Tables.documents(s, d))
+        .select(col("asset_id"), col("meta.format").as("format"),
+          col("meta.byte_len").as("byte_len"),
+          col("meta.checksum").as("checksum"),
+          lower(hex(substring(col("content").cast("string"), 1, 4))).as("magic")),
+      Some("""
+        SELECT doc_id AS asset_id, 'text/plain' AS format,
+          CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+          md5(text) AS checksum,
+          lower(hex(substring(text, 1, 4))) AS magic
+        FROM documents"""))
+  )
 }

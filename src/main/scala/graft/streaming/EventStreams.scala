@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface: the batch Events transforms re-expressed
+  * incrementally. Every function takes a DataFrame that may be built from
+  * `readStream` (file source, Kafka, rate, MemoryStream in tests) — the
+  * plan is identical either way, which is the point: declare the logical
+  * plan once, run it batch or incremental.
+  *
+  * State discipline for unbounded streams:
+  *  - windowed aggs carry a watermark so Spark can drop window state once
+  *    event time passes window_end + delay;
+  *  - sessionization uses flatMapGroupsWithState with a processing-time
+  *    timeout — per-user state is one (start, last, count) triple, evicted
+  *    on timeout, so state size is O(active users), not O(events).
+  */
+object EventStreams {
+
+  /** tumbling-window counts/sums with late-data tolerance */
+  def windowedCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** gap-based sessionization with explicit state: a session closes when
+    * a newer event exceeds the inactivity gap, or when the event-time
+    * watermark passes last+gap (event-time timeout — deterministic,
+    * unlike processing-time timeouts, and it lets Spark bound state by
+    * the watermark instead of wall clock). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap horizon;
+              // max() guards states older than the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates a micro-batched stream like batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF(), watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+        Event(ts("2024-01-01 10:55:00"), 2, "click", 3.0),
+        Event(ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 5.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // one user, two bursts 40 minutes apart -> first burst closes when
+      // the second arrives (gap 40 min > 10 min)
+      input.addData(
+        Event(ts("2024-01-01 09:00:00"), 7, "click", 1.0),
+        Event(ts("2024-01-01 09:05:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 09:45:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (7L, "2024-01-01 09:00:00.0", "2024-01-01 09:05:00.0", 2L)))
+    } finally q.stop()
+  }
+}
