@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.Tables
+import graft.ops.TripMetrics
+import graft.queries.TripParity
+
+/** The reference's end-to-end job — download/slice → per-chunk transform →
+  * assemble (local.sh:84-105) — as ONE Spark job: scan → project → write.
+  *
+  * Everything the reference hand-rolled collapses into Spark machinery:
+  * row-range slicing (parquet_slicer.py:53-58) is the scan's split
+  * planning; the process pool (main.py:146-154) is the task scheduler;
+  * the text-file assembly (parquet_assembler.py) is the committed
+  * parquet write — zstd like the reference's designed output, without
+  * its lossy text round-trip (SURVEY.md §A.1). `maxRecordsPerFile`
+  * reproduces the one observable knob of the chunking: bounded output
+  * file sizes.
+  */
+object Pipeline {
+
+  /** read taxi-shaped parquet at `in`, derive the 10 reference columns,
+    * write zstd parquet at `out`; returns the written row count. */
+  def run(spark: SparkSession, in: String, out: String,
+          maxRecordsPerFile: Long = 0L): Long = {
+    val result = TripMetrics.withTripMetrics(spark.read.parquet(in))
+    result.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(out)
+    spark.read.parquet(out).count()
+  }
+
+  /** CLI: `Pipeline <inParquet> <outDir> [maxRecordsPerFile]`, or
+    * `Pipeline --demo <sfDir> <outDir>` to run on the taxi-shaped frame
+    * derived from the testdata orders table. */
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-pipeline")
+    val n = args match {
+      case Array("--demo", sfDir, out) =>
+        val tmp = s"$out.input"
+        Tables.writeZstd(TripParity.taxiFrame(spark, sfDir), tmp)
+        run(spark, tmp, out)
+      case Array(in, out) => run(spark, in, out)
+      case Array(in, out, mrpf) => run(spark, in, out, mrpf.toLong)
+      case _ =>
+        System.err.println("usage: Pipeline <in> <out> [maxRecordsPerFile] | --demo <sfDir> <out>")
+        sys.exit(2)
+    }
+    println(s"""{"pipeline_rows":$n}""")
+    spark.stop()
+  }
+}
