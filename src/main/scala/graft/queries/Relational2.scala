@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Extended relational surface: grouping sets, pivot, lateral explode,
+  * exact percentiles, moment statistics, regexp, array/map aggregation,
+  * scalar subqueries, date arithmetic, and the SQL frontend.
+  *
+  * Determinism discipline continues from Relational: any aggregate of a
+  * double goes through DECIMAL on both engines; moment statistics
+  * (variance/correlation) are computed from decimal-exact component sums
+  * with the identical double formula on both sides, so partial-agg order
+  * can never perturb the result.
+  */
+object Relational2 {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- grouping sets (finer than rollup/cube) -------------------------
+    Q("q21_grouping_sets",
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty")),
+      Some("""
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())""")),
+
+    // ---- pivot (explicit value list => stable schema) -------------------
+    Q("q22_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .select(col("l_returnflag"), col("O").as("qty_open"),
+          col("F").as("qty_finished")),
+      Some("""
+        SELECT l_returnflag,
+          CAST(SUM(CASE WHEN l_linestatus = 'O'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+          CAST(SUM(CASE WHEN l_linestatus = 'F'
+            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_finished
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- lateral explode with position ----------------------------------
+    Q("q23_posexplode",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          posexplode(sequence(lit(1), (col("o_orderkey") % 4 + 1).cast("int"))))
+        .select(col("o_orderkey"), col("pos").cast("long").as("pos"),
+          col("col").cast("long").as("v")),
+      Some("""
+        SELECT o_orderkey, v - 1 AS pos, v
+        FROM orders CROSS JOIN unnest(range(1, o_orderkey % 4 + 2)) t(v)
+        WHERE o_orderkey < 100""")),
+
+    // ---- exact interpolated percentiles ---------------------------------
+    Q("q24_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75")),
+      Some("""
+        SELECT l_returnflag,
+          CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS p25,
+          CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+          CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS p75
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- moment statistics from decimal-exact component sums ------------
+    Q("q25_moment_stats",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).as("sx"),
+          sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"),
+          sum(dec(col("l_extendedprice"))).as("sy"),
+          sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).as("syy"),
+          sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)).as("var_qty"),
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))))
+            .as("corr_qty_price")),
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+            SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+            SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+            / (n - 1) AS var_qty,
+          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            AS corr_qty_price
+        FROM m""")),
+
+    // ---- regexp extract / replace / match filter ------------------------
+    Q("q26_regexp",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderpriority").rlike("^[123]-"))
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-(\\w+)", 1)
+            .cast("long").as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-(\\w+)", 2)
+            .as("prio_word"),
+          regexp_replace(col("o_orderpriority"), "[AEIOU]", "_")
+            .as("devoweled"),
+          element_at(split(col("o_orderpriority"), "-"), 2).as("after_dash")),
+      Some("""
+        SELECT o_orderkey,
+          CAST(regexp_extract(o_orderpriority, '^(\d+)-(\w+)', 1) AS BIGINT) AS prio_num,
+          regexp_extract(o_orderpriority, '^(\d+)-(\w+)', 2) AS prio_word,
+          regexp_replace(o_orderpriority, '[AEIOU]', '_', 'g') AS devoweled,
+          split_part(o_orderpriority, '-', 2) AS after_dash
+        FROM orders WHERE regexp_matches(o_orderpriority, '^[123]-')""")),
+
+    // ---- array aggregation + predicates ---------------------------------
+    Q("q27_array_agg",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))
+        .select(col("c_nationkey"), col("segments"),
+          size(col("segments")).cast("long").as("n_segments"),
+          array_contains(col("segments"), "BUILDING").as("has_building")),
+      Some("""
+        SELECT c_nationkey,
+          list_sort(list(DISTINCT c_mktsegment)) AS segments,
+          CAST(len(list(DISTINCT c_mktsegment)) AS BIGINT) AS n_segments,
+          list_contains(list(DISTINCT c_mktsegment), 'BUILDING') AS has_building
+        FROM customer GROUP BY c_nationkey""")),
+
+    // ---- map column built from aggregation, scalar lookups --------------
+    Q("q28_map_lookup",
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("c_nationkey")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("c_mktsegment"), col("cnt")))))
+          .as("seg_counts"))
+        .select(col("c_nationkey"),
+          coalesce(element_at(col("seg_counts"), "BUILDING"), lit(0L))
+            .as("n_building"),
+          size(col("seg_counts")).cast("long").as("n_segments")),
+      Some("""
+        SELECT c_nationkey,
+          COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END), 0)
+            AS n_building,
+          COUNT(DISTINCT c_mktsegment) AS n_segments
+        FROM customer GROUP BY c_nationkey""")),
+
+    // ---- scalar aggregate subquery --------------------------------------
+    Q("q29_scalar_subquery",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgBal = c.agg(
+          (sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_above_avg"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_above_avg
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                             AS DOUBLE) / COUNT(*) FROM customer)
+        GROUP BY c_mktsegment""")),
+
+    // ---- date arithmetic -------------------------------------------------
+    Q("q30_date_arith",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate").cast("date"), 30).as("ship_by"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("q")),
+      Some("""
+        SELECT o_orderkey,
+          CAST(o_orderdate AS DATE) + 30 AS ship_by,
+          CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS BIGINT) AS days_since_95,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q
+        FROM orders""")),
+
+    // ---- the SQL frontend (parser -> same Catalyst plans) ---------------
+    Q("q31_sql_frontend",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT o_orderkey, o_orderdate,
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+              AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+          FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+            JOIN v_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey ASC
+          LIMIT 10""")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderdate,
+          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10"""))
+  )
+}
