@@ -151,64 +151,88 @@ object DedupOps {
     verifyJaccard(cands, docs, n, minJaccard)
   }
 
-  /** 64-bit SimHash per doc from distinct-token xxhash64s: bit k of the
-    * signature is the sign of sum over tokens of (+-1 for bit k). Also
-    * carries the distinct-token count (length bucketing key for banding). */
-  def simHashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.withColumn("toks", tokens("text"))
-      .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("th"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s_$k")
+  /** 64-bit SimHash per doc over distinct word n-gram features: bit k of
+    * the signature is the sign of sum over features of (+-1 for bit k).
+    * Features are shingles, not unigrams, on purpose: docs drawn from a
+    * shared vocabulary produce strongly correlated unigram signatures
+    * (measured here: background pair hamming down to ~12, indistinguish-
+    * able from true near-dups), while the shingle space is large enough
+    * that unrelated docs sit at hamming ~32. Also carries the distinct-
+    * feature count (length bucketing key for banding). */
+  def simHashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+    // distinct features via the shared postings op: explode + shuffle
+    // distinct beats per-row array_distinct by ~10x (the latter is an
+    // O(len²) interpreted string comparison inside a single task)
+    val toks = shinglePostings(docs, n).select(col("doc_id"), col("gram_id").as("th"))
+    // SWAR bit-count: lane j of sum l_j accumulates popcounts of bits
+    // j, j+16, j+32, j+48 in four 16-bit lanes of one long — 16 packed
+    // sums instead of 64 scalar ones (4x fewer agg buffers, same
+    // signatures). Lanes saturate at 65535 features/doc — far beyond any
+    // shingled document; chunk pathological docs upstream.
+    val laneMask = 0x0001000100010001L
+    val lanes = (0 until 16).map { j =>
+      sum(shiftright(col("th"), j).bitwiseAND(lit(laneMask))).as(s"l_$j")
     }
     val sums = toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_tok"): _*)
+      .agg(lanes.head, lanes.tail :+ count(lit(1)).as("n_tok"): _*)
+    // bit k set iff more than half the features have bit k set
+    // (2*count > n — identical to the sign-of-±1-sum formulation)
     val sig = (0 until 64).map { k =>
-      when(col(s"s_$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+      val c = shiftright(col(s"l_${k % 16}"), 16 * (k / 16))
+        .bitwiseAND(lit(0xFFFFL))
+      when(c * 2 > col("n_tok"), shiftleft(lit(1L), k)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("doc_id"), sig.as("simhash"), col("n_tok"))
   }
 
-  /** SimHash candidate pairs with hamming <= maxHamming. Banding into
-    * `bands` equal slices of the 64-bit signature (equality join per
-    * band; pigeonhole guarantees recall for hamming <= bands-1), with a
-    * log2 token-count bucket as secondary key: each doc lands in bucket
-    * L and L+1, so near-dups up to one length boundary apart still meet
-    * while band buckets shrink from N/2^width to per-length-class size. */
-  def simHashCandidates(sigs: DataFrame, maxHamming: Int, bands: Int): DataFrame = {
-    require(64 % bands == 0, s"bands($bands) must divide 64")
-    require(maxHamming < bands,
-      s"recall guarantee needs maxHamming($maxHamming) < bands($bands)")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val lenBucket = floor(log2(col("n_tok") + 1)).cast("int")
+  /** SimHash candidate pairs with hamming <= maxHamming, via a
+    * combinatorial multi-index (the block-permutation scheme of Manku,
+    * Jain & Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07,
+    * re-expressed as a Spark equality join): the 64-bit signature is cut
+    * into `blocks` slices; each doc is bucketed once per `comboSize`-
+    * subset of slices, keyed by the hash of those slice values. A pair
+    * within hamming h has >= blocks-h clean slices, so some subset of
+    * size comboSize is clean whenever h <= blocks-comboSize — guaranteed
+    * recall at radius blocks-comboSize with bucket keys comboSize slices
+    * wide. A log2 token-count bucket rides along as a secondary key
+    * (emitted at L and L+1 so one boundary crossing still collides);
+    * raising comboSize is the web-scale knob: exponentially smaller
+    * buckets for combinatorially more probes. */
+  def simHashCandidates(sigs: DataFrame, maxHamming: Int, blocks: Int = 16,
+                        comboSize: Int = 2): DataFrame = {
+    require(comboSize >= 1 && comboSize < blocks,
+      s"comboSize($comboSize) must be in [1, blocks)")
+    require(maxHamming <= blocks - comboSize,
+      s"recall guarantee needs maxHamming($maxHamming) <= blocks($blocks) - comboSize($comboSize)")
+    val base = 64 / blocks
+    val rem = 64 % blocks
+    val widths = Seq.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def slice(i: Int): Column =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val lenBucket = floor(log2(col("n_tok") + 1)).cast("long")
     val keys = for {
-      b <- 0 until bands
+      (combo, ci) <- (0 until blocks).combinations(comboSize).toSeq.zipWithIndex
       dl <- 0 to 1
-    } yield struct(lit(b).as("band"),
-      shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"),
-      (lenBucket + dl).as("lb"))
+    } yield xxhash64((lit(ci.toLong) +: combo.map(slice)) :+ (lenBucket + dl): _*)
     val banded = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"),
-        col("bk.key").as("key"), col("bk.lb").as("lb"))
+      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bucket"))
     banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.lb") === col("b.lb") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // cheap row filter BEFORE the
+      .distinct()                           // distinct's shuffle
   }
 
   /** SimHash near-dups, exact-verified by n-gram Jaccard (same contract
     * as minHashNearDups: approximate recall, exact precision). */
-  def simHashNearDups(docs: DataFrame, maxHamming: Int, bands: Int,
-                      n: Int, minJaccard: Double): DataFrame =
+  def simHashNearDups(docs: DataFrame, maxHamming: Int, n: Int,
+                      minJaccard: Double, blocks: Int = 16,
+                      comboSize: Int = 2): DataFrame =
     verifyJaccard(
-      simHashCandidates(simHashSignatures(docs), maxHamming, bands)
+      simHashCandidates(simHashSignatures(docs, n), maxHamming, blocks, comboSize)
         .select("doc_a", "doc_b"),
       docs, n, minJaccard)
 }

@@ -64,13 +64,13 @@ object Dedup {
       Some(jaccardCte + jaccardSelect)),
 
     // ---- SimHash banding, exact-verified --------------------------------
-    // 16 bands of 4 bits: pigeonhole-guaranteed recall to hamming 15.
-    // The corpus' docs are short (8-31 distinct tokens) so J≈0.98 pairs
-    // still differ by up to ~9 bits — wide-radius config, with the
-    // length bucket carrying the selectivity the narrow keys give up.
+    // multi-index config: 16 blocks, block-pair keys -> guaranteed recall
+    // to hamming 14. The corpus' docs are short (8-31 distinct tokens) so
+    // J≈0.98 pairs differ by up to 12 bits (measured at sf0.01/sf0.1) —
+    // a wide radius that single-slice banding cannot index efficiently.
     Q("d04_simhash",
       (s, d) => DedupOps.simHashNearDups(Tables.documents(s, d),
-        maxHamming = 12, bands = 16, n = 3, minJaccard = 0.6),
+        maxHamming = 14, n = 3, minJaccard = 0.6),
       Some(jaccardCte + jaccardSelect))
   )
 }

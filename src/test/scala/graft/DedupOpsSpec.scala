@@ -46,7 +46,7 @@ class DedupOpsSpec extends SparkSpec {
   }
 
   test("simHashNearDups finds exact dup (hamming 0) and near dup") {
-    val pairs = DedupOps.simHashNearDups(corpus, maxHamming = 12, bands = 16,
+    val pairs = DedupOps.simHashNearDups(corpus, maxHamming = 14,
       n = 3, minJaccard = 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 4L)))
   }
@@ -56,9 +56,9 @@ class DedupOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](DedupOps.minHashCandidates(sigs, 5, 3))
     intercept[IllegalArgumentException](
       DedupOps.minHashNearDups(corpus, 3, 16, 5, 0.5))
-    intercept[IllegalArgumentException](
-      DedupOps.simHashNearDups(corpus, 12, 12, 3, 0.5)) // 12 does not divide 64
-    intercept[IllegalArgumentException](
-      DedupOps.simHashNearDups(corpus, 8, 8, 3, 0.5))   // radius >= bands
+    intercept[IllegalArgumentException]( // radius beyond blocks - comboSize
+      DedupOps.simHashNearDups(corpus, 15, 3, 0.5, blocks = 16, comboSize = 2))
+    intercept[IllegalArgumentException]( // comboSize >= blocks
+      DedupOps.simHashNearDups(corpus, 1, 3, 0.5, blocks = 4, comboSize = 4))
   }
 }
