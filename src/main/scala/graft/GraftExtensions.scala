@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.expressions.VectorExpressions
+
+/** Session-extension entry point: makes the engine's native expressions
+  * available to ANY SparkSession via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
+  * deployment route on a shared cluster, where you cannot call
+  * registration code inside someone else's driver. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    VectorExpressions.functions.foreach(ext.injectFunction)
+}

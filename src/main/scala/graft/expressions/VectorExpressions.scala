@@ -1,0 +1,95 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two array<double> columns.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(a,b,*),0,+)`)
+  * allocates a zipped intermediate array and evaluates its lambdas
+  * interpreted, per element; this expression is one fused primitive loop,
+  * and `doGenCode` keeps it inside whole-stage codegen — the difference
+  * between a similarity scan that is memory-bound and one that is
+  * lambda-dispatch-bound at corpus scale.
+  *
+  * Semantics match the HOF fold exactly: left-to-right IEEE summation over
+  * min(len(a), len(b)) elements (so results — and the DuckDB oracle
+  * comparison — are bit-identical). Element nulls are not expected
+  * (embedding vectors are dense); null *columns* propagate as usual.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // no ExpectsInputTypes (its AbstractDataType is private[sql]) — callers
+  // cast to array<double> explicitly; no implicit coercion is inserted
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+        DotProduct(args.head, args(1))
+      }))
+
+  /** idempotent per-session registration (the session-extension route in
+    * [[graft.GraftExtensions]] does the same for externally-built
+    * sessions via spark.sql.extensions) */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}

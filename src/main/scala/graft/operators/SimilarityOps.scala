@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
+import graft.expressions.VectorExpressions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -22,11 +23,18 @@ import graft.functions.VectorFunctions._
   */
 object SimilarityOps {
 
-  /** normalize schema once: vec_id, v (array<double>), nrm */
+  /** normalize schema once: vec_id, v (array<double>), nrm. Uses the
+    * native codegen'd vec_dot expression (bit-identical to the HOF fold
+    * in VectorFunctions.dot, minus its per-element lambda dispatch). */
   def prepared(embeddings: DataFrame): DataFrame = {
+    VectorExpressions.registerAll(embeddings.sparkSession)
     val v = asDouble(col("embedding"))
-    embeddings.select(col("vec_id"), v.as("v")).withColumn("nrm", norm(col("v")))
+    embeddings.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
   }
+
+  private def dotNative(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
   private def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -43,7 +51,7 @@ object SimilarityOps {
     val pairs = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineFromParts(dot(col("v"), col("qv")), col("nrm"), col("qnrm"))
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"), col("qnrm"))
           .as("cosine"))
     topK(pairs, k)
   }
@@ -59,7 +67,7 @@ object SimilarityOps {
     val pairs = corpus.join(broadcast(qs), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosineFromParts(dot(col("v"), col("qv")), col("nrm"), col("qnrm"))
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"), col("qnrm"))
           .as("cosine"))
     topK(pairs, k)
   }
