@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond the built-in surface: backward as-of join and a
+  * salted equi-join for skewed keys.
+  *
+  * Both are compositions of stock Catalyst operators, chosen for their
+  * scale shape: the as-of join is ONE shuffle of the unioned inputs plus
+  * a keyed window (no time-range cross product, no per-row probing); the
+  * salted join trades k-fold duplication of the build side for breaking
+  * a hot key across k reducers.
+  */
+object JoinOps {
+
+  /** Backward as-of join: for each left row, the most recent right row
+    * with rightTime <= leftTime on the same key (inner semantics: left
+    * rows with no prior right row are dropped).
+    *
+    * Implementation: tag and union both inputs, then per-key
+    * last-non-null over the merged time order — right rows sort before
+    * left rows at equal timestamps so "<=" is inclusive. Cost is a
+    * single hash shuffle on the key + an in-partition sort: O((L+R) log)
+    * per key, independent of time-range density — the shape that
+    * survives 100 TB where an inequality-join range explosion would not.
+    *
+    * `rightVals` are the right-side columns to carry; they appear
+    * prefixed with `asof_`. */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTime: String, rightTime: String,
+                       rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+      .withColumn("_is_left", lit(1))
+    val lAligned = rightVals.foldLeft(l)((df, v) =>
+      df.withColumn(s"asof_$v", lit(null).cast(right.schema(v).dataType)))
+    val r0 = right
+      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
+      .withColumn("_is_left", lit(0))
+    val rAligned = leftCols.foldLeft(
+      rightVals.foldLeft(r0)((df, v) => df.withColumn(s"asof_$v", col(v))))(
+      (df, c) => if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .select(lAligned.columns.map(col).toSeq: _*)
+
+    val merged = lAligned.unionByName(rAligned)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t").asc, col("_is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightVals.foldLeft(merged)((df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w)))
+    filled
+      .filter(col("_is_left") === 1 && col(s"asof_${rightVals.head}").isNotNull)
+      .select((leftCols ++ rightVals.map(v => s"asof_$v")).map(col).toSeq: _*)
+  }
+
+  /** Salted equi-join for skewed fact keys: the dimension side is
+    * replicated `salt` times, the fact side picks a deterministic salt
+    * from row identity, and the join key becomes (key, salt) — a hot key
+    * now lands on `salt` reducers instead of one. Results are identical
+    * to the unsalted join. (AQE's skew-join handles most cases at
+    * runtime; explicit salting remains the tool when one logical key
+    * exceeds what any single task can hold.) */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int,
+                 saltBy: Column): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    val saltedFact = fact.withColumn("_salt", pmod(xxhash64(saltBy), lit(salt)))
+    val saltedDim = dim
+      .withColumn("_salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+    saltedFact.join(saltedDim,
+      saltedFact(key) === saltedDim(key) && saltedFact("_salt") === saltedDim("_salt"))
+      .drop(saltedDim(key)).drop("_salt")
+  }
+}

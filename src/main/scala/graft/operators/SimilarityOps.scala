@@ -56,6 +56,22 @@ object SimilarityOps {
     topK(pairs, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
+    * cosine >= minCosine. Exact all-pairs form — at corpus scale,
+    * pre-partition both sides with [[graft.functions.VectorFunctions
+    * .signBucket]] (the s02/lshTopK shape) so only same-bucket pairs are
+    * scored; kept exact here because it is the ground-truth verifier. */
+  def embeddingNearDups(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val p = prepared(embeddings)
+    val a = p.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromParts(dotNative(col("va"), col("vb")), col("na"), col("nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** ANN: exact cosine top-k restricted to the query's LSH bucket */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               planes: Int): DataFrame = {

@@ -101,6 +101,30 @@ object Events {
           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
-        FROM events GROUP BY event_type"""))
+        FROM events GROUP BY event_type""")),
+
+    // ---- backward as-of join: each purchase matched to the user's most
+    //      recent prior click (union + keyed window — one shuffle, no
+    //      time-range explosion; see JoinOps.asOfJoinBackward) -----------
+    Q("e05_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinBackward(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

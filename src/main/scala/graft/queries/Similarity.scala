@@ -70,6 +70,15 @@ object Similarity {
         SELECT q_id, vec_id, cosine, rk FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
-        WHERE rk <= 5"""))
+        WHERE rk <= 5""")),
+
+    // ---- embedding-cosine near-duplicate pairs --------------------------
+    Q("s03_embedding_neardup",
+      (s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d), 0.4),
+      Some(normCte + s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4"""))
   )
 }

@@ -102,6 +102,25 @@ object TextOps {
         g AS (SELECT g.gram FROM t,
               unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) g(gram))
         SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
-        ORDER BY n DESC, gram ASC LIMIT 20"""))
+        ORDER BY n DESC, gram ASC LIMIT 20""")),
+
+    // ---- BPE-ish subword token counting ---------------------------------
+    //      letter runs, single digits, and punctuation as separate tokens
+    //      (the pre-tokenization shape BPE vocabularies are trained over);
+    //      alternation branches are first-char-disjoint so Java regex and
+    //      RE2 agree on every match
+    Q("t06_bpe_tokens",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(trim(col("text")), " +")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), lit(0)))
+          .cast("long").as("subword_tokens")),
+      Some("""
+        SELECT doc_id,
+          len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+            AS subword_tokens
+        FROM documents"""))
   )
 }
