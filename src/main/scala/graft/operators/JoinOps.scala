@@ -58,6 +58,30 @@ object JoinOps {
       .select((leftCols ++ rightVals.map(v => s"asof_$v")).map(col).toSeq: _*)
   }
 
+  /** Binned range join: pairs (l, r) with
+    * rightTime in [leftTime - windowSec, leftTime]. Instead of an
+    * inequality join (nested-loop at any scale), both sides are bucketed
+    * into windowSec-wide time bins and equi-joined on the bin — the left
+    * side probes its own and the previous bin, which covers every pair a
+    * window of that length can span — then the exact range predicate
+    * filters within the bin pairs. One shuffle on the bin key; cost is
+    * linear in events-per-bin, not in the cross product. Column names
+    * must be disjoint between the two inputs. */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+                      leftTime: String, rightTime: String,
+                      windowSec: Long): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left/right column names must be disjoint")
+    val binMicros = windowSec * 1000000L
+    val lBin = expr(s"unix_micros($leftTime) div $binMicros")
+    val l = left.withColumn("_bin", explode(array(lBin - 1, lBin)))
+    val r = right.withColumn("_bin", expr(s"unix_micros($rightTime) div $binMicros"))
+    l.join(r, "_bin")
+      .filter(col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSec SECONDS") &&
+        col(rightTime) <= col(leftTime))
+      .drop("_bin")
+  }
+
   /** Salted equi-join for skewed fact keys: the dimension side is
     * replicated `salt` times, the fact side picks a deterministic salt
     * from row identity, and the join key becomes (key, salt) — a hot key

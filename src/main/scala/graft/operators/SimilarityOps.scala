@@ -72,14 +72,25 @@ object SimilarityOps {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** ANN: exact cosine top-k restricted to the query's LSH bucket */
+  /** ANN: exact cosine top-k restricted to the query's LSH bucket.
+    * `probes = 1` searches only the query's own bucket; `probes > 1`
+    * additionally probes every bucket within hamming probes-1 of the
+    * query signature (multiprobe LSH: recall recovered by probing near
+    * buckets instead of shrinking the index) — with probes = 2, the
+    * planes+1 buckets at hamming <= 1. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              planes: Int): DataFrame = {
+              planes: Int, probes: Int = 1): DataFrame = {
+    require(probes == 1 || probes == 2, "probes > 2 not implemented")
     val corpus = prepared(embeddings)
       .withColumn("bucket", signBucket(col("v"), planes))
+    val qBucket = signBucket(col("v"), planes)
+    val probeCols =
+      if (probes == 1) array(qBucket)
+      else array(qBucket +: (0 until planes).map(j =>
+        qBucket.bitwiseXOR(lit(1L << j))): _*)
     val qs = prepared(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), signBucket(col("v"), planes).as("bucket"))
+        col("nrm").as("qnrm"), explode(probeCols).as("bucket"))
     val pairs = corpus.join(broadcast(qs), "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),

@@ -71,6 +71,26 @@ object Dedup {
     Q("d04_simhash",
       (s, d) => DedupOps.simHashNearDups(Tables.documents(s, d),
         maxHamming = 14, n = 3, minJaccard = 0.6),
-      Some(jaccardCte + jaccardSelect))
+      Some(jaccardCte + jaccardSelect)),
+
+    // ---- edit-distance verification on near-dup pairs -------------------
+    //      (candidate generation by Jaccard, fuzzy-match scoring by
+    //      levenshtein — the "how different are they textually" stage a
+    //      dedup pipeline runs before choosing survivors)
+    Q("d05_edit_distance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        DedupOps.ngramJaccardPairs(docs, 3, 0.6).select("doc_a", "doc_b")
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"))
+      },
+      Some(jaccardCte + """
+        SELECT doc_a, doc_b,
+          CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM p JOIN documents da ON p.doc_a = da.doc_id
+               JOIN documents db ON p.doc_b = db.doc_id
+        WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6"""))
   )
 }

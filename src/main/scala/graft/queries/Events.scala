@@ -125,6 +125,27 @@ object Events {
               WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- binned range join: clicks within 10min before each error ------
+    Q("e06_range_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.rangeJoinBinned(
+          ev.filter(col("event_type") === "error")
+            .select(col("event_id"), col("ts").as("e_ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("ts").as("c_ts"), col("value").as("c_value")),
+          leftTime = "e_ts", rightTime = "c_ts", windowSec = 600L)
+          .groupBy(col("event_id"), col("e_ts"))
+          .agg(count(lit(1)).as("n_clicks"), max(col("c_ts")).as("last_click"))
+      },
+      Some("""
+        SELECT e.event_id, e.ts AS e_ts, COUNT(*) AS n_clicks,
+          MAX(c.ts) AS last_click
+        FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+          ON c.ts >= e.ts - INTERVAL 600 SECOND AND c.ts <= e.ts
+        GROUP BY e.event_id, e.ts"""))
   )
 }

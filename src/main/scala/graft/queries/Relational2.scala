@@ -245,6 +245,31 @@ object Relational2 {
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey ASC
-        LIMIT 10"""))
+        LIMIT 10""")),
+
+    // ---- remaining window-function families (distribution + value) -----
+    Q("q32_window_misc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cheapest_key"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+          CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          PERCENT_RANK() OVER w AS pct_rank,
+          CUME_DIST() OVER w AS cume,
+          FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)"""))
   )
 }

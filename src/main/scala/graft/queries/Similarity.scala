@@ -72,6 +72,33 @@ object Similarity {
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
         WHERE rk <= 5""")),
 
+    // ---- multiprobe ANN: own bucket + all hamming-1 buckets -------------
+    Q("s04_ann_multiprobe",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          planes = 4, probes = 2)
+      },
+      Some(normCte + s"""
+        , b AS (SELECT vec_id, v, nrm,
+                  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+                 + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+                 + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                FROM n),
+        q AS (SELECT vec_id AS q_id, qv, qnrm, pb AS bucket
+              FROM (SELECT vec_id, v AS qv, nrm AS qnrm, bucket FROM b
+                    WHERE vec_id < 5)
+              CROSS JOIN LATERAL unnest([bucket, xor(bucket, 1),
+                xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) t(pb)),
+        p AS (SELECT q.q_id, c.vec_id,
+                ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+              FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 5""")),
+
     // ---- embedding-cosine near-duplicate pairs --------------------------
     Q("s03_embedding_neardup",
       (s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d), 0.4),
