@@ -51,6 +51,25 @@ object Multimodal {
           CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
           md5(text) AS checksum,
           lower(hex(substring(text, 1, 4))) AS magic
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- frame sampling: fixed-width strided windows over the payload ---
+    //      (the video/audio frame-extraction shape: one row per frame with
+    //      its offset and checksum; text payload stands in for the codec
+    //      output, the plumbing — strided offsets, ragged tail, per-frame
+    //      rows — is the real thing)
+    Q("m03_frame_sample",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")), lit(48))).as("frame_off"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("frame_off").cast("long").as("frame_off"),
+          md5(substring(col("text"), col("frame_off").cast("int"), lit(64))
+            .cast("binary")).as("frame_md5")),
+      Some("""
+        SELECT doc_id, CAST(frame_off AS BIGINT) AS frame_off,
+          md5(substring(text, CAST(frame_off AS INTEGER), 64)) AS frame_md5
+        FROM documents
+        CROSS JOIN LATERAL unnest(range(1, LENGTH(text) + 1, 48)) t(frame_off)"""))
   )
 }

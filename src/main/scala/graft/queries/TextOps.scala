@@ -121,6 +121,37 @@ object TextOps {
           len(string_split_regex(trim(text), ' +')) AS ws_tokens,
           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
             AS subword_tokens
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- corpus metadata statistics (per labeled lang x source) ---------
+    Q("t07_corpus_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          min(col("doc_id")).as("first_doc")),
+      Some("""
+        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+          CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+          MIN(doc_id) AS first_doc
+        FROM documents GROUP BY lang, source""")),
+
+    // ---- language-ID confusion matrix vs the labeled lang column -------
+    Q("t08_langid_accuracy",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .withColumn("predicted",
+          when(wordlistCount("toks", EnglishStopwords) > 0, lit("en"))
+            .otherwise(lit("und")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n")),
+      Some(s"""
+        SELECT lang,
+          CASE WHEN len(list_filter(string_split_regex(trim(text), ' +'),
+                 x -> x IN ($stopSql))) > 0
+               THEN 'en' ELSE 'und' END AS predicted,
+          COUNT(*) AS n
+        FROM documents GROUP BY 1, 2"""))
   )
 }
