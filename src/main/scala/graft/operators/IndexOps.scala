@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordering/sampling operators whose naive forms don't survive scale.
+  *
+  * A global `row_number()` over an unpartitioned window collapses the
+  * whole dataset into ONE task — the canonical scale anti-pattern.
+  * [[globalRowIndex]] produces the identical numbering with range
+  * partitioning: sort partitions cover disjoint key ranges, each task
+  * numbers its own rows, and per-partition row counts (a few hundred
+  * longs collected to the driver — metadata, not data) become offsets.
+  */
+object IndexOps {
+
+  /** deterministic 0-based dense global index by `sortCols` (which must
+    * be a unique ordering for the numbering to be well-defined) */
+  def globalRowIndex(df: DataFrame, sortCols: Seq[Column],
+                     indexName: String = "row_idx"): DataFrame = {
+    val sorted = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(indexName,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    // per-partition counts -> exclusive prefix offsets (tiny driver-side
+    // metadata, same technique as RDD.zipWithIndex)
+    val counts = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      Iterator((pid, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val indexed = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var i = offsets(pid)
+      it.map { row =>
+        val r = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+        i += 1
+        r
+      }
+    }
+    df.sparkSession.createDataFrame(indexed, outSchema)
+  }
+
+  /** [[hashSample]] but keyed on an md5 hex prefix, for when the sample
+    * must be reproducible by OTHER engines too (md5 is universal;
+    * xxhash64 is not): keep rows with md5(key) below the 32-hex-char
+    * threshold. fraction granularity is 1/2^24 (6 hex digits). */
+  def portableHashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val cut = f"${(fraction * (1 << 24)).toLong}%06x" + "0" * 26
+    df.filter(md5(keyCol.cast("string").cast("binary")) < lit(cut))
+  }
+
+  /** deterministic pseudo-random sample: keep rows whose 64-bit hash of
+    * `keyCol` falls in the lowest `fraction` of the hash space. Unlike
+    * `df.sample`, the decision is a pure function of the key — stable
+    * across runs, executors, and engines (any system with xxhash64 can
+    * reproduce the exact sample). */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val threshold = (fraction * (1L << 62)).toLong
+    df.filter(pmod(xxhash64(keyCol), lit(1L << 62)) < threshold)
+  }
+}

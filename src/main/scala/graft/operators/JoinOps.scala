@@ -33,29 +33,32 @@ object JoinOps {
                        leftTime: String, rightTime: String,
                        rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the right payload travels as ONE nullable struct: null on left rows,
+    // non-null on every right row (even when individual fields are null),
+    // so one last(ignoreNulls) both finds the match and keeps its fields
+    // atomic — per-column fills could tear values from different rows
+    val payload = struct(rightVals.map(col): _*)
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
-    val lAligned = rightVals.foldLeft(l)((df, v) =>
-      df.withColumn(s"asof_$v", lit(null).cast(right.schema(v).dataType)))
-    val r0 = right
-      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
-      .withColumn("_is_left", lit(0))
+      .withColumn("_p", lit(null).cast(
+        org.apache.spark.sql.types.StructType(rightVals.map(v => right.schema(v)))))
     val rAligned = leftCols.foldLeft(
-      rightVals.foldLeft(r0)((df, v) => df.withColumn(s"asof_$v", col(v))))(
+      right.withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
+        .withColumn("_is_left", lit(0)).withColumn("_p", payload))(
       (df, c) => if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-      .select(lAligned.columns.map(col).toSeq: _*)
+      .select(l.columns.map(col).toSeq: _*)
 
-    val merged = lAligned.unionByName(rAligned)
+    val merged = l.unionByName(rAligned)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(merged)((df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"asof_$v"), ignoreNulls = true).over(w)))
-    filled
-      .filter(col("_is_left") === 1 && col(s"asof_${rightVals.head}").isNotNull)
-      .select((leftCols ++ rightVals.map(v => s"asof_$v")).map(col).toSeq: _*)
+    merged
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_is_left") === 1 && col("_p").isNotNull)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => col(s"_p.$v").as(s"asof_$v")): _*)
   }
 
   /** Binned range join: pairs (l, r) with

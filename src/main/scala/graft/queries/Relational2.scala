@@ -270,6 +270,28 @@ object Relational2 {
           FIRST_VALUE(o_orderkey) OVER w AS cheapest_key
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus
-                     ORDER BY o_totalprice ASC, o_orderkey ASC)"""))
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+
+    // ---- scalable global row index (range partition + offsets, never a
+    //      single-partition window) --------------------------------------
+    Q("q33_global_index",
+      (s, d) => graft.operators.IndexOps.globalRowIndex(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        Seq(col("o_totalprice").asc, col("o_orderkey").asc)),
+      Some("""
+        SELECT o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) - 1
+            AS row_idx
+        FROM orders""")),
+
+    // ---- deterministic cross-engine sampling (md5-prefix threshold) -----
+    Q("q34_hash_sample",
+      (s, d) => graft.operators.IndexOps.portableHashSample(
+          Tables.orders(s, d), col("o_orderkey"), 0.125)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+      Some("""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE md5(CAST(o_orderkey AS VARCHAR)) <
+          '20000000000000000000000000000000'"""))
   )
 }
