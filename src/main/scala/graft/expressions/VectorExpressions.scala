@@ -76,13 +76,24 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
-        DotProduct(args.head, args(1))
-      }))
+    Seq(
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+          DotProduct(args.head, args(1))
+        }),
+      (FunctionIdentifier("minhash_agg"),
+        new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"minhash_agg expects (gramId, k), got ${args.length}")
+          val k = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"minhash_agg k must be an integer literal, got $other")
+          }
+          MinHashAgg(args.head, k).toAggregateExpression()
+        }))
 
   /** idempotent per-session registration (the session-extension route in
     * [[graft.GraftExtensions]] does the same for externally-built

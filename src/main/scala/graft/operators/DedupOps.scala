@@ -30,18 +30,8 @@ import graft.functions.TextFunctions._
   */
 object DedupOps {
 
-  /** Mersenne-ish modulus and deterministic affine hash family for
-    * MinHash: h_i(x) = (a_i * (x mod M) + b_i) mod M, a_i odd.
-    * Constants from a fixed LCG so every run/partition agrees. */
-  private val M = 2147483647L // 2^31 - 1
-  private def hashFamily(k: Int): Seq[(Long, Long)] = {
-    var state = 88172645463325252L
-    def next(): Long = { // xorshift64, fixed seed — deterministic
-      state ^= state << 13; state ^= state >>> 7; state ^= state << 17
-      state & Long.MaxValue
-    }
-    Seq.fill(k)(((next() % (M - 2)) + 1 | 1L, next() % M))
-  }
+  // the MinHash affine family (modulus, constants) lives with its
+  // aggregate: graft.expressions.MinHashAgg
 
   /** lowercase-hex content hash for exact dedup — md5 so the oracle can
     * recompute it (DuckDB ships md5; xxhash64 it does not). */
@@ -110,15 +100,18 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** per-doc MinHash signature: k min-hashes over shingle ids (single
-    * groupBy — partial min aggregation is map-side combined) */
+  /** per-doc MinHash signature: k min-hashes over shingle ids, computed
+    * by the one-pass MinHashAgg aggregate (one long[k] buffer per group,
+    * map-side combined — see graft.expressions.MinHashAgg) and exposed
+    * as the mh_i column schema the banding step consumes. */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    graft.expressions.VectorExpressions.registerAll(docs.sparkSession)
     val posts = shinglePostings(docs, n)
-      .withColumn("gid31", pmod(col("gram_id"), lit(M)))
-    val mins = hashFamily(k).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("gid31") + lit(b), lit(M))).as(s"mh_$i")
-    }
-    posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sigCols = (0 until k).map(i =>
+      element_at(col("_sig"), i + 1).as(s"mh_$i"))
+    posts.groupBy("doc_id")
+      .agg(call_function("minhash_agg", col("gram_id"), lit(k)).as("_sig"))
+      .select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH banding: docs sharing any (band, band-signature) bucket. */

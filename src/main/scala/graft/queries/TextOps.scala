@@ -152,6 +152,52 @@ object TextOps {
                  x -> x IN ($stopSql))) > 0
                THEN 'en' ELSE 'und' END AS predicted,
           COUNT(*) AS n
-        FROM documents GROUP BY 1, 2"""))
+        FROM documents GROUP BY 1, 2""")),
+
+    // ---- capstone: the composed training-data-prep pipeline -------------
+    //      quality gate -> exact-dedup survivors -> per-lang token budget;
+    //      each stage is an operator verified on its own above, composed
+    //      here into the end-to-end curation query a data pipeline runs
+    Q("t09_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val scored = docs
+          .withColumn("toks", tokens("text"))
+          .withColumn("quality",
+            least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+              (wordlistCount("toks", EnglishStopwords).cast("double") /
+                tokenCount("toks")) * 0.2 +
+              (distinctTokenCount("toks").cast("double") / tokenCount("toks")) * 0.4)
+          .filter(col("quality") >= 0.5)
+        val canonical = graft.operators.DedupOps.exactDedupRanks(scored)
+          .filter(col("is_canonical")).select("doc_id")
+        scored.join(canonical, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(tokenCount("toks")).as("total_tokens"),
+            sum(col("n_chars")).as("total_chars"))
+      },
+      Some(s"""
+        WITH scored AS (
+          SELECT doc_id, lang, n_chars, text,
+            string_split_regex(trim(text), ' +') AS toks,
+            LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+              + CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                  x -> x IN ($stopSql))) AS DOUBLE)
+                / len(string_split_regex(trim(text), ' +')) * 0.2
+              + CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+                  AS DOUBLE)
+                / len(string_split_regex(trim(text), ' +')) * 0.4 AS quality
+          FROM documents),
+        gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+        canonical AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER
+              (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated)
+          WHERE rn = 1)
+        SELECT lang, COUNT(*) AS n_docs,
+          SUM(len(toks)) AS total_tokens, SUM(n_chars) AS total_chars
+        FROM gated JOIN canonical USING (doc_id)
+        GROUP BY lang"""))
   )
 }
