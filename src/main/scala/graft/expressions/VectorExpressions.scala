@@ -87,11 +87,15 @@ object VectorExpressions {
         new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
         (args: Seq[Expression]) => {
           require(args.length == 2, s"minhash_agg expects (gramId, k), got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.Literal
           val k = args(1) match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case Literal(v: Int, _) => v
+            case Literal(v: Long, _) => v.toInt
+            case Literal(v: Short, _) => v.toInt
             case other => throw new IllegalArgumentException(
               s"minhash_agg k must be an integer literal, got $other")
           }
+          require(k >= 1, s"minhash_agg k must be >= 1, got $k")
           MinHashAgg(args.head, k).toAggregateExpression()
         }))
 

@@ -30,9 +30,6 @@ import graft.functions.TextFunctions._
   */
 object DedupOps {
 
-  // the MinHash affine family (modulus, constants) lives with its
-  // aggregate: graft.expressions.MinHashAgg
-
   /** lowercase-hex content hash for exact dedup — md5 so the oracle can
     * recompute it (DuckDB ships md5; xxhash64 it does not). */
   def contentHash(textCol: Column): Column = md5(textCol.cast("binary"))
@@ -100,18 +97,23 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** per-doc MinHash signature: k min-hashes over shingle ids, computed
-    * by the one-pass MinHashAgg aggregate (one long[k] buffer per group,
-    * map-side combined — see graft.expressions.MinHashAgg) and exposed
-    * as the mh_i column schema the banding step consumes. */
+  /** per-doc MinHash signature: k min-hashes over shingle ids as k
+    * column-wise min aggregates — codegen'd HashAggregateExec with
+    * primitive buffers, which holds up at any group-per-partition
+    * cardinality (the corpus-scale case). The equivalent one-pass
+    * graft.expressions.MinHashAgg (same hash family, bit-identical
+    * signatures) exists for SQL callers and wide-k/few-group shapes,
+    * but its ObjectHashAggregate path sort-falls-back past 128 groups
+    * per partition. */
   def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
-    graft.expressions.VectorExpressions.registerAll(docs.sparkSession)
+    import graft.expressions.MinHashAgg.{M, hashFamily}
     val posts = shinglePostings(docs, n)
-    val sigCols = (0 until k).map(i =>
-      element_at(col("_sig"), i + 1).as(s"mh_$i"))
-    posts.groupBy("doc_id")
-      .agg(call_function("minhash_agg", col("gram_id"), lit(k)).as("_sig"))
-      .select(col("doc_id") +: sigCols: _*)
+      .withColumn("gid31", pmod(col("gram_id"), lit(M)))
+    val (as, bs) = hashFamily(k)
+    val mins = (0 until k).map { i =>
+      min(pmod(lit(as(i)) * col("gid31") + lit(bs(i)), lit(M))).as(s"mh_$i")
+    }
+    posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: docs sharing any (band, band-signature) bucket. */

@@ -169,9 +169,12 @@ object TextOps {
                 tokenCount("toks")) * 0.2 +
               (distinctTokenCount("toks").cast("double") / tokenCount("toks")) * 0.4)
           .filter(col("quality") >= 0.5)
-        val canonical = graft.operators.DedupOps.exactDedupRanks(scored)
-          .filter(col("is_canonical")).select("doc_id")
-        scored.join(canonical, "doc_id")
+        // survivor selection inline (window over the gated frame) — a
+        // join back to exactDedupRanks(scored) would scan and re-score
+        // the corpus twice and add a shuffle for the same result
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text").cast("binary"))).orderBy(col("doc_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .groupBy("lang")
           .agg(count(lit(1)).as("n_docs"),
             sum(tokenCount("toks")).as("total_tokens"),
