@@ -59,6 +59,29 @@ object MultimodalOps {
     }
   }
 
+  /** STUB resize: a real implementation would decode, rescale, and
+    * re-encode (JNI codec) in this same per-row loop. The fake keeps
+    * every `factor`-th byte — deterministic, shape-preserving (output
+    * length = ceil(len/factor)), and exactly the per-partition compute
+    * profile of a real downsample: row-local CPU work, no shuffle. */
+  def resizeStub(assets: Dataset[MediaAsset], factor: Int): Dataset[MediaAsset] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val src = a.content
+        val out = new Array[Byte]((src.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) {
+          out(i) = src(i * factor)
+          i += 1
+        }
+        a.copy(content = out,
+          meta = a.meta.copy(byte_len = out.length.toLong))
+      }
+    }
+  }
+
   /** end-to-end typed pipeline: docs -> assets -> decoded features */
   def featurePipeline(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._

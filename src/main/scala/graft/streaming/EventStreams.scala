@@ -31,6 +31,16 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** streaming exact dedup: drop rows whose key was already seen within
+    * the watermark horizon — state for a key is evicted once event time
+    * passes its arrival + delay, so state is bounded by stream rate x
+    * delay instead of growing forever. The incremental form of
+    * DedupOps.exactDedupRanks' keep-first semantics. */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)
   case class Session(user_id: Long, session_start: Timestamp,

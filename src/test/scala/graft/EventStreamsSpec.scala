@@ -31,6 +31,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), Seq("user_id"), "ts",
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 10:01:00"), 1, "click", 2.0), // dup key
+        Event(ts("2024-01-01 10:02:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(ts("2024-01-01 10:03:00"), 1, "click", 4.0)) // dup
+      q.processAllAvailable()
+      val users = spark.table("dd").collect().map(_.getLong(1)).sorted
+      assert(users.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -18,6 +18,17 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(f2.n_bytes == 0 && f2.mean_byte == 0.0)
   }
 
+  test("resizeStub downsamples bytes and refreshes metadata") {
+    val assets = MultimodalOps.buildAssets(
+      Seq((9L, "abcdefghij")).toDF("doc_id", "text"))
+    val r = MultimodalOps.resizeStub(
+      assets.as[MultimodalOps.MediaAsset](
+        org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]), 3)
+      .collect().head
+    assert(new String(r.content) == "adgj") // every 3rd byte
+    assert(r.meta.byte_len == 4)
+  }
+
   test("buildAssets computes metadata from the bytes") {
     val a = MultimodalOps.buildAssets(Seq((5L, "hello")).toDF("doc_id", "text"))
       .select("asset_id", "meta.byte_len", "meta.checksum").collect().head
