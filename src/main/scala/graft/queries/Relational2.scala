@@ -292,6 +292,47 @@ object Relational2 {
       Some("""
         SELECT o_orderkey, o_orderstatus FROM orders
         WHERE md5(CAST(o_orderkey AS VARCHAR)) <
-          '20000000000000000000000000000000'"""))
+          '20000000000000000000000000000000'""")),
+
+    // ---- left outer join: keep customers with zero matching orders ------
+    Q("q35_left_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_recent_orders"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_recent_orders
+        FROM customer LEFT JOIN
+          (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01') o
+          ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment""")),
+
+    // ---- full outer join with asymmetric sides --------------------------
+    Q("q36_full_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_rich_cust"))
+        val sup = Tables.supplier(s, d).filter(col("s_acctbal") > 5000)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_rich_supp"))
+        c.join(sup, c("c_nationkey") === sup("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
+            coalesce(col("n_rich_supp"), lit(0L)).as("n_rich_supp"))
+      },
+      Some("""
+        SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+          COALESCE(c.n_rich_cust, 0) AS n_rich_cust,
+          COALESCE(s.n_rich_supp, 0) AS n_rich_supp
+        FROM (SELECT c_nationkey, COUNT(*) AS n_rich_cust FROM customer
+              WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey, COUNT(*) AS n_rich_supp FROM supplier
+              WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
+          ON c.c_nationkey = s.s_nationkey"""))
   )
 }
