@@ -48,8 +48,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val perQuery = if (results.nonEmpty) total / results.size else 0.0
+    // per_query_mean is the comparable number across rounds: the query
+    // count grows every round, and since round 2 the timed action is a
+    // full-plan noop write (round 1 used count(), which let Spark prune
+    // most of each projection's work)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"per_query_mean":$perQuery,"sf":"$sfDir"}"""
     println(line)
     Files.writeString(Paths.get("bench.json"), line + "\n")
     spark.stop()
