@@ -73,6 +73,61 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over two array<double> columns — same fused-loop /
+  * codegen design (and left-to-right IEEE order) as [[DotProduct]]; the
+  * second metric that makes the ANN operators metric-pluggable. */
+case class L2SquaredDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
@@ -82,6 +137,12 @@ object VectorExpressions {
         (args: Seq[Expression]) => {
           require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
           DotProduct(args.head, args(1))
+        }),
+      (FunctionIdentifier("vec_l2sq"),
+        new ExpressionInfo(classOf[L2SquaredDistance].getName, "vec_l2sq"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"vec_l2sq expects 2 arguments, got ${args.length}")
+          L2SquaredDistance(args.head, args(1))
         }),
       (FunctionIdentifier("minhash_agg"),
         new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),

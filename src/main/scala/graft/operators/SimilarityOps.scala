@@ -56,6 +56,23 @@ object SimilarityOps {
     topK(pairs, k)
   }
 
+  /** exact L2-distance top-k (nearest by Euclidean distance) — same
+    * broadcast shape as bruteForceTopK with the metric swapped to the
+    * native vec_l2sq expression */
+  def l2TopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val qs = prepared(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pairs = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        sqrt(call_function("vec_l2sq", col("v"), col("qv"))).as("l2_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("l2_dist").asc, col("vec_id").asc)
+    pairs.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine >= minCosine. Exact all-pairs form — at corpus scale,
     * pre-partition both sides with [[graft.functions.VectorFunctions

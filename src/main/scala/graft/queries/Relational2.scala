@@ -333,6 +333,22 @@ object Relational2 {
         FULL OUTER JOIN
              (SELECT s_nationkey, COUNT(*) AS n_rich_supp FROM supplier
               WHERE s_acctbal > 5000 GROUP BY s_nationkey) s
-          ON c.c_nationkey = s.s_nationkey"""))
+          ON c.c_nationkey = s.s_nationkey""")),
+
+    // ---- approximate percentile sketch, q17-style oracle: emit the exact
+    //      value plus a deterministic "sketch within 5%" boolean ---------
+    Q("q37_approx_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_raw"))
+        .select(col("l_returnflag"), col("exact_median"),
+          (abs(col("approx_raw") - col("exact_median")) /
+            col("exact_median") <= 0.05).as("within_5pct")),
+      Some("""
+        SELECT l_returnflag,
+          CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_median,
+          TRUE AS within_5pct
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }

@@ -99,6 +99,25 @@ object Similarity {
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
         WHERE rk <= 5""")),
 
+    // ---- exact L2-distance top-10 (second metric, same operator shape) --
+    Q("s05_l2_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.l2TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      },
+      Some(normCte + s"""
+        , q AS (SELECT vec_id AS q_id, v AS qv FROM n WHERE vec_id < 5),
+        p AS (SELECT q.q_id, c.vec_id,
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, len(c.v) + 1),
+                    i -> (c.v[i] - q.qv[i]) * (c.v[i] - q.qv[i]))),
+                  (x, y) -> x + y)) AS l2_dist
+              FROM n c, q WHERE c.vec_id <> q.q_id)
+        SELECT q_id, vec_id, l2_dist, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY l2_dist ASC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 10""")),
+
     // ---- embedding-cosine near-duplicate pairs --------------------------
     Q("s03_embedding_neardup",
       (s, d) => SimilarityOps.embeddingNearDups(Tables.embeddings(s, d), 0.4),
