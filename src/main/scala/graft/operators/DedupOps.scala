@@ -63,7 +63,14 @@ object DedupOps {
     * through, so precision is always exact. */
   def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int,
                     minJaccard: Double): DataFrame = {
+    // the postings pipeline (scan + tokenize + shingle + distinct) feeds
+    // three plan branches (both pair sides + sizes); without an explicit
+    // persist Spark recomputes it per branch — self-joined branches get
+    // fresh expression ids, so exchange reuse never kicks in (same
+    // pattern as Spark ML's handlePersistence). Storage is the distinct
+    // postings only, spillable to disk.
     val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cands.as("c")
       .join(posts.as("a"), col("c.doc_a") === col("a.doc_id"))
@@ -127,11 +134,10 @@ object DedupOps {
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .select(col("doc_id"), xxhash64(col("bk.band"), col("bk.sig")).as("bucket"))
     buckets.as("a")
       .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -212,6 +218,10 @@ object DedupOps {
     } yield xxhash64((lit(ci.toLong) +: combo.map(slice)) :+ (lenBucket + dl): _*)
     val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bucket"))
+    // measured note: a groupBy(bucket)+collect_list+combination-expansion
+    // formulation (computing `banded` once) was tried and is ~50% slower
+    // here — the struct-payload shuffle plus interpreted HOF pair
+    // expansion outweighs recomputing the signature pipeline per side
     banded.as("a")
       .join(banded.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
