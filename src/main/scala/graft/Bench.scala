@@ -43,8 +43,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -53,11 +55,24 @@ object Bench {
     // count grows every round, and since round 2 the timed action is a
     // full-plan noop write (round 1 used count(), which let Spark prune
     // most of each projection's work)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${results.size},"per_query_mean":$perQuery,"sf":"$sfDir"}"""
-    println(line)
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("0")
+    // One representative per family for the PRINTED line. The driver keeps
+    // only the last 2000 chars of stdout and parses the JSON line out of
+    // that tail (BENCH_r02 proved a full 68-query line gets its head
+    // truncated there), so the printed line must stay well under 2000
+    // chars; the full per-query map still lands in bench.json.
+    val headline = Set("q01_agg", "q04_join_factfact", "q07_window_rank",
+      "q12_rollup", "q16_countdistinct", "q20_star_join", "q31_sql_frontend",
+      "p01_tripmetrics_core", "t05_ngram_profile", "t09_curation_pipeline",
+      "d03_minhash_lsh", "s01_cosine_topk", "e03_sessionize",
+      "m01_struct_join")
+    def line(rs: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum}"""
+    Files.writeString(Paths.get("bench.json"), line(results) + "\n")
     spark.stop()
+    // printed LAST so it sits at the very end of the captured tail
+    println(line(results.filter(r => headline(r._1))))
     if (errors.nonEmpty) sys.exit(1)
   }
 }

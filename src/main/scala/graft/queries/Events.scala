@@ -100,7 +100,8 @@ object Events {
         SELECT event_type, COUNT(*) AS n,
           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-          SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+          CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+            AS sum_k
         FROM events GROUP BY event_type""")),
 
     // ---- backward as-of join: each purchase matched to the user's most

@@ -31,7 +31,8 @@ object Multimodal {
           min(element_at(col("vec.embedding").cast("array<double>"), 1)).as("min_e1"),
           max(element_at(col("vec.embedding").cast("array<double>"), 1)).as("max_e1")),
       Some("""
-        SELECT lang, label, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        SELECT lang, label, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           MIN(CAST(embedding[1] AS DOUBLE)) AS min_e1,
           MAX(CAST(embedding[1] AS DOUBLE)) AS max_e1
         FROM documents JOIN embeddings ON doc_id = vec_id

@@ -144,16 +144,21 @@ object Relational2 {
         FROM orders WHERE regexp_matches(o_orderpriority, '^[123]-')""")),
 
     // ---- array aggregation + predicates ---------------------------------
+    // array columns never reach the output: the driver's pandas compare
+    // cannot sort ndarray cells, so the sorted set is emitted as a CSV
+    // string (array_join) while the array ops stay on the Spark side
     Q("q27_array_agg",
       (s, d) => Tables.customer(s, d)
         .groupBy("c_nationkey")
         .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"))
-        .select(col("c_nationkey"), col("segments"),
+        .select(col("c_nationkey"),
+          array_join(col("segments"), ",").as("segments_csv"),
           size(col("segments")).cast("long").as("n_segments"),
           array_contains(col("segments"), "BUILDING").as("has_building")),
       Some("""
         SELECT c_nationkey,
-          list_sort(list(DISTINCT c_mktsegment)) AS segments,
+          array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+            AS segments_csv,
           CAST(len(list(DISTINCT c_mktsegment)) AS BIGINT) AS n_segments,
           list_contains(list(DISTINCT c_mktsegment), 'BUILDING') AS has_building
         FROM customer GROUP BY c_nationkey""")),
@@ -173,7 +178,8 @@ object Relational2 {
           size(col("seg_counts")).cast("long").as("n_segments")),
       Some("""
         SELECT c_nationkey,
-          COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END), 0)
+          CAST(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
             AS n_building,
           COUNT(DISTINCT c_mktsegment) AS n_segments
         FROM customer GROUP BY c_nationkey""")),

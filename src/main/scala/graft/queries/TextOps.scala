@@ -132,7 +132,8 @@ object TextOps {
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
           min(col("doc_id")).as("first_doc")),
       Some("""
-        SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        SELECT lang, source, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
           MIN(doc_id) AS first_doc
         FROM documents GROUP BY lang, source""")),
@@ -199,7 +200,8 @@ object TextOps {
               (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated)
           WHERE rn = 1)
         SELECT lang, COUNT(*) AS n_docs,
-          SUM(len(toks)) AS total_tokens, SUM(n_chars) AS total_chars
+          CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM gated JOIN canonical USING (doc_id)
         GROUP BY lang"""))
   )
