@@ -89,7 +89,9 @@ object DedupOps {
     * At 100 TB run this only on LSH candidates (see minHashCandidates) —
     * kept as its own operator because it IS the exact verifier. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
+    // persisted: feeds both self-join branches plus the sizes agg
     val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = posts.as("a")
       .join(posts.as("b"),
@@ -132,9 +134,13 @@ object DedupOps {
       val rows = (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}"))
       struct(lit(bnd).as("band"), xxhash64(rows: _*).as("sig"))
     }
+    // persisted for the same reason as simHashCandidates: the self-join
+    // would otherwise recompute the k-column signature aggregation once
+    // per branch; cached rows are just (doc_id, bucket)
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), xxhash64(col("bk.band"), col("bk.sig")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
@@ -216,8 +222,13 @@ object DedupOps {
       (combo, ci) <- (0 until blocks).combinations(comboSize).toSeq.zipWithIndex
       dl <- 0 to 1
     } yield xxhash64((lit(ci.toLong) +: combo.map(slice)) :+ (lenBucket + dl): _*)
+    // persisted: the self-join's two branches get fresh expression ids,
+    // so without this Spark recomputes the full signature pipeline
+    // (shingle + 17-agg + 240-key explode) once per side; the cached
+    // frame is (doc_id, simhash, bucket) — ~nCombos*2 rows/doc, spillable
     val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // measured note: a groupBy(bucket)+collect_list+combination-expansion
     // formulation (computing `banded` once) was tried and is ~50% slower
     // here — the struct-payload shuffle plus interpreted HOF pair

@@ -90,9 +90,14 @@ object Events {
 
     // ---- JSON prop extraction + banded agg ------------------------------
     Q("e04_json_props",
+      // from_json with a declared schema, not get_json_object: one
+      // Jackson parse per row into a codegen'd struct vs a per-path
+      // parse — and the shape a declared-schema pipeline wants anyway
       (s, d) => Tables.events(s, d)
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
           max(col("k")).as("max_k"), sum(col("k")).as("sum_k")),
