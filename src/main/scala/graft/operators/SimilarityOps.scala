@@ -89,6 +89,53 @@ object SimilarityOps {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** IVF-style ANN: every corpus vector is assigned to its nearest coarse
+    * centroid ("cell", L2, ties to the lowest cell id); each query probes
+    * its `nProbe` nearest cells and is scored exactly only against those
+    * cells' members. Centroids here are `nCells` fixed seed vectors
+    * (vec_id < nCells) so the query is deterministic end-to-end; a
+    * production index would k-means-train them offline — the operator
+    * shape (assign partition / probe / exact-score within cell) is
+    * identical and that shape is what scales: candidate work per query is
+    * |corpus| * nProbe / nCells instead of |corpus|.
+    *
+    * Assignment is a broadcast-expand + partial-aggregated argmin
+    * (min over a (distance, cell) struct — map-side combine collapses the
+    * nCells-way expansion before any shuffle), never a window over the
+    * expanded frame. */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int, nProbe: Int): DataFrame = {
+    val cents = prepared(embeddings.filter(col("vec_id") < nCells))
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    def nearestCells(side: DataFrame, take: Int): DataFrame = {
+      val expanded = side.crossJoin(broadcast(cents))
+        .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
+      if (take == 1)
+        expanded
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
+            // v/nrm are constant within the group — first() is safe
+            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      else {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cell").asc)
+        expanded.withColumn("pr", row_number().over(w))
+          .filter(col("pr") <= take)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      }
+    }
+    val corpus = nearestCells(prepared(embeddings), 1)
+    val qs = nearestCells(prepared(queries), nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cell"))
+    val pairs = corpus.join(broadcast(qs), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"), col("qnrm"))
+          .as("cosine"))
+    topK(pairs, k)
+  }
+
   /** ANN: exact cosine top-k restricted to the query's LSH bucket.
     * `probes = 1` searches only the query's own bucket; `probes > 1`
     * additionally probes every bucket within hamming probes-1 of the

@@ -91,6 +91,36 @@ object Dedup {
           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
         FROM p JOIN documents da ON p.doc_a = da.doc_id
                JOIN documents db ON p.doc_b = db.doc_id
-        WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6"""))
+        WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6""")),
+
+    // ---- deterministic stratified sampling (training-mix construction) --
+    //      exact 20% quota per lang: rows ranked per stratum by a content-
+    //      independent hash (md5 of the id — reproducible on any engine,
+    //      uncorrelated with ingestion order), cut at ceil(0.2 * n).
+    //      One keyed shuffle for the rank; the quota side is a broadcast.
+    //      This is the exact-quota variant of q34's Bernoulli hash-sample:
+    //      sampleBy() gives probabilistic strata sizes, this gives exact.
+    Q("d06_stratified_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("skey").asc, col("doc_id").asc)
+        docs.select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string").cast("binary")).as("skey"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .join(broadcast(counts), "lang")
+          .filter(col("rn") <= ceil(col("n_lang") * 0.2))
+          .select(col("lang"), col("doc_id"), col("rn"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+        r AS (SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+              FROM documents)
+        SELECT r.lang, r.doc_id, CAST(r.rn AS BIGINT) AS rn
+        FROM r JOIN c USING (lang) WHERE rn <= CEIL(n_lang * 0.2)"""))
   )
 }

@@ -152,6 +152,39 @@ object Events {
         FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
         JOIN (SELECT ts FROM events WHERE event_type = 'click') c
           ON c.ts >= e.ts - INTERVAL 600 SECOND AND c.ts <= e.ts
-        GROUP BY e.event_id, e.ts"""))
+        GROUP BY e.event_id, e.ts""")),
+
+    // ---- conversion funnel: view -> first click after -> first purchase
+    //      after that click, per user; one row of stage counts. Three
+    //      keyed aggregations, each joined user-to-user (no time-range
+    //      explosion); the stage frames shrink monotonically so each join
+    //      is cheaper than the last.
+    Q("e07_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") >= col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") >= col("c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM v) AS n_view,
+               (SELECT COUNT(*) FROM c) AS n_view_click,
+               (SELECT COUNT(*) FROM p) AS n_view_click_purchase"""))
   )
 }

@@ -355,6 +355,97 @@ object Relational2 {
         SELECT l_returnflag,
           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS exact_median,
           TRUE AS within_5pct
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- distribution window functions: ntile / percent_rank / cume_dist
+    //      (rank-based rationals — exact integer-ratio doubles on both
+    //      engines; the order key is made total with o_orderkey so tile
+    //      assignment is deterministic) -----------------------------------
+    Q("q38_window_extras",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+          CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          PERCENT_RANK() OVER w AS pct_rank,
+          CUME_DIST() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+
+    // ---- correlated EXISTS / NOT EXISTS through the SQL frontend --------
+    //      (Catalyst rewrites both to semi/anti joins — the declarative
+    //      subquery form of q05/q06) --------------------------------------
+    Q("q39_exists_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT c_mktsegment,
+            COUNT(*) AS n_customers,
+            COUNT(CASE WHEN EXISTS (
+              SELECT 1 FROM v_orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+              THEN 1 END) AS n_big_spenders,
+            COUNT(CASE WHEN NOT EXISTS (
+              SELECT 1 FROM v_orders WHERE o_custkey = c_custkey)
+              THEN 1 END) AS n_inactive
+          FROM v_customer
+          GROUP BY c_mktsegment""")
+      },
+      Some("""
+        SELECT c_mktsegment,
+          COUNT(*) AS n_customers,
+          COUNT(CASE WHEN EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+            THEN 1 END) AS n_big_spenders,
+          COUNT(CASE WHEN NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            THEN 1 END) AS n_inactive
+        FROM customer
+        GROUP BY c_mktsegment""")),
+
+    // ---- date-spine densification: generated day series left-joined to
+    //      daily aggregates, zero-filled (the gap-filling shape reporting
+    //      pipelines need; the spine is a generator, not a scan) ----------
+    Q("q40_date_spine",
+      (s, d) => {
+        val days = s.range(1).select(explode(expr(
+          "sequence(to_date('1995-01-01'), to_date('1995-02-28'), interval 1 day)"))
+          .as("day"))
+        val daily = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-03-01"))
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        days.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      },
+      Some("""
+        WITH spine AS (
+          SELECT CAST(UNNEST(generate_series(DATE '1995-01-01',
+            DATE '1995-02-28', INTERVAL 1 DAY)) AS DATE) AS day),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1995-03-01'
+          GROUP BY 1)
+        SELECT spine.day,
+          CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
+          COALESCE(daily.revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN daily USING (day)""")
+    )
   )
 }

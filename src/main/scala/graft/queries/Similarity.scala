@@ -31,6 +31,13 @@ object Similarity {
        list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
        (x, y) -> x + y)"""
 
+  /** squared L2 distance with the same left-fold order as vec_l2sq */
+  private def l2sqSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0,
+       list_transform(range(1, len($a) + 1),
+         i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       (x, y) -> x + y)"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact brute-force cosine top-10 --------------------------------
@@ -125,6 +132,34 @@ object Similarity {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4"""))
+        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""")),
+
+    // ---- IVF-style ANN: 8 coarse cells, 2 probes ------------------------
+    //      (cell assignment = argmin L2 to seed centroids; same left-fold
+    //      distance on both engines so the argmin and therefore the cell
+    //      partition is bit-deterministic)
+    Q("s06_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          nCells = 8, nProbe = 2)
+      },
+      Some(normCte + s"""
+        , cents AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id < 8),
+        asg AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT c.vec_id, c.v, c.nrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN cents t) WHERE rn = 1),
+        qa AS (SELECT q_id, qv, qnrm, cell FROM (
+          SELECT c.vec_id AS q_id, c.v AS qv, c.nrm AS qnrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS pr
+          FROM n c CROSS JOIN cents t WHERE c.vec_id < 5) WHERE pr <= 2),
+        p AS (SELECT qa.q_id, a.vec_id,
+                ${dotSql("a.v", "qa.qv")} / (a.nrm * qa.qnrm) AS cosine
+              FROM asg a JOIN qa USING (cell) WHERE a.vec_id <> qa.q_id)
+        SELECT q_id, vec_id, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 5"""))
   )
 }

@@ -203,6 +203,130 @@ object TextOps {
           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM gated JOIN canonical USING (doc_id)
-        GROUP BY lang"""))
+        GROUP BY lang""")),
+
+    // ---- TF-IDF term scoring, top-5 terms per doc -----------------------
+    //      idf is the rational N/df (not log(N/df)): transcendentals are
+    //      not bit-reproducible across engines, while the ranking they
+    //      induce is identical (log is monotone) — so the oracle can hash
+    //      the scores exactly. The shape is the distributed part: one
+    //      shuffle for tf, one vocabulary-keyed shuffle for df, broadcast
+    //      scalar N, per-doc top-k window — no step materializes more
+    //      than the postings.
+    Q("t10_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val tf = docs.withColumn("toks", tokens("text"))
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term").asc)
+        tf.filter(col("doc_id") < 20)
+          .join(df, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf").cast("double") * col("n_docs") / col("df"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("tfidf"), col("rk"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
+                     AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) * nd.n_docs / df.df AS tfidf
+               FROM tf JOIN df USING (term), nd WHERE tf.doc_id < 20)
+        SELECT doc_id, term, tf, df, tfidf, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk FROM sc)
+        WHERE rk <= 5""")),
+
+    // ---- benchmark-contamination check ----------------------------------
+    //      eval set = docs with doc_id % 97 = 0 (stand-in for a held-out
+    //      benchmark); for every training doc, the fraction of its
+    //      distinct 3-gram shingles that appear anywhere in the eval set.
+    //      The eval shingle set is small by construction -> broadcast
+    //      join, so the check costs one scan of the training postings at
+    //      any corpus size. Top-20 most-contaminated docs.
+    Q("t11_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val evalGrams = graft.operators.DedupOps
+          .shinglePostings(docs.filter(col("doc_id") % 97 === 0), 3)
+          .select(col("gram_id")).distinct()
+        val trainPosts = graft.operators.DedupOps
+          .shinglePostings(docs.filter(col("doc_id") % 97 =!= 0), 3)
+          .select("doc_id", "gram_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = trainPosts.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"))
+        val overlap = trainPosts.join(broadcast(evalGrams), "gram_id")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+        sizes.join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+              col("n_shingles")).as("contamination"))
+          .orderBy(col("contamination").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                AS gram FROM t),
+        eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        tp AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+        sz AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tp GROUP BY 1),
+        ov AS (SELECT tp.doc_id, COUNT(*) AS n_contaminated
+               FROM tp JOIN eg USING (gram) GROUP BY 1)
+        SELECT sz.doc_id, sz.n_shingles,
+          CAST(COALESCE(ov.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+          CAST(COALESCE(ov.n_contaminated, 0) AS DOUBLE) / sz.n_shingles
+            AS contamination
+        FROM sz LEFT JOIN ov USING (doc_id)
+        ORDER BY contamination DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- intra-document repetition score (quality signal) ---------------
+    //      duplicate-bigram fraction + the count of the most repeated
+    //      bigram, per doc. Pure projection (HOFs over the per-row token
+    //      array), no shuffle — embarrassingly parallel at any scale; for
+    //      book-length docs swap the O(b^2) in-row count for the
+    //      explode+groupBy form.
+    Q("t12_repetition",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .withColumn("bi", wordNgrams("toks", 2))
+        .filter(size(col("bi")) > 0)
+        .select(col("doc_id"),
+          size(col("bi")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bi"))).cast("long").as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("bi"))).cast("double") /
+            size(col("bi"))).as("dup_ratio"),
+          expr("""CAST(array_max(transform(array_distinct(bi),
+            x -> size(filter(bi, y -> y = x)))) AS BIGINT)""")
+            .as("top_bigram_count")),
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        b AS (SELECT doc_id, list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) AS bi
+              FROM t WHERE len(toks) >= 2)
+        SELECT doc_id,
+          len(bi) AS n_bigrams,
+          len(list_distinct(bi)) AS n_distinct,
+          1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi) AS dup_ratio,
+          CAST(list_max(list_transform(list_distinct(bi),
+            x -> len(list_filter(bi, y -> y = x)))) AS BIGINT)
+            AS top_bigram_count
+        FROM b"""))
   )
 }

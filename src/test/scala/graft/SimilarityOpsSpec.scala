@@ -31,6 +31,26 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(!r.map(_._1).contains(0L))
   }
 
+  test("ivfTopK searches only the probed cells, scores exactly within them") {
+    // nCells=2: cells are vectors 0 and 1 (nearly parallel). Everything
+    // assigns to one of them; with nProbe=2 every cell is probed, so the
+    // result must equal brute force exactly.
+    val all = SimilarityOps.ivfTopK(corpus,
+        corpus.filter(col("vec_id") === 0), k = 4, nCells = 2, nProbe = 2)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Double]("cosine")))
+    val bf = SimilarityOps.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 0), k = 4)
+      .orderBy("rk").collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Double]("cosine")))
+    assert(all.toSeq == bf.toSeq) // bit-identical scores and order
+    // nProbe=1 prunes: only the query's own cell's members are scored
+    val own = SimilarityOps.ivfTopK(corpus,
+        corpus.filter(col("vec_id") === 0), k = 4, nCells = 2, nProbe = 1)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(own.subsetOf(all.map(_._1).toSet) && own.nonEmpty)
+  }
+
   test("lshTopK restricts candidates to the query's sign bucket") {
     // planes=1: bucket = sign of dim 1 -> {0,1,4} vs {2} (x=0 -> bit 0) vs {3}
     val r = SimilarityOps.lshTopK(corpus,
