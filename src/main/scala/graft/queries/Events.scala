@@ -185,6 +185,36 @@ object Events {
               WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
         SELECT (SELECT COUNT(*) FROM v) AS n_view,
                (SELECT COUNT(*) FROM c) AS n_view_click,
-               (SELECT COUNT(*) FROM p) AS n_view_click_purchase"""))
+               (SELECT COUNT(*) FROM p) AS n_view_click_purchase""")),
+
+    // ---- weekly cohort retention matrix ---------------------------------
+    //      cohort = the user's first active week; each (cohort, offset)
+    //      cell counts users active offset weeks later. Two keyed
+    //      aggregations (user-week distinct, then per-user min) and one
+    //      broadcast-sized output — the standard product-analytics shape.
+    Q("e08_retention",
+      (s, d) => {
+        val weeks = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+          .distinct()
+        val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+        weeks.join(cohorts, "user_id")
+          .select(to_date(col("cohort_week")).as("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+              .as("week_offset"), col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH weeks AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        cohorts AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1)
+        SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+          CAST(datediff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+            AS week_offset,
+          COUNT(*) AS n_users
+        FROM weeks w JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2"""))
   )
 }

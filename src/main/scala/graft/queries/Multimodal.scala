@@ -71,6 +71,31 @@ object Multimodal {
         SELECT doc_id, CAST(frame_off AS BIGINT) AS frame_off,
           md5(substring(text, CAST(frame_off AS INTEGER), 64)) AS frame_md5
         FROM documents
-        CROSS JOIN LATERAL unnest(range(1, LENGTH(text) + 1, 48)) t(frame_off)"""))
+        CROSS JOIN LATERAL unnest(range(1, LENGTH(text) + 1, 48)) t(frame_off)""")),
+
+    // ---- typed mapPartitions decode path, oracle-checked ----------------
+    //      featurePipeline runs the Dataset[MediaAsset] -> mapPartitions
+    //      decode stub (the swap-in point for a real codec); the stub is
+    //      deterministic byte math, so DuckDB can recompute it from the
+    //      text: mean byte value and two histogram-bin ratios (bin = code
+    //      point >> 5: bin 1 = space, bin 3 = lowercase letters).
+    Q("m04_decode_features",
+      (s, d) => MultimodalOps.featurePipeline(s, Tables.documents(s, d))
+        .select(col("asset_id"), col("n_bytes"), col("mean_byte"),
+          element_at(col("feature"), 2).as("space_ratio"),
+          element_at(col("feature"), 4).as("letter_ratio")),
+      Some("""
+        WITH a AS (SELECT doc_id AS asset_id,
+                     LENGTH(text) AS n_bytes,
+                     list_transform(string_split(text, ''), x -> ascii(x)) cs
+                   FROM documents)
+        SELECT asset_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+          CAST(list_reduce(list_prepend(0, cs), (x, y) -> x + y) AS DOUBLE)
+            / GREATEST(n_bytes, 1) AS mean_byte,
+          CAST(len(list_filter(cs, x -> x // 32 = 1)) AS DOUBLE)
+            / GREATEST(n_bytes, 1) AS space_ratio,
+          CAST(len(list_filter(cs, x -> x // 32 = 3)) AS DOUBLE)
+            / GREATEST(n_bytes, 1) AS letter_ratio
+        FROM a"""))
   )
 }

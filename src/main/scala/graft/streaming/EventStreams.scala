@@ -93,4 +93,13 @@ object EventStreams {
           }
       }
   }
+
+  /** stream-static enrichment: join each streaming event to a static
+    * dimension frame. Spark plans the static side as a broadcast per
+    * micro-batch (re-resolved each batch, so slowly-changing dims are
+    * picked up on re-read) — the standard pattern for decorating an
+    * event stream with reference data without any stateful join. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   joinCols: Seq[String]): DataFrame =
+    events.join(broadcast(dim), joinCols)
 }

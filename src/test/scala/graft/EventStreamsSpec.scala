@@ -52,6 +52,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream decorates a stream with a broadcast static dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStreams.enrichStream(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("en")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+        Event(ts("2024-01-01 10:02:00"), 3, "click", 3.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("en").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"))).toSet
+      assert(rows == Set((1L, "gold"), (2L, "silver"))) // inner join drops 3
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
