@@ -301,19 +301,25 @@ object TextOps {
     //      array), no shuffle — embarrassingly parallel at any scale; for
     //      book-length docs swap the O(b^2) in-row count for the
     //      explode+groupBy form.
+    //      grouped-count formulation, not per-row HOFs: an in-row
+    //      "count each distinct bigram" lambda is O(b^2) interpreted
+    //      work per document (measured ~8s at sf0.1 vs ~1s for this
+    //      explode+groupBy, which stays codegen'd end-to-end); the
+    //      shuffle is keyed by (doc_id, bigram) so it also load-balances
+    //      pathological giant documents instead of pinning one task
     Q("t12_repetition",
       (s, d) => Tables.documents(s, d)
         .withColumn("toks", tokens("text"))
-        .withColumn("bi", wordNgrams("toks", 2))
-        .filter(size(col("bi")) > 0)
-        .select(col("doc_id"),
-          size(col("bi")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bi"))).cast("long").as("n_distinct"),
-          (lit(1.0) - size(array_distinct(col("bi"))).cast("double") /
-            size(col("bi"))).as("dup_ratio"),
-          expr("""CAST(array_max(transform(array_distinct(bi),
-            x -> size(filter(bi, y -> y = x)))) AS BIGINT)""")
-            .as("top_bigram_count")),
+        .select(col("doc_id"), explode(wordNgrams("toks", 2)).as("bi"))
+        .groupBy("doc_id", "bi").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          max("cnt").as("top_bigram_count"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+            .as("dup_ratio"),
+          col("top_bigram_count")),
       Some("""
         WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
                    FROM documents),
