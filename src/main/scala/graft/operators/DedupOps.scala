@@ -242,6 +242,43 @@ object DedupOps {
       .distinct()                           // distinct's shuffle
   }
 
+  /** Connected components over a near-dup pair list: every doc in a pair
+    * gets the minimum doc_id reachable through pairs as its cluster id —
+    * the survivor-selection step after near-dup detection (keep one doc
+    * per cluster, not per pair: A~B, B~C must collapse to ONE cluster
+    * even when A~C was never emitted).
+    *
+    * Min-label propagation to fixpoint: per iteration one shuffle join
+    * (edges x labels) + one keyed min-agg; iterations = component
+    * diameter, and near-dup clusters are shallow (dup chains, not long
+    * paths). Each round's labels are persisted and the previous round
+    * unpersisted, so lineage stays O(1) instead of growing per iteration.
+    * At web scale you'd swap in the large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same contract, fewer rounds on adversarial graphs. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist(MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dups, exact-verified by n-gram Jaccard (same contract
     * as minHashNearDups: approximate recall, exact precision). */
   def simHashNearDups(docs: DataFrame, maxHamming: Int, n: Int,

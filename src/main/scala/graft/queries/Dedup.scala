@@ -121,6 +121,27 @@ object Dedup {
                   ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
               FROM documents)
         SELECT r.lang, r.doc_id, CAST(r.rn AS BIGINT) AS rn
-        FROM r JOIN c USING (lang) WHERE rn <= CEIL(n_lang * 0.2)"""))
+        FROM r JOIN c USING (lang) WHERE rn <= CEIL(n_lang * 0.2)""")),
+
+    // ---- near-dup clustering: transitive closure of the pair list -------
+    //      (the survivor-selection input: one cluster per connected
+    //      component, labeled by its minimum doc_id). Oracle recomputes
+    //      the closure with a recursive CTE over the same ground-truth
+    //      pair list.
+    Q("d07_neardup_clusters",
+      (s, d) => DedupOps.nearDupClusters(
+        DedupOps.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6)
+          .select("doc_a", "doc_b")),
+      Some(jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+        , pr AS (SELECT doc_a, doc_b FROM p
+                 WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pr
+              UNION ALL SELECT doc_b, doc_a FROM pr),
+        reach AS (
+          SELECT s, t FROM e
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
+        SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+        FROM reach GROUP BY s"""))
   )
 }

@@ -445,7 +445,28 @@ object Relational2 {
         SELECT spine.day,
           CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
           COALESCE(daily.revenue, 0.0) AS revenue
-        FROM spine LEFT JOIN daily USING (day)""")
-    )
+        FROM spine LEFT JOIN daily USING (day)""")),
+
+    // ---- skew-salted join under the correctness gate --------------------
+    //      JoinOps.saltedJoin spreads each hot key over `salt` reducers
+    //      (fact side salted by row hash, dim side exploded salt-ways);
+    //      the oracle is the PLAIN join — salting must be result-
+    //      invariant, which is exactly the property worth gating.
+    Q("q41_salted_join",
+      (s, d) => {
+        val dim = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.operators.JoinOps.saltedJoin(
+            Tables.lineitem(s, d), dim, key = "l_suppkey", salt = 8,
+            saltBy = struct(col("l_orderkey"), col("l_linenumber")))
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey"""))
   )
 }

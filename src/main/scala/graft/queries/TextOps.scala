@@ -333,6 +333,46 @@ object TextOps {
           CAST(list_max(list_transform(list_distinct(bi),
             x -> len(list_filter(bi, y -> y = x)))) AS BIGINT)
             AS top_bigram_count
-        FROM b"""))
+        FROM b""")),
+
+    // ---- vocabulary build: top-30 corpus terms with min-count gate ------
+    //      term frequency + doc frequency + corpus-coverage fraction —
+    //      the tokenizer-vocabulary construction pass. One shuffle keyed
+    //      by term (map-side combined), broadcast total, top-k cut.
+    Q("t13_vocab",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val counts = terms.groupBy("term")
+          .agg(count(lit(1)).as("cnt"),
+            count_distinct(col("doc_id")).as("df"))
+        val total = terms.agg(count(lit(1)).as("total_tokens"))
+        // top-30 via orderBy+limit (TakeOrderedAndProject — no global
+        // window over the full vocabulary); the rank window then runs on
+        // the 30 surviving rows only
+        val w = Window.orderBy(col("cnt").desc, col("term").asc)
+        counts.filter(col("cnt") >= 10)
+          .crossJoin(broadcast(total))
+          .withColumn("coverage",
+            col("cnt").cast("double") / col("total_tokens"))
+          .orderBy(col("cnt").desc, col("term").asc).limit(30)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .select(col("term"), col("cnt"), col("df"), col("coverage"), col("rk"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
+                     AS term FROM documents),
+        c AS (SELECT term, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+              FROM t GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total_tokens FROM t)
+        SELECT term, cnt, df,
+          CAST(cnt AS DOUBLE) / total_tokens AS coverage, rk
+        FROM (SELECT c.*, tot.total_tokens,
+                CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC)
+                  AS BIGINT) AS rk
+              FROM c, tot WHERE cnt >= 10)
+        WHERE rk <= 30"""))
   )
 }

@@ -61,4 +61,13 @@ class DedupOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException]( // comboSize >= blocks
       DedupOps.simHashNearDups(corpus, 1, 3, 0.5, blocks = 4, comboSize = 4))
   }
+
+  test("nearDupClusters collapses transitive chains to one component") {
+    // 1~2, 2~3 (no 1~3 pair) must land in ONE cluster labeled min=1;
+    // 7~8 is a separate component; 9 is in no pair -> absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.nearDupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
 }
