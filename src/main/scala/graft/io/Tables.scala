@@ -41,4 +41,15 @@ object Tables {
     * (parquet_assembler.py:34-37) without its lossy text round-trip. */
   def writeZstd(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+  /** hive-layout partitioned zstd parquet sink. At 100 TB the partition
+    * column IS the primary index: a reader filtering on it prunes whole
+    * directories at planning time (PartitionFilters in the scan, zero IO
+    * for excluded partitions), which no row-group statistic can match.
+    * Partition by low-cardinality, always-filtered columns (date, lang,
+    * source); never by high-cardinality keys — millions of tiny
+    * directories kill the file listing before any query runs. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").option("compression", "zstd")
+      .partitionBy(cols: _*).parquet(path)
 }
