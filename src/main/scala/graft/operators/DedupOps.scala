@@ -62,15 +62,24 @@ object DedupOps {
     * (doc_a < doc_b) — the verifier every approximate family funnels
     * through, so precision is always exact. */
   def verifyJaccard(cands: DataFrame, docs: DataFrame, n: Int,
-                    minJaccard: Double): DataFrame = {
+                    minJaccard: Double): DataFrame =
     // the postings pipeline (scan + tokenize + shingle + distinct) feeds
     // three plan branches (both pair sides + sizes); without an explicit
     // persist Spark recomputes it per branch — self-joined branches get
     // fresh expression ids, so exchange reuse never kicks in (same
     // pattern as Spark ML's handlePersistence). Storage is the distinct
     // postings only, spillable to disk.
-    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardOnPosts(cands,
+      shinglePostings(docs, n).select("doc_id", "gram_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      minJaccard)
+
+  /** verifyJaccard against an already-built (and ideally persisted)
+    * postings frame — lets the candidate generator and the verifier share
+    * ONE shingle pipeline instead of scanning+tokenizing the corpus
+    * twice per near-dup query. */
+  def verifyJaccardOnPosts(cands: DataFrame, posts: DataFrame,
+                           minJaccard: Double): DataFrame = {
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cands.as("c")
       .join(posts.as("a"), col("c.doc_a") === col("a.doc_id"))
@@ -114,15 +123,19 @@ object DedupOps {
     * signatures) exists for SQL callers and wide-k/few-group shapes,
     * but its ObjectHashAggregate path sort-falls-back past 128 groups
     * per partition. */
-  def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame = {
+  def minHashSignatures(docs: DataFrame, n: Int, k: Int): DataFrame =
+    minHashSignaturesFromPosts(shinglePostings(docs, n), k)
+
+  /** signature builder over an existing postings frame (see
+    * verifyJaccardOnPosts for why sharing the postings matters) */
+  def minHashSignaturesFromPosts(posts: DataFrame, k: Int): DataFrame = {
     import graft.expressions.MinHashAgg.{M, hashFamily}
-    val posts = shinglePostings(docs, n)
-      .withColumn("gid31", pmod(col("gram_id"), lit(M)))
+    val withId = posts.withColumn("gid31", pmod(col("gram_id"), lit(M)))
     val (as, bs) = hashFamily(k)
     val mins = (0 until k).map { i =>
       min(pmod(lit(as(i)) * col("gid31") + lit(bs(i)), lit(M))).as(s"mh_$i")
     }
-    posts.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    withId.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: docs sharing any (band, band-signature) bucket. */
@@ -154,8 +167,12 @@ object DedupOps {
   def minHashNearDups(docs: DataFrame, n: Int, k: Int, bands: Int,
                       minJaccard: Double): DataFrame = {
     require(k % bands == 0, s"bands($bands) must divide k($k)")
-    val cands = minHashCandidates(minHashSignatures(docs, n, k), bands, k / bands)
-    verifyJaccard(cands, docs, n, minJaccard)
+    // ONE shingle pipeline feeds both the signature agg and the verifier
+    val posts = shinglePostings(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = minHashCandidates(
+      minHashSignaturesFromPosts(posts, k), bands, k / bands)
+    verifyJaccardOnPosts(cands, posts.select("doc_id", "gram_id"), minJaccard)
   }
 
   /** 64-bit SimHash per doc over distinct word n-gram features: bit k of
@@ -166,11 +183,15 @@ object DedupOps {
     * able from true near-dups), while the shingle space is large enough
     * that unrelated docs sit at hamming ~32. Also carries the distinct-
     * feature count (length bucketing key for banding). */
-  def simHashSignatures(docs: DataFrame, n: Int = 3): DataFrame = {
+  def simHashSignatures(docs: DataFrame, n: Int = 3): DataFrame =
+    simHashSignaturesFromPosts(shinglePostings(docs, n))
+
+  /** signature builder over an existing postings frame */
+  def simHashSignaturesFromPosts(posts: DataFrame): DataFrame = {
     // distinct features via the shared postings op: explode + shuffle
     // distinct beats per-row array_distinct by ~10x (the latter is an
     // O(len²) interpreted string comparison inside a single task)
-    val toks = shinglePostings(docs, n).select(col("doc_id"), col("gram_id").as("th"))
+    val toks = posts.select(col("doc_id"), col("gram_id").as("th"))
     // SWAR bit-count: lane j of sum l_j accumulates popcounts of bits
     // j, j+16, j+32, j+48 in four 16-bit lanes of one long — 16 packed
     // sums instead of 64 scalar ones (4x fewer agg buffers, same
@@ -283,9 +304,13 @@ object DedupOps {
     * as minHashNearDups: approximate recall, exact precision). */
   def simHashNearDups(docs: DataFrame, maxHamming: Int, n: Int,
                       minJaccard: Double, blocks: Int = 16,
-                      comboSize: Int = 2): DataFrame =
-    verifyJaccard(
-      simHashCandidates(simHashSignatures(docs, n), maxHamming, blocks, comboSize)
-        .select("doc_a", "doc_b"),
-      docs, n, minJaccard)
+                      comboSize: Int = 2): DataFrame = {
+    // ONE shingle pipeline feeds both the signature agg and the verifier
+    val posts = shinglePostings(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardOnPosts(
+      simHashCandidates(simHashSignaturesFromPosts(posts), maxHamming,
+        blocks, comboSize).select("doc_a", "doc_b"),
+      posts.select("doc_id", "gram_id"), minJaccard)
+  }
 }
