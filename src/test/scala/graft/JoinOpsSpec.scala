@@ -38,4 +38,16 @@ class JoinOpsSpec extends SparkSpec {
     val plain = fact.join(dim, "k").select("k", "v", "name").collect().toSet
     assert(salted == plain && salted.size == 1000)
   }
+
+  test("saltedJoin spreads a hot key across join partitions") {
+    // one key carries ~all rows: unsalted, every row hashes to ONE
+    // reducer; salted by row id, the hot key must occupy >1 partition
+    // of the shuffled join input
+    val fact = (1 to 2000).map(i => (0L, i.toLong)).toDF("k", "v")
+    val dim = Seq((0L, "zero")).toDF("k", "name")
+    val spread = JoinOps.saltedJoin(fact, dim, "k", salt = 8, saltBy = col("v"))
+      .groupBy(spark_partition_id().as("pid")).count()
+      .filter(col("count") > 0).count()
+    assert(spread > 1, s"hot key stayed on $spread partition(s)")
+  }
 }
