@@ -1,13 +1,18 @@
 #!/usr/bin/env python3
 """Local dev mimic of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [--strict]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir parquet tables,
 normalizes both sides (columns sorted by name, rows sorted), and reports
 row-count / schema / value equality. Dev tool only — the engine itself is
 pure Scala/Spark.
+
+--strict reproduces the driver's exact-hash behavior: stringified values
+(including pandas dtype rendering — the DuckDB HUGEINT sum pitfall shows up
+as 662.0 vs 662 here), no float tolerance. Round-2 lost 5 queries to diffs
+only this mode catches; run it before trusting a green tolerant pass.
 """
 import json, math, sys, glob, os
 import duckdb
@@ -26,7 +31,32 @@ def normalize(rows, cols):
     out.sort(key=sort_key)
     return [c for c in sorted(cols)], out
 
-def main(sf_dir, out_dir):
+def strict_check(con, name, files, sql):
+    """Driver-fidelity compare: pandas frames, columns sorted by name,
+    rows compared as stringified tuples — no tolerance, dtypes included."""
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+    exp = con.execute(sql).df()
+    got, exp = got[sorted(got.columns)], exp[sorted(exp.columns)]
+    dg = dict(got.dtypes.astype(str))
+    de = dict(exp.dtypes.astype(str))
+    gs = sorted(map(str, got.itertuples(index=False, name=None)))
+    es = sorted(map(str, exp.itertuples(index=False, name=None)))
+    errs = []
+    if dg != de:
+        errs.append("DTYPES " + str({k: (dg.get(k), de.get(k))
+                                     for k in set(dg) | set(de)
+                                     if dg.get(k) != de.get(k)}))
+    if gs != es:
+        first = next((f"{a} != {b}" for a, b in zip(gs, es) if a != b),
+                     f"row count {len(gs)} vs {len(es)}")
+        errs.append("VALUES " + first)
+    try:  # the driver sorts with pandas; ndarray cells crash it
+        got.sort_values(by=list(got.columns))
+    except Exception as e:
+        errs.append(f"SORT-CRASH {e}")
+    return errs
+
+def main(sf_dir, out_dir, strict=False):
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
@@ -44,6 +74,15 @@ def main(sf_dir, out_dir):
             print(f"  [rows-only] {name}: {len(got_rows)} rows "
                   f"{'OK' if len(got_rows) > 0 else 'EMPTY!'}")
             n_noracle += 1
+            continue
+        if strict:
+            errs = strict_check(con, name, files, oracle[name])
+            if errs:
+                n_fail += 1
+                print(f"  [FAIL] {name}: " + "; ".join(errs))
+            else:
+                n_pass += 1
+                print(f"  [pass] {name}: strict-exact")
             continue
         exp = con.execute(oracle[name])
         exp_rows, exp_cols = exp.fetchall(), [c[0] for c in exp.description]
@@ -80,4 +119,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--strict" in sys.argv[3:]))
