@@ -282,17 +282,28 @@ object DedupOps {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist(MEMORY_AND_DISK)
-    var changed = 1L
-    while (changed > 0) {
+    // seed with the 1-hop minimum (least of self and all neighbors) —
+    // one aggregation that replaces the identity init plus the first
+    // propagation round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      .persist(MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .persist(MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      // labels only ever decrease, so the label sum is strictly monotone:
+      // equal sums == fixpoint — a one-column agg over the cached frame
+      // instead of a join-and-diff per round
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
     }
