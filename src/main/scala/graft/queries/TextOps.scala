@@ -351,8 +351,13 @@ object TextOps {
         val total = terms.agg(count(lit(1)).as("total_tokens"))
         // top-30 via orderBy+limit (TakeOrderedAndProject — no global
         // window over the full vocabulary); the rank window then runs on
-        // the 30 surviving rows only
-        val w = Window.orderBy(col("cnt").desc, col("term").asc)
+        // the 30 surviving rows only. The partition key is constant-
+        // valued (pmod(cnt,1) = 0 on the gated rows, cnt >= 10) but NOT
+        // optimizer-foldable — lit(0) and cnt*0 both get simplified out
+        // of the spec, re-creating the empty-partition WindowExec and
+        // its single-partition warning; pmod survives.
+        val w = Window.partitionBy(pmod(col("cnt"), lit(1)))
+          .orderBy(col("cnt").desc, col("term").asc)
         counts.filter(col("cnt") >= 10)
           .crossJoin(broadcast(total))
           .withColumn("coverage",
