@@ -215,6 +215,38 @@ object Events {
             AS week_offset,
           COUNT(*) AS n_users
         FROM weeks w JOIN cohorts c USING (user_id)
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- forward-fill imputation (LOCF): carry each user's last error
+    //      value forward over subsequent events — last(ignoreNulls) over
+    //      a keyed running frame, the standard gap-fill for sparse
+    //      sensor/metric streams. One keyed shuffle, no self-join. ------
+    Q("e09_fill_forward",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("err_value",
+            when(col("event_type") === "error", col("value")))
+          .withColumn("last_err_value",
+            last(col("err_value"), ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(col("last_err_value")).as("n_filled"),
+            count(lit(1)).as("n_events"),
+            max(col("last_err_value")).as("max_filled"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+            LAST_VALUE(CASE WHEN event_type = 'error' THEN value END
+              IGNORE NULLS) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS last_err_value
+          FROM events)
+        SELECT user_id, COUNT(last_err_value) AS n_filled,
+          COUNT(*) AS n_events, MAX(last_err_value) AS max_filled
+        FROM f GROUP BY user_id"""))
   )
 }

@@ -467,6 +467,36 @@ object Relational2 {
         SELECT s_nationkey, COUNT(*) AS n,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY s_nationkey"""))
+        GROUP BY s_nationkey""")),
+
+    // ---- schema-evolution union: old ingest batches lack a column -------
+    //      unionByName(allowMissingColumns) null-fills by NAME, the
+    //      correct ingest semantics when a field was added mid-stream
+    //      (positional union would silently misalign) ---------------------
+    Q("q42_schema_evolution",
+      (s, d) => {
+        val legacy = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1997-01-01"))
+          .select("o_orderkey", "o_totalprice")
+        val current = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01"))
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        legacy.unionByName(current, allowMissingColumns = true)
+          .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      },
+      Some("""
+        WITH unioned AS (
+          SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, o_orderpriority
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        SELECT COALESCE(o_orderpriority, 'UNKNOWN') AS priority,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM unioned GROUP BY 1"""))
   )
 }
