@@ -42,16 +42,22 @@ object Bench {
     // carries multi-second GC/page-cache noise, and min-of-n is the
     // standard way to report the query's actual cost
     val results = queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val timed = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try runOnce(fn, sfDir)
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { runOnce(fn, sfDir); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only — a fast failure must not be
+      // reported as the query's cost; if every run failed, report the
+      // elapsed time anyway (the error field marks it invalid)
+      val good = timed.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else timed.map(_._2).min)
     }
 
     def fmt(v: Double): String = f"$v%.3f"

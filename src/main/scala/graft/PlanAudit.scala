@@ -25,13 +25,13 @@ object PlanAudit {
       val topk = n("TakeOrderedAndProject")
       val cartesian = n("CartesianProduct")
       val nlj = n("BroadcastNestedLoopJoin")
-      // a global Sort that did NOT collapse into TakeOrderedAndProject
-      // (range-partitioned full sort) is only acceptable for explicit
-      // ordered output; none of our queries wants one
+      // a range-partitioning exchange is a global sort that did NOT
+      // collapse into TakeOrderedAndProject (top-k plans never contain
+      // one); no registered query should want a full ordered shuffle
       val globalSort = n("Exchange rangepartitioning")
       val notes = new StringBuilder
       if (cartesian > 0) { notes ++= " CARTESIAN!"; flagged ::= name }
-      if (globalSort > topk) { notes ++= " GLOBAL-SORT!"; flagged ::= name }
+      if (globalSort > 0) { notes ++= " GLOBAL-SORT!"; flagged ::= name }
       println(f"$name%-26s shuffles=$exchanges%2d bhj=$bhj nlj=$nlj " +
         f"smj=$smj topk=$topk$notes")
     }

@@ -27,6 +27,14 @@ import graft.functions.TextFunctions._
   * so results are deterministic — required by the driver's repeated
   * verify runs. No UDFs: signature math is shiftright/pmod/bitwise
   * expressions, codegen-friendly.
+  *
+  * Cache ownership: the near-dup operators persist their postings/bucket
+  * frames (MEMORY_AND_DISK, spillable) because each feeds multiple plan
+  * branches of ONE returned query — and a lazy operator cannot know when
+  * its caller's action has run, so it cannot unpersist. The CALLER owns
+  * the cache lifecycle: run the action, then `spark.catalog.clearCache()`
+  * (what Bench/Verify do between queries) or track and unpersist the
+  * frames individually in a long-lived session.
   */
 object DedupOps {
 
@@ -303,7 +311,9 @@ object DedupOps {
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .persist(MEMORY_AND_DISK)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("label")).head.getLong(0)
+      // coalesce: sum() over an empty frame is null — an empty pair list
+      // (clean corpus) must converge immediately, not NPE
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

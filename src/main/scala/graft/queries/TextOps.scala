@@ -297,10 +297,7 @@ object TextOps {
 
     // ---- intra-document repetition score (quality signal) ---------------
     //      duplicate-bigram fraction + the count of the most repeated
-    //      bigram, per doc. Pure projection (HOFs over the per-row token
-    //      array), no shuffle — embarrassingly parallel at any scale; for
-    //      book-length docs swap the O(b^2) in-row count for the
-    //      explode+groupBy form.
+    //      bigram, per doc.
     //      grouped-count formulation, not per-row HOFs: an in-row
     //      "count each distinct bigram" lambda is O(b^2) interpreted
     //      work per document (measured ~8s at sf0.1 vs ~1s for this

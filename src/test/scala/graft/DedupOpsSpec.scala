@@ -62,6 +62,11 @@ class DedupOpsSpec extends SparkSpec {
       DedupOps.simHashNearDups(corpus, 1, 3, 0.5, blocks = 4, comboSize = 4))
   }
 
+  test("nearDupClusters returns an empty frame for an empty pair list") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupOps.nearDupClusters(empty).count() == 0)
+  }
+
   test("nearDupClusters collapses transitive chains to one component") {
     // 1~2, 2~3 (no 1~3 pair) must land in ONE cluster labeled min=1;
     // 7~8 is a separate component; 9 is in no pair -> absent

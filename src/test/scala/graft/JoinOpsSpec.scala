@@ -39,15 +39,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(salted == plain && salted.size == 1000)
   }
 
-  test("saltedJoin spreads a hot key across join partitions") {
-    // one key carries ~all rows: unsalted, every row hashes to ONE
-    // reducer; salted by row id, the hot key must occupy >1 partition
-    // of the shuffled join input
-    val fact = (1 to 2000).map(i => (0L, i.toLong)).toDF("k", "v")
-    val dim = Seq((0L, "zero")).toDF("k", "name")
-    val spread = JoinOps.saltedJoin(fact, dim, "k", salt = 8, saltBy = col("v"))
-      .groupBy(spark_partition_id().as("pid")).count()
-      .filter(col("count") > 0).count()
-    assert(spread > 1, s"hot key stayed on $spread partition(s)")
+  test("saltedJoin spreads a hot key across shuffle join partitions") {
+    // broadcast would sidestep the shuffle entirely and AQE coalesces
+    // the tiny post-shuffle partitions back to one (default-on in Spark
+    // 4) — disable both so the spread measurement sees the raw
+    // hash-partitioned join, which is the skew regime salting exists for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fact = (1 to 2000).map(i => (0L, i.toLong)).toDF("k", "v")
+      val dim = Seq((0L, "zero")).toDF("k", "name")
+      def spreadOf(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id().as("pid")).count()
+          .filter(col("count") > 0).count()
+      // control: the unsalted shuffle join pins the hot key to 1 reducer
+      assert(spreadOf(fact.join(dim, "k")) == 1)
+      val spread = spreadOf(
+        JoinOps.saltedJoin(fact, dim, "k", salt = 8, saltBy = col("v")))
+      assert(spread > 1, s"hot key stayed on $spread partition(s)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
