@@ -102,4 +102,24 @@ object EventStreams {
   def enrichStream(events: DataFrame, dim: DataFrame,
                    joinCols: Seq[String]): DataFrame =
     events.join(broadcast(dim), joinCols)
+
+  /** watermarked stream-stream join: each left event matched to right
+    * events on the same key within `windowSec` BEFORE it. Both sides
+    * carry watermarks and the join condition bounds right-time on both
+    * ends, so Spark can evict buffered rows once the watermark passes
+    * their horizon — state is bounded by rate x (delay + window), the
+    * condition that makes a stream-stream join runnable forever. Column
+    * sets must be disjoint apart from the key. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTime: String, rightTime: String,
+                       windowSec: Long,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSec SECONDS") &&
+        col(rightTime) <= col(leftTime))
+      .drop(r(key))
+  }
 }

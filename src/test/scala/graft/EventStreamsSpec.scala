@@ -72,6 +72,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamStreamJoin matches within the window on two live streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = EventStreams.streamStreamJoin(
+      purchases.toDF().select($"user_id", $"ts".as("p_ts"), $"value".as("p_val")),
+      clicks.toDF().select($"user_id", $"ts".as("c_ts"), $"value".as("c_val")),
+      key = "user_id", leftTime = "p_ts", rightTime = "c_ts",
+      windowSec = 600, watermarkDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),   // in window
+        Event(ts("2024-01-01 09:40:00"), 1, "click", 2.0),   // too old
+        Event(ts("2024-01-01 10:00:00"), 2, "click", 3.0))   // other user
+      purchases.addData(Event(ts("2024-01-01 10:05:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("c_val")))
+      assert(rows.toSeq == Seq((1L, 1.0))) // only the in-window same-user click
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
