@@ -38,4 +38,29 @@ class StreamingFileSourceSpec extends SparkSpec {
     assert(streamedSet.subsetOf(batchSet),
       s"stream emitted rows absent from batch: ${streamedSet.diff(batchSet).take(3)}")
   }
+
+  test("foreachBatch publishes each micro-batch through the zstd sink") {
+    val src = Files.createTempDirectory("graft_fb_src").toString
+    val out = Files.createTempDirectory("graft_fb_out").toString
+    val ckpt = Files.createTempDirectory("graft_fb_ck").toString
+
+    val events = Tables.events(spark, sfTiny)
+    events.write.parquet(s"$src/batch0")
+
+    val stream = spark.readStream.schema(events.schema).parquet(s"$src/*")
+    // the library sink (Tables.writeZstd) reused per micro-batch — the
+    // incremental-publish pattern: each batch lands as its own zstd
+    // parquet directory, downstream reads the union
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        Tables.writeZstd(batch, s"$out/batch_$id")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val published = spark.read.parquet(s"$out/*")
+    assert(published.count() == events.count())
+    assert(Files.list(java.nio.file.Path.of(out)).iterator().hasNext)
+  }
 }
