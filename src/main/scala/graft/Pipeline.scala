@@ -19,16 +19,37 @@ import graft.queries.TripParity
   */
 object Pipeline {
 
+  /** per-run data-quality counters, collected by `observe` during the
+    * write itself — no extra scan, no extra action */
+  case class Metrics(rowsIn: Long, rowsWritten: Long) {
+    def rowsDropped: Long = rowsIn - rowsWritten
+  }
+
   /** read taxi-shaped parquet at `in`, derive the 10 reference columns,
     * write zstd parquet at `out`; returns the written row count. */
   def run(spark: SparkSession, in: String, out: String,
-          maxRecordsPerFile: Long = 0L): Long = {
-    val result = TripMetrics.withTripMetrics(spark.read.parquet(in))
+          maxRecordsPerFile: Long = 0L): Long =
+    runWithMetrics(spark, in, out, maxRecordsPerFile).rowsWritten
+
+  /** `run` plus observed counters: rows scanned and rows surviving the
+    * any-null drop are measured inside the SAME job that writes the
+    * output (Spark's Observation API), the operational pattern for
+    * lineage/quality reporting at scale — a separate count() would
+    * re-scan 100 TB to learn what the write already knew. */
+  def runWithMetrics(spark: SparkSession, in: String, out: String,
+                     maxRecordsPerFile: Long = 0L): Metrics = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val inObs = Observation("pipeline_in")
+    val outObs = Observation("pipeline_out")
+    val source = spark.read.parquet(in).observe(inObs, count(lit(1)).as("n"))
+    val result = TripMetrics.withTripMetrics(source)
+      .observe(outObs, count(lit(1)).as("n"))
     result.write.mode("overwrite")
       .option("compression", "zstd")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(out)
-    spark.read.parquet(out).count()
+    Metrics(inObs.get("n").asInstanceOf[Long], outObs.get("n").asInstanceOf[Long])
   }
 
   /** CLI: `Pipeline <inParquet> <outDir> [maxRecordsPerFile]`, or

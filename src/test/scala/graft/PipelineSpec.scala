@@ -28,6 +28,17 @@ class PipelineSpec extends SparkSpec {
     assert(parts.exists(_.contains("zstd")), parts.mkString(","))
   }
 
+  test("pipeline metrics observe in/dropped/written inside the write job") {
+    val in = tmpDir("min") + "/taxi"
+    val out = tmpDir("mout") + "/result"
+    val frame = TripParity.taxiFrame(spark, sfTiny)
+    Tables.writeZstd(frame, in)
+    val m = Pipeline.runWithMetrics(spark, in, out)
+    assert(m.rowsIn == frame.count())
+    assert(m.rowsWritten == frame.na.drop().count())
+    assert(m.rowsDropped == m.rowsIn - m.rowsWritten && m.rowsDropped > 0)
+  }
+
   test("maxRecordsPerFile bounds output chunk sizes (reference S3 parity)") {
     val in = tmpDir("min") + "/taxi"
     val out = tmpDir("mout") + "/result"
