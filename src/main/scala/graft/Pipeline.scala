@@ -40,8 +40,10 @@ object Pipeline {
                      maxRecordsPerFile: Long = 0L): Metrics = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
-    val inObs = Observation("pipeline_in")
-    val outObs = Observation("pipeline_out")
+    // no-arg Observation() generates UUID names — fixed names would let
+    // two concurrent runs on a shared session cross-attribute metrics
+    val inObs = Observation()
+    val outObs = Observation()
     val source = spark.read.parquet(in).observe(inObs, count(lit(1)).as("n"))
     val result = TripMetrics.withTripMetrics(source)
       .observe(outObs, count(lit(1)).as("n"))

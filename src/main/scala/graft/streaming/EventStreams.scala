@@ -108,8 +108,9 @@ object EventStreams {
     * carry watermarks and the join condition bounds right-time on both
     * ends, so Spark can evict buffered rows once the watermark passes
     * their horizon — state is bounded by rate x (delay + window), the
-    * condition that makes a stream-stream join runnable forever. Column
-    * sets must be disjoint apart from the key. */
+    * condition that makes a stream-stream join runnable forever. All
+    * references are side-qualified, so the two streams may share column
+    * names (both sides named `ts` is the natural call). */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        windowSec: Long,
@@ -118,8 +119,8 @@ object EventStreams {
     val r = right.withWatermark(rightTime, watermarkDelay)
     l.join(r,
       l(key) === r(key) &&
-        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSec SECONDS") &&
-        col(rightTime) <= col(leftTime))
+        r(rightTime) >= l(leftTime) - expr(s"INTERVAL $windowSec SECONDS") &&
+        r(rightTime) <= l(leftTime))
       .drop(r(key))
   }
 }

@@ -77,10 +77,12 @@ class EventStreamsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Event]
     val clicks = MemoryStream[Event]
+    // both sides keep their natural "ts" name — the join must qualify
+    // its references rather than force callers to pre-rename
     val joined = EventStreams.streamStreamJoin(
-      purchases.toDF().select($"user_id", $"ts".as("p_ts"), $"value".as("p_val")),
-      clicks.toDF().select($"user_id", $"ts".as("c_ts"), $"value".as("c_val")),
-      key = "user_id", leftTime = "p_ts", rightTime = "c_ts",
+      purchases.toDF().select($"user_id", $"ts", $"value".as("p_val")),
+      clicks.toDF().select($"user_id", $"ts", $"value".as("c_val")),
+      key = "user_id", leftTime = "ts", rightTime = "ts",
       windowSec = 600, watermarkDelay = "1 minute")
     val q = joined.writeStream.format("memory").queryName("ssj")
       .outputMode("append").start()
