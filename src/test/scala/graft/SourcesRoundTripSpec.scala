@@ -32,6 +32,14 @@ class SourcesRoundTripSpec extends SparkSpec {
     assertSameRows(src, back)
   }
 
+  test("ORC round-trip preserves rows and types (schema from the footer)") {
+    val dir = Files.createTempDirectory("orc_orders").toString
+    val src = ordersNorm
+    src.write.mode("overwrite").option("compression", "zstd").orc(dir)
+    // ORC carries its schema like parquet — no declaration needed
+    assertSameRows(src, spark.read.orc(dir))
+  }
+
   test("JSON-lines round-trip with declared schema preserves rows and types") {
     val dir = Files.createTempDirectory("json_orders").toString
     val src = ordersNorm
