@@ -375,6 +375,48 @@ object TextOps {
                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC)
                   AS BIGINT) AS rk
               FROM c, tot WHERE cnt >= 10)
-        WHERE rk <= 30"""))
+        WHERE rk <= 30""")),
+
+    // ---- sequence packing: fixed token-budget pack assignment -----------
+    //      docs are laid out per lang in doc_id order and cut into
+    //      ~4096-token packs by running token count: pack boundary =
+    //      where the cumulative count crosses a budget multiple. The
+    //      deterministic, shuffle-once form of training-batch packing
+    //      (greedy first-fit is order-dependent and inherently serial);
+    //      a doc longer than the budget gets a pack of its own rather
+    //      than being dropped or split here.
+    Q("t14_token_packs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 4096L
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("lang"), tokenCount("toks").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tok")) / budget).cast("long"))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            len(string_split_regex(trim(text), ' +')) AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tok,
+            SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT lang, CAST(FLOOR((cum - n_tok) / 4096) AS BIGINT) AS pack_id,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1, 2"""))
   )
 }
