@@ -497,6 +497,41 @@ object Relational2 {
         SELECT COALESCE(o_orderpriority, 'UNKNOWN') AS priority,
           COUNT(*) AS n,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        FROM unioned GROUP BY 1"""))
+        FROM unioned GROUP BY 1""")),
+
+    // ---- aggregate pushdown below the join (q04's 100 TB rewrite) -------
+    //      lineitem is partially aggregated by orderkey BEFORE the join:
+    //      the shuffle is on the same key the join needs anyway, the join
+    //      then carries one row per order instead of every line item, and
+    //      the expensive countDistinct of q04 degenerates to count(*).
+    //      Catalyst does not do this rewrite itself (it changes
+    //      intermediate cardinality) — it is the canonical manual
+    //      optimization for fact-fact joins whose downstream only needs
+    //      per-key aggregates.
+    Q("q43_preagg_join",
+      (s, d) => {
+        val perOrder = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .as("order_rev"))
+        Tables.orders(s, d)
+          .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("order_rev")).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
+      },
+      Some("""
+        WITH per_order AS (
+          SELECT l_orderkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+              AS order_rev
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderpriority,
+          CAST(SUM(order_rev) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_orders
+        FROM orders JOIN per_order ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority"""))
   )
 }
