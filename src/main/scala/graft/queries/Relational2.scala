@@ -532,6 +532,31 @@ object Relational2 {
           CAST(SUM(order_rev) AS DOUBLE) AS revenue,
           COUNT(*) AS n_orders
         FROM orders JOIN per_order ON o_orderkey = l_orderkey
-        GROUP BY o_orderpriority"""))
+        GROUP BY o_orderpriority""")),
+
+    // ---- null-safe equi-join: null keys MATCH each other ---------------
+    //      <=> (IS NOT DISTINCT FROM) joins the null bucket instead of
+    //      dropping it — the semantics ingest pipelines want when a
+    //      sentinel key was nulled out on both sides. Still a hash join
+    //      in Spark (EqualNullSafe is a supported join key), not a
+    //      degenerate theta join.
+    Q("q44_nullsafe_join",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(nullif(col("c_nationkey"), lit(3)).as("ck"))
+          .groupBy("ck").agg(count(lit(1)).as("n_cust"))
+        val su = Tables.supplier(s, d)
+          .select(nullif(col("s_nationkey"), lit(3)).as("sk"))
+          .groupBy("sk").agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("ck") <=> col("sk"))
+          .select(col("ck").as("nationkey"), col("n_cust"), col("n_supp"))
+      },
+      Some("""
+        WITH c AS (SELECT NULLIF(c_nationkey, 3) AS ck, COUNT(*) AS n_cust
+                   FROM customer GROUP BY 1),
+        su AS (SELECT NULLIF(s_nationkey, 3) AS sk, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1)
+        SELECT c.ck AS nationkey, c.n_cust, su.n_supp
+        FROM c JOIN su ON c.ck IS NOT DISTINCT FROM su.sk"""))
   )
 }
