@@ -557,6 +557,52 @@ object Relational2 {
         su AS (SELECT NULLIF(s_nationkey, 3) AS sk, COUNT(*) AS n_supp
                FROM supplier GROUP BY 1)
         SELECT c.ck AS nationkey, c.n_cust, su.n_supp
-        FROM c JOIN su ON c.ck IS NOT DISTINCT FROM su.sk"""))
+        FROM c JOIN su ON c.ck IS NOT DISTINCT FROM su.sk""")),
+
+    // ---- unpivot / melt: wide measures to long (measure, value) rows ----
+    //      the inverse of q22's pivot; the long form is what generic
+    //      per-metric aggregation and plotting pipelines consume
+    Q("q45_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("total")),
+      Some("""
+        WITH long AS (
+          SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+        SELECT measure, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM long GROUP BY measure""")),
+
+    // ---- correlated LATERAL subquery: top-2 per group, declaratively ----
+    //      the SQL-frontend form of q07's window top-n; Catalyst rewrites
+    //      the correlated limit into a ranked join
+    Q("q46_lateral_topn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("v_nation")
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        s.sql("""
+          SELECT n_nationkey, n_name, t.c_custkey, t.c_acctbal
+          FROM v_nation,
+          LATERAL (SELECT c_custkey, c_acctbal FROM v_customer
+                   WHERE c_nationkey = n_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, t.c_custkey, t.c_acctbal
+        FROM nation,
+        LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t"""))
   )
 }
