@@ -142,6 +142,37 @@ object Dedup {
           UNION
           SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s)
         SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
-        FROM reach GROUP BY s"""))
+        FROM reach GROUP BY s""")),
+
+    // ---- dedup outcome report: cluster-size histogram + removal count --
+    //      the number a curation run actually publishes: how many near-
+    //      dup clusters of each size, and how many docs survive (one
+    //      canonical per cluster — everything else is removed)
+    Q("d08_cluster_stats",
+      (s, d) => {
+        val clusters = DedupOps.nearDupClusters(
+          DedupOps.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6)
+            .select("doc_a", "doc_b"))
+        clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size")
+          .agg(count(lit(1)).as("n_clusters"),
+            (count(lit(1)) * (col("cluster_size") - 1)).as("docs_removed"))
+      },
+      Some(jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+        , pr AS (SELECT doc_a, doc_b FROM p
+                 WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pr
+              UNION ALL SELECT doc_b, doc_a FROM pr),
+        reach AS (
+          SELECT s, t FROM e
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        lab AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+                FROM reach GROUP BY s),
+        sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                  FROM lab GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+          COUNT(*) * (cluster_size - 1) AS docs_removed
+        FROM sizes GROUP BY cluster_size"""))
   )
 }

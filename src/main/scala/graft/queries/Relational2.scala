@@ -603,6 +603,35 @@ object Relational2 {
         FROM nation,
         LATERAL (SELECT c_custkey, c_acctbal FROM customer
                  WHERE c_nationkey = n_nationkey
-                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t"""))
+                 ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t""")),
+
+    // ---- percent-of-total (ratio-to-report): aggregate once, window the
+    //      group totals over the aggregated frame — the window runs over
+    //      |groups| rows, never over the fact table ----------------------
+    Q("q47_pct_of_total",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byStatus = Tables.orders(s, d)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        byStatus
+          .withColumn("status_rev",
+            sum(col("rev")).over(Window.partitionBy(col("o_orderstatus"))))
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("rev").cast("double").as("revenue"),
+            (col("rev").cast("double") / col("status_rev").cast("double"))
+              .as("pct_of_status"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderstatus, o_orderpriority,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(rev AS DOUBLE) AS revenue,
+          CAST(rev AS DOUBLE) /
+            CAST(SUM(rev) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+            AS pct_of_status
+        FROM a"""))
   )
 }
