@@ -136,6 +136,37 @@ object SimilarityOps {
     topK(pairs, k)
   }
 
+  /** Near-duplicate pairs restricted to IVF cells: vectors are assigned
+    * to their nearest coarse centroid (same machinery as ivfTopK) and
+    * only same-cell pairs are scored — candidate work drops from
+    * |corpus|² to sum over cells of |cell|², the scale path for
+    * embeddingNearDups. Near-identical vectors sit at near-identical
+    * centroid distances, so true near-dups virtually always share a
+    * cell; raise nCells for smaller cells and add neighbor-cell probing
+    * when the threshold loosens. */
+  def ivfNearDups(embeddings: DataFrame, minCosine: Double,
+                  nCells: Int): DataFrame = {
+    val cents = prepared(embeddings.filter(col("vec_id") < nCells))
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val assigned = prepared(embeddings).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(call_function("vec_l2sq", col("v"), col("cv")).as("d2"),
+          col("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dc.d2"), col("dc.cell"))).getField("cell").as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, a("cell") === b("cell") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineFromParts(dotNative(col("va"), col("vb")), col("na"), col("nb"))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** ANN: exact cosine top-k restricted to the query's LSH bucket.
     * `probes = 1` searches only the query's own bucket; `probes > 1`
     * additionally probes every bucket within hamming probes-1 of the

@@ -160,6 +160,25 @@ object Similarity {
         SELECT q_id, vec_id, cosine, rk FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
-        WHERE rk <= 5"""))
+        WHERE rk <= 5""")),
+
+    // ---- IVF-celled near-dup join (the bounded form of s03) -------------
+    //      candidate pairs restricted to same-cell members: per-cell
+    //      quadratic instead of corpus-quadratic; the oracle replicates
+    //      the cell assignment with the identical left-fold distance
+    Q("s07_ivf_neardup",
+      (s, d) => SimilarityOps.ivfNearDups(Tables.embeddings(s, d),
+        minCosine = 0.4, nCells = 8),
+      Some(normCte + s"""
+        , cents AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id < 8),
+        asg AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT c.vec_id, c.v, c.nrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN cents t) WHERE rn = 1)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+        FROM asg a JOIN asg b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4"""))
   )
 }
