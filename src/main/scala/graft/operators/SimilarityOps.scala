@@ -105,27 +105,9 @@ object SimilarityOps {
     * expanded frame. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               nCells: Int, nProbe: Int): DataFrame = {
-    val cents = prepared(embeddings.filter(col("vec_id") < nCells))
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    def nearestCells(side: DataFrame, take: Int): DataFrame = {
-      val expanded = side.crossJoin(broadcast(cents))
-        .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
-      if (take == 1)
-        expanded
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
-            // v/nrm are constant within the group — first() is safe
-            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      else {
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("cell").asc)
-        expanded.withColumn("pr", row_number().over(w))
-          .filter(col("pr") <= take)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-      }
-    }
-    val corpus = nearestCells(prepared(embeddings), 1)
-    val qs = nearestCells(prepared(queries), nProbe)
+    val cents = centroids(embeddings, nCells)
+    val corpus = assignCells(prepared(embeddings), cents, take = 1)
+    val qs = assignCells(prepared(queries), cents, take = nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
     val pairs = corpus.join(broadcast(qs), "cell")
@@ -136,9 +118,39 @@ object SimilarityOps {
     topK(pairs, k)
   }
 
+  /** coarse centroids: the first `nCells` vectors by id (deterministic
+    * seeds — a production index k-means-trains these offline) */
+  private def centroids(embeddings: DataFrame, nCells: Int): DataFrame =
+    prepared(embeddings.filter(col("vec_id") < nCells))
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+
+  /** nearest-cell assignment shared by every IVF operator: argmin over
+    * the broadcast centroid table by L2, ties to the lowest cell id.
+    * take=1 is a partial-aggregated min-struct (map-side combine
+    * collapses the nCells-way expansion before any shuffle); take>1
+    * keeps the `take` nearest cells per row via a keyed window. */
+  private def assignCells(side: DataFrame, cents: DataFrame,
+                          take: Int): DataFrame = {
+    val expanded = side.crossJoin(broadcast(cents))
+      .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
+    if (take == 1)
+      expanded
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
+          // v/nrm are constant within the group — first() is safe
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cell").asc)
+      expanded.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= take)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    }
+  }
+
   /** Near-duplicate pairs restricted to IVF cells: vectors are assigned
-    * to their nearest coarse centroid (same machinery as ivfTopK) and
-    * only same-cell pairs are scored — candidate work drops from
+    * to their nearest coarse centroid (the same assignCells as ivfTopK)
+    * and only same-cell pairs are scored — candidate work drops from
     * |corpus|² to sum over cells of |cell|², the scale path for
     * embeddingNearDups. Near-identical vectors sit at near-identical
     * centroid distances, so true near-dups virtually always share a
@@ -146,15 +158,8 @@ object SimilarityOps {
     * when the threshold loosens. */
   def ivfNearDups(embeddings: DataFrame, minCosine: Double,
                   nCells: Int): DataFrame = {
-    val cents = prepared(embeddings.filter(col("vec_id") < nCells))
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    val assigned = prepared(embeddings).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        struct(call_function("vec_l2sq", col("v"), col("cv")).as("d2"),
-          col("cell")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dc.d2"), col("dc.cell"))).getField("cell").as("cell"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val assigned = assignCells(prepared(embeddings),
+        centroids(embeddings, nCells), take = 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("nrm").as("na"))

@@ -31,12 +31,14 @@ object Relational {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private val one: Column = lit(1).cast("decimal(18,2)")
 
-  /** l_extendedprice * (1 - l_discount) as exact decimal(30,4). */
-  private def discPrice(): Column =
+  /** l_extendedprice * (1 - l_discount) as exact decimal(30,4) —
+    * package-visible so every revenue query (q04, q31, q43) shares ONE
+    * definition with its SQL twin below. */
+  private[queries] def discPrice(): Column =
     (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
       .cast("decimal(30,4)")
 
-  private val discPriceSql =
+  private[queries] val discPriceSql =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
       "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) " +
       "AS DECIMAL(30,4))"

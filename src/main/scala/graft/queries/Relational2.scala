@@ -512,21 +512,16 @@ object Relational2 {
       (s, d) => {
         val perOrder = Tables.lineitem(s, d)
           .groupBy(col("l_orderkey"))
-          .agg(sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-            .as("order_rev"))
+          .agg(sum(Relational.discPrice()).as("order_rev"))
         Tables.orders(s, d)
           .join(perOrder, col("o_orderkey") === col("l_orderkey"))
           .groupBy("o_orderpriority")
           .agg(sum(col("order_rev")).cast("double").as("revenue"),
             count(lit(1)).as("n_orders"))
       },
-      Some("""
+      Some(s"""
         WITH per_order AS (
-          SELECT l_orderkey,
-            SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-              AS order_rev
+          SELECT l_orderkey, SUM(${Relational.discPriceSql}) AS order_rev
           FROM lineitem GROUP BY l_orderkey)
         SELECT o_orderpriority,
           CAST(SUM(order_rev) AS DOUBLE) AS revenue,

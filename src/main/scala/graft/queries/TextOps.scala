@@ -378,13 +378,15 @@ object TextOps {
         WHERE rk <= 30""")),
 
     // ---- sequence packing: fixed token-budget pack assignment -----------
-    //      docs are laid out per lang in doc_id order and cut into
-    //      ~4096-token packs by running token count: pack boundary =
-    //      where the cumulative count crosses a budget multiple. The
-    //      deterministic, shuffle-once form of training-batch packing
-    //      (greedy first-fit is order-dependent and inherently serial);
-    //      a doc longer than the budget gets a pack of its own rather
-    //      than being dropped or split here.
+    //      docs are laid out per lang in doc_id order and bucketed by
+    //      START offset: pack_id = floor(start / budget), so packs hold
+    //      ~budget tokens, docs are never split or dropped, and the
+    //      assignment is the deterministic shuffle-once form of
+    //      training-batch packing (greedy first-fit is order-dependent
+    //      and inherently serial). Start-offset bucketing means an
+    //      over-budget doc spills past its pack's budget and the ids
+    //      after it skip ahead (pack_id is NOT dense) — consumers key by
+    //      (lang, pack_id), never by position.
     Q("t14_token_packs",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

@@ -51,6 +51,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(own.subsetOf(all.map(_._1).toSet) && own.nonEmpty)
   }
 
+  test("ivfNearDups with one cell equals the exact all-pairs near-dups") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    // nCells=1: every vector lands in the single cell, so the celled
+    // join must reproduce the exact verifier bit-for-bit
+    val celled = pairs(SimilarityOps.ivfNearDups(corpus, 0.3, nCells = 1))
+    val exact = pairs(SimilarityOps.embeddingNearDups(corpus, 0.3))
+    assert(celled == exact && exact.nonEmpty)
+    // more cells: a subset (same-cell pairs only), never new pairs
+    val sub = pairs(SimilarityOps.ivfNearDups(corpus, 0.3, nCells = 2))
+    assert(sub.subsetOf(exact))
+  }
+
   test("lshTopK restricts candidates to the query's sign bucket") {
     // planes=1: bucket = sign of dim 1 -> {0,1,4} vs {2} (x=0 -> bit 0) vs {3}
     val r = SimilarityOps.lshTopK(corpus,
