@@ -162,10 +162,16 @@ object VectorExpressions {
 
   /** idempotent per-session registration (the session-extension route in
     * [[graft.GraftExtensions]] does the same for externally-built
-    * sessions via spark.sql.extensions) */
+    * sessions via spark.sql.extensions). Skips sessions already
+    * registered so the per-operator convenience calls don't re-replace
+    * the functions (and log a replacement WARN) on every invocation. */
   def registerAll(spark: SparkSession): Unit =
-    functions.foreach { case (ident, _, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
-    }
+    if (registered.add(System.identityHashCode(spark.sessionState)))
+      functions.foreach { case (ident, _, builder) =>
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+      }
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 }
