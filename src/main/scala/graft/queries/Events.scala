@@ -247,6 +247,40 @@ object Events {
           FROM events)
         SELECT user_id, COUNT(last_err_value) AS n_filled,
           COUNT(*) AS n_events, MAX(last_err_value) AS max_filled
-        FROM f GROUP BY user_id"""))
+        FROM f GROUP BY user_id""")),
+
+    // ---- inter-arrival statistics per user ------------------------------
+    //      lag over the keyed time order, whole-second gaps aggregated
+    //      exactly (sum/count integer division at the end) — the
+    //      activity-cadence profile feeding anomaly/session tuning
+    Q("e10_interarrival",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("gap_s",
+            unix_timestamp(col("ts")) -
+              unix_timestamp(lag(col("ts"), 1).over(w)))
+          .filter(col("gap_s").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("gap_s")).as("min_gap_s"),
+            max(col("gap_s")).as("max_gap_s"),
+            (sum(col("gap_s")).cast("double") / count(lit(1)))
+              .as("mean_gap_s"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id,
+            epoch(date_trunc('second', ts))
+              - epoch(date_trunc('second', LAG(ts, 1) OVER (
+                  PARTITION BY user_id ORDER BY ts ASC, event_id ASC)))
+              AS gap_s
+          FROM events)
+        SELECT user_id, COUNT(*) AS n_gaps,
+          CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+          CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+          CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s
+        FROM g WHERE gap_s IS NOT NULL GROUP BY user_id"""))
   )
 }

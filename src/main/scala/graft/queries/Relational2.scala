@@ -627,6 +627,44 @@ object Relational2 {
           CAST(rev AS DOUBLE) /
             CAST(SUM(rev) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
             AS pct_of_status
-        FROM a"""))
+        FROM a""")),
+
+    // ---- array set algebra: per-nation segment sets compared ------------
+    //      intersect/union/except on aggregated arrays (q27 built them;
+    //      this operates on them), emitted as scalars for the oracle
+    Q("q48_array_setops",
+      (s, d) => {
+        def segs(src: org.apache.spark.sql.DataFrame, key: String,
+                 out: String) =
+          src.filter(col(key) <= 2)
+            .groupBy(col(key).as("nk"))
+            .agg(sort_array(collect_set(col("c_mktsegment"))).as(out))
+        val cur = segs(Tables.customer(s, d), "c_nationkey", "segs_a")
+        val prev = segs(Tables.customer(s, d)
+            .filter(col("c_custkey") % 2 === 0), "c_nationkey", "segs_b")
+        cur.join(prev, "nk")
+          .select(col("nk"),
+            size(array_intersect(col("segs_a"), col("segs_b"))).cast("long")
+              .as("n_common"),
+            size(array_union(col("segs_a"), col("segs_b"))).cast("long")
+              .as("n_union"),
+            array_join(array_sort(array_except(col("segs_a"), col("segs_b"))), ",")
+              .as("lost_csv"))
+      },
+      Some("""
+        WITH a AS (SELECT c_nationkey AS nk,
+                     list_sort(list(DISTINCT c_mktsegment)) AS segs_a
+                   FROM customer WHERE c_nationkey <= 2 GROUP BY 1),
+        b AS (SELECT c_nationkey AS nk,
+                list_sort(list(DISTINCT c_mktsegment)) AS segs_b
+              FROM customer WHERE c_nationkey <= 2 AND c_custkey % 2 = 0
+              GROUP BY 1)
+        SELECT a.nk,
+          CAST(len(list_intersect(segs_a, segs_b)) AS BIGINT) AS n_common,
+          CAST(len(list_distinct(list_concat(segs_a, segs_b))) AS BIGINT)
+            AS n_union,
+          COALESCE(array_to_string(list_sort(list_filter(segs_a,
+            x -> NOT list_contains(segs_b, x))), ','), '') AS lost_csv
+        FROM a JOIN b USING (nk)"""))
   )
 }
