@@ -96,6 +96,24 @@ object Multimodal {
             / GREATEST(n_bytes, 1) AS space_ratio,
           CAST(len(list_filter(cs, x -> x // 32 = 3)) AS DOUBLE)
             / GREATEST(n_bytes, 1) AS letter_ratio
-        FROM a"""))
+        FROM a""")),
+
+    // ---- modality mix report: format x size-band histogram --------------
+    //      the storage-planning summary a multimodal corpus publishes
+    //      (here one format; the shape is per-format x band)
+    Q("m05_modality_mix",
+      (s, d) => MultimodalOps.buildAssets(Tables.documents(s, d))
+        .groupBy(col("meta.format").as("format"),
+          floor(col("meta.byte_len") / 100).cast("long").as("size_band"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("meta.byte_len")).as("total_bytes"),
+          count_distinct(col("meta.checksum")).as("n_distinct")),
+      Some("""
+        SELECT 'text/plain' AS format,
+          CAST(FLOOR(LENGTH(text) / 100) AS BIGINT) AS size_band,
+          COUNT(*) AS n_assets,
+          CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
+          COUNT(DISTINCT md5(text)) AS n_distinct
+        FROM documents GROUP BY 1, 2"""))
   )
 }

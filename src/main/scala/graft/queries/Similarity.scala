@@ -179,6 +179,57 @@ object Similarity {
           ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
         FROM asg a JOIN asg b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4"""))
+        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""")),
+
+    // ---- in-engine ANN quality measurement: recall@5 of the LSH path ----
+    //      exact top-5 left-joined to the ANN top-5 per query — the
+    //      recall report an ANN deployment publishes continuously, run
+    //      as one plan (both pipelines share the corpus scan)
+    Q("s08_ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        val ann = SimilarityOps.lshTopK(emb, queries, k = 5, planes = 4)
+          .select(col("q_id").as("aq"), col("vec_id").as("av"))
+        exact.join(ann,
+            exact("q_id") === ann("aq") && exact("vec_id") === ann("av"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("aq")).as("hits"),
+            (count(col("aq")).cast("double") / lit(5)).as("recall"))
+      },
+      Some(normCte + s"""
+        , q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+                WHERE vec_id < 5),
+        pex AS (SELECT q.q_id, c.vec_id,
+                  ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+                FROM n c, q WHERE c.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rk FROM pex)
+               WHERE rk <= 5),
+        bkt AS (SELECT vec_id, v, nrm,
+                  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+                 + CASE WHEN v[3] > 0 THEN 4 ELSE 0 END
+                 + CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+                FROM n),
+        qb AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm, bucket
+               FROM bkt WHERE vec_id < 5),
+        pann AS (SELECT qb.q_id, c.vec_id,
+                   ${dotSql("c.v", "qb.qv")} / (c.nrm * qb.qnrm) AS cosine
+                 FROM bkt c JOIN qb USING (bucket)
+                 WHERE c.vec_id <> qb.q_id),
+        ann AS (SELECT q_id, vec_id FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                    ORDER BY cosine DESC, vec_id ASC) AS rk FROM pann)
+                WHERE rk <= 5)
+        SELECT ex.q_id, COUNT(ann.vec_id) AS hits,
+          CAST(COUNT(ann.vec_id) AS DOUBLE) / 5 AS recall
+        FROM ex LEFT JOIN ann
+          ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
+        GROUP BY ex.q_id"""))
   )
 }
