@@ -165,13 +165,22 @@ object VectorExpressions {
     * sessions via spark.sql.extensions). Skips sessions already
     * registered so the per-operator convenience calls don't re-replace
     * the functions (and log a replacement WARN) on every invocation. */
-  def registerAll(spark: SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark.sessionState)))
+  def registerAll(spark: SparkSession): Unit = {
+    val state = spark.sessionState
+    val alreadyRegistered = registered.synchronized {
+      val seen = registered.containsKey(state)
+      if (!seen) registered.put(state, java.lang.Boolean.TRUE)
+      seen
+    }
+    if (!alreadyRegistered)
       functions.foreach { case (ident, _, builder) =>
-        spark.sessionState.functionRegistry
+        state.functionRegistry
           .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
       }
+  }
 
+  // weak keys: a GC'd SessionState drops out instead of pinning memory, and
+  // identity (not hashCode) keying avoids the reused-identity-hash pitfall
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()
 }

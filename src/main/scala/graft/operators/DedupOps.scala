@@ -310,10 +310,13 @@ object DedupOps {
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
       .persist(MEMORY_AND_DISK)
-    def labelSum(df: DataFrame): Long =
+    def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum() over an empty frame is null — an empty pair list
-      // (clean corpus) must converge immediately, not NPE
-      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      // (clean corpus) must converge immediately, not NPE. decimal(38,0)
+      // accumulation: a bigint sum wraps silently in non-ANSI mode, and
+      // the monotonicity argument below only holds without overflow
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
@@ -326,7 +329,7 @@ object DedupOps {
       // equal sums == fixpoint — a one-column agg over the cached frame
       // instead of a join-and-diff per round
       val s = labelSum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
       labels = next

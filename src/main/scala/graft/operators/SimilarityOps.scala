@@ -161,11 +161,15 @@ object SimilarityOps {
     val assigned = assignCells(prepared(embeddings),
         centroids(embeddings, nCells), take = 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explicit plan aliases: a("cell")/b("cell") off the same cached frame
+    // share an expression id, which relies on Spark's ambiguous-self-join
+    // detection to disambiguate (and logs a trivially-true-predicate WARN)
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
+      col("v").as("va"), col("nrm").as("na")).as("ivf_a")
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, a("cell") === b("cell") && col("id_a") < col("id_b"))
+      col("v").as("vb"), col("nrm").as("nb")).as("ivf_b")
+    a.join(b, col("ivf_a.cell") === col("ivf_b.cell") &&
+        col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineFromParts(dotNative(col("va"), col("vb")), col("na"), col("nb"))
           .as("cosine"))
