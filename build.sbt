@@ -29,8 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the dedup/bench workloads showed multi-second GC
-  // variance at 8g on the 128 GiB harness box; override via env if the
-  // host is smaller
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g default: the dedup/bench workloads showed multi-second GC
+  // variance at 8g and residual noise at 16g on the 128 GiB harness box;
+  // override via env if the host is smaller
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -38,11 +38,12 @@ object Bench {
     }
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // min of two timed runs per query: a single local[32] measurement
-    // carries multi-second GC/page-cache noise, and min-of-n is the
-    // standard way to report the query's actual cost
+    // min of three timed runs per query: a single local[32] measurement
+    // carries multi-second GC/page-cache noise (isolated reruns of the
+    // same query measured 3-5x apart), and min-of-n is the standard way
+    // to report the query's actual cost
     val results = queries.map { case (name, fn) =>
-      val timed = (1 to 2).map { _ =>
+      val timed = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { runOnce(fn, sfDir); true }

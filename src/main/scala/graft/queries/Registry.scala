@@ -20,7 +20,8 @@ final case class Q(
 object Registry {
   def all: Seq[Q] =
     Relational.qs ++ Relational2.qs ++ TripParity.qs ++ TextOps.qs ++
-      Dedup.qs ++ Similarity.qs ++ Events.qs ++ Multimodal.qs
+      Dedup.qs ++ Similarity.qs ++ Events.qs ++ Multimodal.qs ++
+      StreamingQueries.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.io.Tables
+import graft.streaming.EventStreams
+
+/** Gate-visible Structured Streaming queries: each entry replays
+  * `events.parquet` through `readStream` with `Trigger.AvailableNow`,
+  * runs one of the graft.streaming.EventStreams operators incrementally,
+  * collects the result from a memory sink, and returns it as a plain
+  * DataFrame — so the driver's DuckDB oracle checks the STREAMING
+  * execution path (micro-batch planner, stateful operators, sinks)
+  * against batch SQL semantics.
+  *
+  * Determinism discipline: a bounded replay must produce the exact batch
+  * answer regardless of how the source splits micro-batches, so
+  *  - aggregations run in `complete` mode (state never evicted, final
+  *    emission covers every group), and
+  *  - row-level operators (dedup, joins) use a watermark delay far past
+  *    the data's time span, so no state is evicted mid-replay and the
+  *    output set equals the batch result.
+  * An unbounded production run flips those knobs (append mode, real
+  * watermark) — the operator code is identical; EventStreamsSpec covers
+  * the eviction/timeout behavior with MemoryStream.
+  *
+  * The memory sink is gate plumbing only (results are small aggregates /
+  * bounded pair lists); a production job writes `writeStream.format(
+  * "parquet")` with a checkpoint dir instead.
+  */
+object StreamingQueries {
+
+  /** raw schema of events.parquet as the session reads it: ts arrives as
+    * int64 nanos (spark.sql.legacy.parquet.nanosAsLong) — the stream
+    * applies the same ns→us truncation as Tables.events. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    // the fixture is a single parquet FILE; the file stream source
+    // requires a directory or glob path (a bare file fails basePath
+    // validation), so address the file through a one-file glob
+    s.readStream.schema(rawSchema).parquet(s"$d/events.parque[t]")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** run a streaming frame to completion on the bounded source and hand
+    * back the sink contents. AvailableNow processes all currently-
+    * available files then stops — the batch-replay trigger. */
+  private def replay(s: SparkSession, name: String, sdf: DataFrame,
+                     mode: String): DataFrame = {
+    s.catalog.dropTempView(name) // leftover from a prior run this session
+    val q = sdf.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    s.table(name)
+  }
+
+  // watermark far past the fixture's span: bounded replay, nothing evicted
+  private val unbounded = "36500 days"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- incremental tumbling-window aggregation ------------------------
+    Q("st01_stream_tumbling",
+      (s, d) => replay(s, "st01",
+        EventStreams.windowedCounts(eventsStream(s, d),
+          watermarkDelay = unbounded), mode = "complete"),
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- streaming exact dedup (dropDuplicatesWithinWatermark) ----------
+    //      output projected to the dedup key: WHICH duplicate survives a
+    //      batch is an execution detail, the surviving key set is the
+    //      operator's contract
+    Q("st02_stream_dedup",
+      (s, d) => replay(s, "st02",
+        EventStreams.dedupStream(eventsStream(s, d),
+          Seq("user_id", "event_type"), "ts", unbounded)
+          .select(col("user_id"), col("event_type")), mode = "append"),
+      Some("SELECT DISTINCT user_id, event_type FROM events")),
+
+    // ---- incremental sessionization via session_window ------------------
+    //      merge-on-overlap semantics: an event at ts extends a session
+    //      to [start, ts + gap); a gap >= 30 min starts a new session.
+    //      (The flatMapGroupsWithState formulation with real timeout
+    //      eviction lives in EventStreams.sessionize / its spec; this is
+    //      the aggregation-operator form of the same analysis.)
+    Q("st03_stream_sessions",
+      (s, d) => replay(s, "st03",
+        eventsStream(s, d).withWatermark("ts", unbounded)
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events")), mode = "complete"),
+      // boundary mirror: strict session-window semantics split at
+      // diff >= gap on MICROsecond precision (epoch_us), unlike e03's
+      // whole-second > 1800 rule
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                      >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)),
+        sess AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS UNBOUNDED PRECEDING) AS seq
+          FROM g)
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+          COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, seq""")),
+
+    // ---- watermarked stream-stream join ---------------------------------
+    //      purchases matched to same-user clicks in the preceding hour;
+    //      the inner-join match set is batch-equal for a bounded replay
+    Q("st04_stream_stream_join",
+      (s, d) => {
+        val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = eventsStream(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("c_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+        replay(s, "st04",
+          EventStreams.streamStreamJoin(purchases, clicks, "c_user",
+            "purchase_ts", "click_ts", windowSec = 3600,
+            watermarkDelay = unbounded)
+            .select(col("c_user").as("user_id"), col("purchase_id"),
+              col("click_id")), mode = "append")
+      },
+      Some("""
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""")),
+
+    // ---- stream-static enrichment (per-micro-batch broadcast join) ------
+    //      events decorated with the user's nation from the static
+    //      customer dim; per-nation spend is the enriched rollup
+    Q("st05_stream_enrich",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+        replay(s, "st05",
+          EventStreams.enrichStream(
+              eventsStream(s, d).filter(col("event_type") === "purchase"),
+              dim, Seq("user_id"))
+            .withWatermark("ts", unbounded)
+            .groupBy(col("c_nationkey"))
+            .agg(count(lit(1)).as("n_purchases"),
+              sum(col("value").cast("decimal(18,2)")).cast("double")
+                .as("total_value")), mode = "complete")
+      },
+      Some("""
+        SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS n_purchases,
+          CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1"""))
+  )
+}
