@@ -84,7 +84,7 @@ object Bench {
       "q12_rollup", "q16_countdistinct", "q20_star_join", "q31_sql_frontend",
       "p01_tripmetrics_core", "t05_ngram_profile", "t09_curation_pipeline",
       "d03_minhash_lsh", "s01_cosine_topk", "e03_sessionize",
-      "m01_struct_join")
+      "m01_struct_join", "h01_pricing_summary", "st01_stream_tumbling")
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum}"""
     Files.writeString(Paths.get("bench.json"), line(results) + "\n")

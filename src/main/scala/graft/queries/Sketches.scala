@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Mergeable-sketch rollups — the at-scale pattern for distinct counts:
+  * build one HLL sketch per partition/group, store or shuffle the
+  * sketch bytes (fixed KB per group, not per row), and merge sketches
+  * for any coarser grain without touching the raw data again. At 100 TB
+  * this replaces re-scanning the corpus for every (day, source, lang)
+  * distinct-count combination.
+  *
+  * Gate strategy: DuckDB cannot evaluate Spark's Datasketches HLL, so
+  * the oracle checks the exact distinct counts plus the CLAIM the sketch
+  * ships with — estimates land within 2% of exact (trivially true here:
+  * at fixture cardinalities the sketch is still in exact sparse mode,
+  * and it is deterministic on fixed input either way).
+  */
+object Sketches {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- per-lang HLL sketches + a union-merged corpus rollup ----------
+    Q("ds01_hll_rollup",
+      (s, d) => {
+        val perLang = Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(expr("hll_sketch_agg(doc_id)").as("sk"),
+            countDistinct(col("doc_id")).as("n_exact"))
+        val langRows = perLang.select(col("lang"), col("n_exact"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.02).as("est_within_2pct"))
+        // doc_id is globally unique, so per-lang sets are disjoint and
+        // the exact corpus count is the sum; the estimate side merges
+        // the five sketches WITHOUT re-reading documents
+        val allRow = perLang
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+            sum(col("n_exact")).as("n_exact"))
+          .select(lit("<all>").as("lang"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) <=
+              col("n_exact").cast("double") * 0.02).as("est_within_2pct"))
+        langRows.unionByName(allRow)
+      },
+      Some("""
+        SELECT lang, COUNT(DISTINCT doc_id) AS n_exact,
+          TRUE AS est_within_2pct
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT '<all>' AS lang, COUNT(DISTINCT doc_id) AS n_exact,
+          TRUE AS est_within_2pct
+        FROM documents"""))
+  )
+}
