@@ -79,6 +79,37 @@ object Similarity {
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
         WHERE rk <= 5""")),
 
+    // ---- int8 scalar quantization + reconstruction error ----------------
+    //      the storage-compression step before an ANN index ships: per-
+    //      vector symmetric int8 (scale = 127/max|v|), with max/sum
+    //      absolute reconstruction error as the quality report. Pure
+    //      HOFs — round/abs/div are IEEE-identical on both engines, and
+    //      sum_err folds left like every other vector reduction here.
+    Q("s09_quantization",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("qscale",
+          lit(127.0) / expr("nullif(array_max(transform(v, x -> abs(x))), 0.0)"))
+        .withColumn("errs",
+          expr("transform(v, x -> abs(round(x * qscale) / qscale - x))"))
+        .select(col("vec_id"), col("qscale"),
+          expr("array_max(errs)").as("max_err"),
+          expr("aggregate(errs, 0.0D, (acc, x) -> acc + x)").as("sum_err")),
+      Some("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        m AS (SELECT vec_id, v,
+                127.0 / NULLIF(list_max(list_transform(v, x -> abs(x))), 0.0)
+                  AS qscale
+              FROM e),
+        r AS (SELECT vec_id, qscale,
+                list_transform(v, x -> abs(round(x * qscale) / qscale - x))
+                  AS errs
+              FROM m)
+        SELECT vec_id, qscale, list_max(errs) AS max_err,
+          list_reduce(list_prepend(0.0, errs), (x, y) -> x + y) AS sum_err
+        FROM r""")),
+
     // ---- multiprobe ANN: own bucket + all hamming-1 buckets -------------
     Q("s04_ann_multiprobe",
       (s, d) => {

@@ -419,6 +419,49 @@ object TextOps {
           COUNT(*) AS n_docs,
           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        FROM c GROUP BY 1, 2"""))
+        FROM c GROUP BY 1, 2""")),
+
+    // ---- quality-decile curriculum bins ---------------------------------
+    //      the data-mix construction step: rank every doc by the t03
+    //      quality score within its language, cut into deciles (ntile —
+    //      one keyed shuffle), report per-bin counts and exact score
+    //      bounds. min/max are order-insensitive so no decimal detour is
+    //      needed; doc_id tiebreak makes the decile cut deterministic.
+    Q("t15_quality_bins",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("lang"),
+            (least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+              wordlistCount("toks", EnglishStopwords).cast("double")
+                / tokenCount("toks") * 0.2 +
+              distinctTokenCount("toks").cast("double")
+                / tokenCount("toks") * 0.4).as("quality"))
+        scored
+          .withColumn("decile", ntile(10).over(Window.partitionBy(col("lang"))
+            .orderBy(col("quality").asc, col("doc_id").asc)).cast("long"))
+          .groupBy(col("lang"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        sc AS (SELECT doc_id, lang,
+                 LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                   + CAST(len(list_filter(toks, x -> x IN ($stopSql)))
+                       AS DOUBLE) / len(toks) * 0.2
+                   + CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / len(toks) * 0.4 AS quality
+               FROM t),
+        b AS (SELECT lang, quality,
+                NTILE(10) OVER (PARTITION BY lang
+                  ORDER BY quality ASC, doc_id ASC) AS decile
+              FROM sc)
+        SELECT lang, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+          MIN(quality) AS min_q, MAX(quality) AS max_q
+        FROM b GROUP BY 1, 2"""))
   )
 }
