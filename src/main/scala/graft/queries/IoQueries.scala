@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Gate-visible sink coverage: each query WRITES through an engine sink
+  * into a scratch dir, reads its own output back, and returns a result
+  * the DuckDB oracle recomputes from the source table — so the zstd
+  * parquet sink (reference S7, parquet_assembler.py:34-37), hive-layout
+  * partitioning, and the row-range split knob (reference S3,
+  * parquet_slicer.py:53-58) are all verified end to end, not just
+  * spec-asserted.
+  *
+  * Scratch dirs live under java.io.tmpdir and are overwritten per run —
+  * safe for the gate's repeated executions.
+  */
+object IoQueries {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_$name"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- zstd partitioned sink + partition-pruned read ------------------
+    //      the write partitions by lang; the read-back filter must then
+    //      touch only the lang=en directory (PartitionFilters in the
+    //      scan — asserted structurally in PartitionPruningSpec; here the
+    //      oracle verifies the VALUES survive the sink round-trip)
+    Q("io01_partitioned_roundtrip",
+      (s, d) => {
+        val out = scratch("io01")
+        Tables.writePartitioned(Tables.documents(s, d), out, "lang")
+        s.read.parquet(out)
+          .filter(col("lang") === "en")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            countDistinct(col("doc_id")).as("n_distinct"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          COUNT(DISTINCT doc_id) AS n_distinct
+        FROM documents WHERE lang = 'en' GROUP BY lang""")),
+
+    // ---- row-range splitting on write (reference S3 parity) -------------
+    //      one writer task + maxRecordsPerFile=200 chunks the table into
+    //      ceil(n/200) files of bounded size — Spark's form of the
+    //      slicer's fixed-row chunks; the oracle recomputes the expected
+    //      chunk count from the row count
+    Q("io02_row_range_split",
+      (s, d) => {
+        val out = scratch("io02")
+        Tables.documents(s, d).repartition(1)
+          .write.mode("overwrite")
+          .option("compression", "zstd")
+          .option("maxRecordsPerFile", 200L)
+          .parquet(out)
+        s.read.parquet(out)
+          // project the file name first: nondeterministic expressions are
+          // legal in a Project but not inside aggregate arguments
+          .select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("n_files"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_files,
+          COUNT(*) AS n_rows
+        FROM documents"""))
+  )
+}

@@ -110,6 +110,31 @@ object Similarity {
           list_reduce(list_prepend(0.0, errs), (x, y) -> x + y) AS sum_err
         FROM r""")),
 
+    // ---- native vector expressions through the SQL frontend -------------
+    //      the functionRegistry route (VectorExpressions.registerAll /
+    //      GraftExtensions): a pure-SQL caller computes cosine-to-anchor
+    //      with the same codegen'd vec_dot the Column API uses
+    Q("s10_sql_vector_frontend",
+      (s, d) => {
+        graft.expressions.VectorExpressions.registerAll(s)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .createOrReplaceTempView("emb_s10")
+        s.sql("""
+          SELECT e.vec_id,
+            vec_dot(e.v, a.av) / (sqrt(vec_dot(e.v, e.v)) *
+              sqrt(vec_dot(a.av, a.av))) AS cosine_to_anchor
+          FROM emb_s10 e
+          CROSS JOIN (SELECT v AS av FROM emb_s10 WHERE vec_id = 0) a
+          WHERE e.vec_id <> 0""")
+      },
+      Some(normCte + s"""
+        , a AS (SELECT v AS av, nrm AS anrm FROM n WHERE vec_id = 0)
+        SELECT e.vec_id,
+          ${dotSql("e.v", "a.av")} / (e.nrm * a.anrm) AS cosine_to_anchor
+        FROM n e, a WHERE e.vec_id <> 0""")),
+
     // ---- multiprobe ANN: own bucket + all hamming-1 buckets -------------
     Q("s04_ann_multiprobe",
       (s, d) => {
