@@ -21,7 +21,8 @@ object Registry {
   def all: Seq[Q] =
     Relational.qs ++ Relational2.qs ++ TripParity.qs ++ TextOps.qs ++
       Dedup.qs ++ Similarity.qs ++ Events.qs ++ Multimodal.qs ++
-      StreamingQueries.qs ++ TpcH.qs ++ Sketches.qs ++ IoQueries.qs
+      StreamingQueries.qs ++ TpcH.qs ++ Sketches.qs ++ IoQueries.qs ++
+      Clustering.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
