@@ -665,6 +665,31 @@ object Relational2 {
             AS n_union,
           COALESCE(array_to_string(list_sort(list_filter(segs_a,
             x -> NOT list_contains(segs_b, x))), ','), '') AS lost_csv
-        FROM a JOIN b USING (nk)"""))
+        FROM a JOIN b USING (nk)""")),
+
+    // ---- time-range window frames (RANGE over event time) ---------------
+    //      per-customer rolling 30-day order stats: a RANGE frame bounded
+    //      by an epoch-seconds offset, not a row count — ties (same-day
+    //      orders) are frame peers on both engines. Still one keyed
+    //      shuffle; the frame is evaluated per partition at any scale.
+    Q("q49_time_range_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(unix_timestamp(col("o_orderdate")))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).as("n_30d"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("sum_30d"))
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          COUNT(*) OVER w AS n_30d,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            AS sum_30d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)"""))
   )
 }
