@@ -281,6 +281,35 @@ object Events {
           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
           CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s
-        FROM g WHERE gap_s IS NOT NULL GROUP BY user_id"""))
+        FROM g WHERE gap_s IS NOT NULL GROUP BY user_id""")),
+
+    // ---- top event paths (3-step sequence mining) -----------------------
+    //      the product-analytics "common journeys" report: per-user
+    //      time-ordered event stream → sliding 3-grams via lag → top-20
+    //      paths by frequency. Keyed window + one agg + TakeOrdered — the
+    //      same shape at any user count.
+    Q("e11_event_paths",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("e1", lag(col("event_type"), 2).over(byUser))
+          .withColumn("e2", lag(col("event_type"), 1).over(byUser))
+          .filter(col("e1").isNotNull)
+          .select(concat_ws(">", col("e1"), col("e2"), col("event_type"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH p AS (
+          SELECT LAG(event_type, 2) OVER w AS e1,
+                 LAG(event_type, 1) OVER w AS e2, event_type AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        FROM p WHERE e1 IS NOT NULL
+        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20"""))
   )
 }

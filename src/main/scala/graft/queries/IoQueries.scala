@@ -66,6 +66,40 @@ object IoQueries {
       Some("""
         SELECT CAST(CEIL(COUNT(*) / 200.0) AS BIGINT) AS n_files,
           COUNT(*) AS n_rows
+        FROM documents""")),
+
+    // ---- small-file compaction ------------------------------------------
+    //      the daily chore of a 100 TB lake: a fragmented landing dir
+    //      (here: 50-row files) rewritten to a bounded file count with no
+    //      row lost. repartition(2) pins the output file count exactly;
+    //      at scale the partition count comes from bytes/targetFileSize.
+    Q("io03_compaction",
+      (s, d) => {
+        val frag = scratch("io03_frag")
+        val compact = scratch("io03_compact")
+        Tables.documents(s, d).repartition(1)
+          .write.mode("overwrite").option("maxRecordsPerFile", 50L)
+          .parquet(frag)
+        s.read.parquet(frag).repartition(2)
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(compact)
+        val before = s.read.parquet(frag)
+          .select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("n_files_before"))
+        s.read.parquet(compact)
+          .select(input_file_name().as("f"), col("doc_id"))
+          .agg(countDistinct(col("f")).as("n_files_after"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_distinct"))
+          .crossJoin(before)
+          .select(col("n_files_before"), col("n_files_after"),
+            col("n_rows"), col("n_distinct"))
+      },
+      Some("""
+        SELECT CAST(CEIL(COUNT(*) / 50.0) AS BIGINT) AS n_files_before,
+          CAST(2 AS BIGINT) AS n_files_after,
+          COUNT(*) AS n_rows,
+          COUNT(DISTINCT doc_id) AS n_distinct
         FROM documents"""))
   )
 }
