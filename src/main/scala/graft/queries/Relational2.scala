@@ -690,6 +690,50 @@ object Relational2 {
             AS sum_30d
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)"""))
+          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""")),
+
+    // ---- correlation / covariance from exact decimal moments ------------
+    //      Pearson corr per group, computed RATIONALLY: the five decimal
+    //      power sums are exact (order-independent), and the final
+    //      (n·Sxy − Sx·Sy) / √((n·Sxx − Sx²)(n·Syy − Sy²)) is the same
+    //      IEEE expression on both engines — unlike the engines' built-in
+    //      corr() aggregates, whose streaming update orders differ.
+    Q("q50_correlation",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum((x * x).cast("decimal(30,4)")).cast("double").as("sxx"),
+            sum((y * y).cast("decimal(30,4)")).cast("double").as("syy"),
+            sum((x * y).cast("decimal(30,4)")).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) / col("n") / col("n"))
+              .as("covar_pop"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          (n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+          (n * sxy - sx * sy) / n / n AS covar_pop
+        FROM m"""))
   )
 }
