@@ -256,6 +256,151 @@ object TpcH {
         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""")),
 
+    // ---- Q7: volume shipping between two nations ------------------------
+    Q("h07_volume_shipping",
+      (s, d) => {
+        val n1 = broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1998-01-01"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nk"))
+          .join(n2, col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+            (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(discPrice18()).cast("double").as("revenue"))
+      },
+      Some(s"""
+        SELECT supp_nation, cust_nation, l_year,
+          CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+          SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+            $discPrice18Sql AS volume
+          FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+            AND ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
+              OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE')))
+        GROUP BY supp_nation, cust_nation, l_year""")),
+
+    // ---- Q13: customer order-count distribution -------------------------
+    Q("h13_customer_distribution",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+            .filter(!col("o_orderpriority").startsWith("1")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist")),
+      Some("""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey
+            AND o_orderpriority NOT LIKE '1%'
+          GROUP BY c_custkey)
+        GROUP BY c_count""")),
+
+    // ---- Q17: small-quantity-order revenue ------------------------------
+    //      per-part average quantity as the correlated threshold; the
+    //      avg is exact (decimal sum cast double / count, same operands
+    //      both engines)
+    Q("h17_small_qty_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val partAvg = li.groupBy(col("l_partkey").as("p_key"))
+          .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
+            .as("qty_threshold"))
+        li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "STANDARD")
+              .select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(partAvg, col("l_partkey") === col("p_key"))
+          .filter(col("l_quantity") < col("qty_threshold"))
+          .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+            .as("avg_yearly"))
+      },
+      Some("""
+        WITH t AS (SELECT l_partkey AS p_key,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) * 0.2 AS qty_threshold
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          / 7.0 AS avg_yearly
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN t ON l_partkey = p_key
+        WHERE p_brand = 'STANDARD' AND l_quantity < qty_threshold""")),
+
+    // ---- Q19 (adapted): disjunctive brand/size/quantity predicates ------
+    //      the multi-arm OR that exercises predicate normalization and
+    //      join-condition pushdown (no shipmode/container columns, so the
+    //      arms use brand x size x quantity bands)
+    Q("h19_disjunctive_preds",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "PROMO" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "STANDARD" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "LARGE" && col("p_size").between(1, 50) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(discPrice18()).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems")),
+      Some(s"""
+        SELECT CAST(SUM($discPrice18Sql) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'PROMO' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'STANDARD' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'LARGE' AND p_size BETWEEN 1 AND 50
+                AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // ---- Q22: above-average balances with no orders ---------------------
+    //      scalar-subquery global average + anti join, per nation group
+    Q("h22_global_sales_opportunity",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+            .as("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(Tables.orders(s, d).select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      },
+      Some("""
+        WITH ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*) AS avg_bal
+                    FROM customer WHERE c_acctbal > 0.0)
+        SELECT c_nationkey, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, ab
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey""")),
+
     // ---- Q18: large-volume customers ------------------------------------
     Q("h18_large_volume_customer",
       (s, d) => {
