@@ -272,8 +272,8 @@ object TpcH {
           .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
           .join(n1, col("s_nationkey") === col("s_nk"))
           .join(n2, col("c_nationkey") === col("c_nk"))
-          .filter((col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-            (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE"))
+          .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+            (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).cast("long").as("l_year"))
           .agg(sum(discPrice18()).cast("double").as("revenue"))
@@ -293,8 +293,8 @@ object TpcH {
             JOIN nation cn ON c_nationkey = cn.n_nationkey
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1998-01-01'
-            AND ((sn.n_name = 'FRANCE' AND cn.n_name = 'GERMANY')
-              OR (sn.n_name = 'GERMANY' AND cn.n_name = 'FRANCE')))
+            AND ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+              OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')))
         GROUP BY supp_nation, cust_nation, l_year""")),
 
     // ---- Q13: customer order-count distribution -------------------------
@@ -327,7 +327,7 @@ object TpcH {
         val partAvg = li.groupBy(col("l_partkey").as("p_key"))
           .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2)
             .as("qty_threshold"))
-        li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "STANDARD")
+        li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")
               .select(col("p_partkey"))),
             col("l_partkey") === col("p_partkey"))
           .join(partAvg, col("l_partkey") === col("p_key"))
@@ -345,7 +345,7 @@ object TpcH {
         FROM lineitem
           JOIN part ON l_partkey = p_partkey
           JOIN t ON l_partkey = p_key
-        WHERE p_brand = 'STANDARD' AND l_quantity < qty_threshold""")),
+        WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold""")),
 
     // ---- Q19 (adapted): disjunctive brand/size/quantity predicates ------
     //      the multi-arm OR that exercises predicate normalization and
@@ -355,11 +355,11 @@ object TpcH {
       (s, d) => Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .filter(
-          (col("p_brand") === "PROMO" && col("p_size").between(1, 15) &&
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 11)) ||
-          (col("p_brand") === "STANDARD" && col("p_size").between(1, 25) &&
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
             col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "LARGE" && col("p_size").between(1, 50) &&
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
             col("l_quantity").between(20, 30)))
         .agg(sum(discPrice18()).cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems")),
@@ -367,15 +367,17 @@ object TpcH {
         SELECT CAST(SUM($discPrice18Sql) AS DOUBLE) AS revenue,
           COUNT(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE (p_brand = 'PROMO' AND p_size BETWEEN 1 AND 15
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 1 AND 11)
-           OR (p_brand = 'STANDARD' AND p_size BETWEEN 1 AND 25
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
                 AND l_quantity BETWEEN 10 AND 20)
-           OR (p_brand = 'LARGE' AND p_size BETWEEN 1 AND 50
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
                 AND l_quantity BETWEEN 20 AND 30)""")),
 
     // ---- Q22: above-average balances with no orders ---------------------
-    //      scalar-subquery global average + anti join, per nation group
+    //      scalar-subquery global average + anti join on RECENT orders
+    //      (every fixture customer has some order; dormancy since 2000 is
+    //      the Q22 'no recent orders' adaptation), per nation group
     Q("h22_global_sales_opportunity",
       (s, d) => {
         val cust = Tables.customer(s, d)
@@ -384,7 +386,9 @@ object TpcH {
             .as("avg_bal"))
         cust.crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("avg_bal"))
-          .join(Tables.orders(s, d).select(col("o_custkey")),
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= ts("2000-01-01"))
+              .select(col("o_custkey")),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("numcust"),
@@ -398,7 +402,8 @@ object TpcH {
           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM customer, ab
         WHERE c_acctbal > avg_bal
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey""")),
 
     // ---- Q18: large-volume customers ------------------------------------
