@@ -53,9 +53,20 @@ object StreamingQueries {
   private def replay(s: SparkSession, name: String, sdf: DataFrame,
                      mode: String): DataFrame = {
     s.catalog.dropTempView(name) // leftover from a prior run this session
-    val q = sdf.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
+    // state-store partition count is a per-job sizing decision pinned
+    // into the checkpoint at first start (unlike batch, AQE cannot
+    // re-plan it): size to the stream's key cardinality. The fixture
+    // replay carries ~150 users / 5 event types, so a handful of state
+    // partitions is the correct sizing; a high-volume production stream
+    // would set hundreds. Restored after the replay so batch queries
+    // keep the session default.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = sdf.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
