@@ -56,6 +56,58 @@ object Warehouse {
         SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS acctbal,
           TIMESTAMP '1997-01-01' AS valid_from,
           CAST(NULL AS TIMESTAMP) AS valid_to
-        FROM customer WHERE c_custkey % 7 = 0"""))
+        FROM customer WHERE c_custkey % 7 = 0""")),
+
+    // ---- snapshot diff: added / removed / changed per segment -----------
+    //      the audit report between two loads: a full-outer join on the
+    //      key classifies every row once, one shuffle. The "new" snapshot
+    //      is synthesized deterministically: every 11th key dropped,
+    //      every 7th balance changed, five fresh keys appended.
+    Q("w02_snapshot_diff",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val next = base.filter(col("c_custkey") % 11 =!= 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            col("c_mktsegment"))
+          .unionByName(base.agg(max(col("c_custkey")).as("mx"))
+            .select(explode(sequence(col("mx") + 1, col("mx") + 5))
+              .as("c_custkey"),
+              lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        val a = base.select(col("c_custkey").as("k"),
+          col("c_acctbal").as("bal_a"), col("c_mktsegment").as("seg_a"))
+        val b = next.select(col("c_custkey").as("k"),
+          col("c_acctbal").as("bal_b"), col("c_mktsegment").as("seg_b"))
+        a.join(b, Seq("k"), "full_outer")
+          .select(coalesce(col("seg_b"), col("seg_a")).as("segment"),
+            when(col("seg_a").isNull, "added")
+              .when(col("seg_b").isNull, "removed")
+              .when(col("bal_a") =!= col("bal_b"), "changed")
+              .otherwise("unchanged").as("change"))
+          .groupBy("segment", "change")
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        WITH nxt AS (
+          SELECT c_custkey,
+            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                 ELSE c_acctbal END AS c_acctbal,
+            c_mktsegment
+          FROM customer WHERE c_custkey % 11 <> 0
+          UNION ALL
+          SELECT (SELECT MAX(c_custkey) FROM customer) + t.i, 0.0, 'NEW'
+          FROM (VALUES (1), (2), (3), (4), (5)) t(i)),
+        j AS (
+          SELECT COALESCE(n.c_mktsegment, b.c_mktsegment) AS segment,
+            CASE WHEN b.c_custkey IS NULL THEN 'added'
+                 WHEN n.c_custkey IS NULL THEN 'removed'
+                 WHEN b.c_acctbal <> n.c_acctbal THEN 'changed'
+                 ELSE 'unchanged' END AS change
+          FROM customer b FULL OUTER JOIN nxt n
+            ON b.c_custkey = n.c_custkey)
+        SELECT segment, change, COUNT(*) AS n
+        FROM j GROUP BY 1, 2"""))
   )
 }
