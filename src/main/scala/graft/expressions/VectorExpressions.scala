@@ -167,20 +167,25 @@ object VectorExpressions {
     * the functions (and log a replacement WARN) on every invocation. */
   def registerAll(spark: SparkSession): Unit = {
     val state = spark.sessionState
-    val alreadyRegistered = registered.synchronized {
-      val seen = registered.containsKey(state)
-      if (!seen) registered.put(state, java.lang.Boolean.TRUE)
-      seen
-    }
-    if (!alreadyRegistered)
-      functions.foreach { case (ident, _, builder) =>
-        state.functionRegistry
-          .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    // Registration happens INSIDE the lock: a concurrent caller must not
+    // observe the session as "registered" until every function is actually
+    // in the registry, or it could issue SQL that hits a transient
+    // undefined-function AnalysisException. Registration is cheap and
+    // idempotent, so holding the lock across it is fine.
+    registered.synchronized {
+      if (!registered.containsKey(state)) {
+        functions.foreach { case (ident, _, builder) =>
+          state.functionRegistry
+            .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+        }
+        registered.put(state, java.lang.Boolean.TRUE)
       }
+    }
   }
 
-  // weak keys: a GC'd SessionState drops out instead of pinning memory, and
-  // identity (not hashCode) keying avoids the reused-identity-hash pitfall
+  // Weak keys stop a dropped SessionState from pinning memory. Keying is
+  // equals()/hashCode() like any map, but SessionState keeps the default
+  // reference-equality equals, which is what makes per-session dedup sound.
   private val registered =
     new java.util.WeakHashMap[AnyRef, java.lang.Boolean]()
 }

@@ -49,25 +49,28 @@ object StreamingQueries {
 
   /** run a streaming frame to completion on the bounded source and hand
     * back the sink contents. AvailableNow processes all currently-
-    * available files then stops — the batch-replay trigger. */
-  private def replay(s: SparkSession, name: String, sdf: DataFrame,
-                     mode: String): DataFrame = {
-    s.catalog.dropTempView(name) // leftover from a prior run this session
-    // state-store partition count is a per-job sizing decision pinned
-    // into the checkpoint at first start (unlike batch, AQE cannot
-    // re-plan it): size to the stream's key cardinality. The fixture
-    // replay carries ~150 users / 5 event types, so a handful of state
-    // partitions is the correct sizing; a high-volume production stream
-    // would set hundreds. Restored after the replay so batch queries
-    // keep the session default.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = sdf.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    * available files then stops — the batch-replay trigger.
+    *
+    * The stream is built and run in a CHILD session (`newSession()`:
+    * shared SparkContext, isolated SQLConf + temp-view catalog) because
+    * state-store partition count is a per-job sizing decision pinned into
+    * the checkpoint at first start (unlike batch, AQE cannot re-plan it):
+    * size to the stream's key cardinality. The fixture replay carries
+    * ~150 users / 5 event types, so a handful of state partitions is the
+    * correct sizing; a high-volume production stream would set hundreds.
+    * Isolating the setting in a child session means concurrent batch
+    * queries on the shared session never observe it, and two interleaved
+    * replays can't clobber each other's conf (builder-level configs like
+    * nanosAsLong live in the shared SparkConf, so the child inherits
+    * them). */
+  private def replay(s: SparkSession, name: String, mode: String)
+                    (build: SparkSession => DataFrame): DataFrame = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = build(child).writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    child.table(name)
   }
 
   // watermark far past the fixture's span: bounded replay, nothing evicted
@@ -77,9 +80,9 @@ object StreamingQueries {
 
     // ---- incremental tumbling-window aggregation ------------------------
     Q("st01_stream_tumbling",
-      (s, d) => replay(s, "st01",
-        EventStreams.windowedCounts(eventsStream(s, d),
-          watermarkDelay = unbounded), mode = "complete"),
+      (s, d) => replay(s, "st01", mode = "complete")(c =>
+        EventStreams.windowedCounts(eventsStream(c, d),
+          watermarkDelay = unbounded)),
       Some("""
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
           COUNT(*) AS n,
@@ -91,10 +94,10 @@ object StreamingQueries {
     //      batch is an execution detail, the surviving key set is the
     //      operator's contract
     Q("st02_stream_dedup",
-      (s, d) => replay(s, "st02",
-        EventStreams.dedupStream(eventsStream(s, d),
+      (s, d) => replay(s, "st02", mode = "append")(c =>
+        EventStreams.dedupStream(eventsStream(c, d),
           Seq("user_id", "event_type"), "ts", unbounded)
-          .select(col("user_id"), col("event_type")), mode = "append"),
+          .select(col("user_id"), col("event_type"))),
       Some("SELECT DISTINCT user_id, event_type FROM events")),
 
     // ---- incremental sessionization via session_window ------------------
@@ -104,14 +107,14 @@ object StreamingQueries {
     //      eviction lives in EventStreams.sessionize / its spec; this is
     //      the aggregation-operator form of the same analysis.)
     Q("st03_stream_sessions",
-      (s, d) => replay(s, "st03",
-        eventsStream(s, d).withWatermark("ts", unbounded)
+      (s, d) => replay(s, "st03", mode = "complete")(c =>
+        eventsStream(c, d).withWatermark("ts", unbounded)
           .groupBy(col("user_id"),
             session_window(col("ts"), "30 minutes").as("w"))
           .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
             max(col("ts")).as("session_end"))
           .select(col("user_id"), col("session_start"), col("session_end"),
-            col("n_events")), mode = "complete"),
+            col("n_events"))),
       // boundary mirror: strict session-window semantics split at
       // diff >= gap on MICROsecond precision (epoch_us), unlike e03's
       // whole-second > 1800 rule
@@ -136,20 +139,19 @@ object StreamingQueries {
     //      purchases matched to same-user clicks in the preceding hour;
     //      the inner-join match set is batch-equal for a bounded replay
     Q("st04_stream_stream_join",
-      (s, d) => {
-        val clicks = eventsStream(s, d).filter(col("event_type") === "click")
+      (s, d) => replay(s, "st04", mode = "append") { c =>
+        val clicks = eventsStream(c, d).filter(col("event_type") === "click")
           .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
             col("event_id").as("click_id"))
-        val purchases = eventsStream(s, d)
+        val purchases = eventsStream(c, d)
           .filter(col("event_type") === "purchase")
           .select(col("user_id").as("c_user"), col("ts").as("purchase_ts"),
             col("event_id").as("purchase_id"))
-        replay(s, "st04",
-          EventStreams.streamStreamJoin(purchases, clicks, "c_user",
-            "purchase_ts", "click_ts", windowSec = 3600,
-            watermarkDelay = unbounded)
-            .select(col("c_user").as("user_id"), col("purchase_id"),
-              col("click_id")), mode = "append")
+        EventStreams.streamStreamJoin(purchases, clicks, "c_user",
+          "purchase_ts", "click_ts", windowSec = 3600,
+          watermarkDelay = unbounded)
+          .select(col("c_user").as("user_id"), col("purchase_id"),
+            col("click_id"))
       },
       Some("""
         SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
@@ -162,18 +164,17 @@ object StreamingQueries {
     //      events decorated with the user's nation from the static
     //      customer dim; per-nation spend is the enriched rollup
     Q("st05_stream_enrich",
-      (s, d) => {
-        val dim = Tables.customer(s, d)
+      (s, d) => replay(s, "st05", mode = "complete") { c =>
+        val dim = Tables.customer(c, d)
           .select(col("c_custkey").as("user_id"), col("c_nationkey"))
-        replay(s, "st05",
-          EventStreams.enrichStream(
-              eventsStream(s, d).filter(col("event_type") === "purchase"),
-              dim, Seq("user_id"))
-            .withWatermark("ts", unbounded)
-            .groupBy(col("c_nationkey"))
-            .agg(count(lit(1)).as("n_purchases"),
-              sum(col("value").cast("decimal(18,2)")).cast("double")
-                .as("total_value")), mode = "complete")
+        EventStreams.enrichStream(
+            eventsStream(c, d).filter(col("event_type") === "purchase"),
+            dim, Seq("user_id"))
+          .withWatermark("ts", unbounded)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("total_value"))
       },
       Some("""
         SELECT c.c_nationkey AS c_nationkey, COUNT(*) AS n_purchases,
