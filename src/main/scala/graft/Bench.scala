@@ -20,7 +20,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
 
+    // SPARK_GRAFT_ONLY=q43_preagg_join,q41_salted_join — dev-loop filter
+    // for timing a subset; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Unit =
