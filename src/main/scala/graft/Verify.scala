@@ -8,7 +8,11 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=name,name — dev-loop subset; unset runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
+      .foreach { case (name, fn) =>
       // coalesce(1) is oracle-dump-only convenience at sf0.01 — real sinks
       // go through Tables.writeZstd with full parallelism.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -144,6 +144,12 @@ object VectorExpressions {
           require(args.length == 2, s"vec_l2sq expects 2 arguments, got ${args.length}")
           L2SquaredDistance(args.head, args(1))
         }),
+      (FunctionIdentifier("cms_estimate"),
+        new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, s"cms_estimate expects 2 arguments, got ${args.length}")
+          CmsEstimate(args.head, args(1))
+        }),
       (FunctionIdentifier("minhash_agg"),
         new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
         (args: Seq[Expression]) => {

@@ -25,6 +25,8 @@ object IoQueries {
   private def scratch(name: String): String =
     scratchRoot.resolve(name).toString
 
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
   val qs: Seq[Q] = Seq(
 
     // ---- zstd partitioned sink + partition-pruned read ------------------
@@ -106,6 +108,76 @@ object IoQueries {
           CAST(2 AS BIGINT) AS n_files_after,
           COUNT(*) AS n_rows,
           COUNT(DISTINCT doc_id) AS n_distinct
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- bucketed co-located join ----------------------------------------
+    //      both fact tables are written bucketBy(8, joinkey)+sortBy — the
+    //      pay-the-shuffle-once layout for repeatedly-joined 100 TB facts:
+    //      the join over the bucketed tables plans with NO Exchange on
+    //      either side (pinned structurally in BucketingSpec; here the
+    //      oracle verifies the VALUES equal the plain join's). External
+    //      table paths live under the per-JVM scratch root; names are
+    //      fixed, mode=overwrite makes reruns idempotent.
+    Q("io04_bucketed_join",
+      (s, d) => {
+        s.sql("DROP TABLE IF EXISTS graft_io04_orders")
+        s.sql("DROP TABLE IF EXISTS graft_io04_lineitem")
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", scratch("io04_orders"))
+          .saveAsTable("graft_io04_orders")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", scratch("io04_lineitem"))
+          .saveAsTable("graft_io04_lineitem")
+        s.table("graft_io04_orders")
+          .join(s.table("graft_io04_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority""")),
+
+    // ---- range-partitioned sorted layout (time-series clustering) -------
+    //      repartitionByRange + sortWithinPartitions on the filter column
+    //      writes files with DISJOINT o_orderdate ranges (pinned in
+    //      SortedLayoutSpec) — every parquet row group then carries tight
+    //      min/max stats and a date-range reader skips all but the
+    //      matching slice: the clustering that stands in for an index at
+    //      100 TB. The gate verifies the narrow read-back slice value-
+    //      matches the source table.
+    Q("io05_range_layout",
+      (s, d) => {
+        val out = scratch("io05")
+        Tables.orders(s, d)
+          .repartitionByRange(8, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+          .write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderdate") >= lit("1997-03-01") &&
+            col("o_orderdate") < lit("1997-06-01"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+            min(col("o_orderdate")).as("first_day"),
+            max(col("o_orderdate")).as("last_day"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+          AND o_orderdate < TIMESTAMP '1997-06-01'"""))
   )
 }

@@ -406,6 +406,72 @@ object TpcH {
                           AND o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey""")),
 
+    // ---- Q8: national market share --------------------------------------
+    //      share of ASIA-region PROMO-part order volume supplied by
+    //      NATION_7, per order year. Plan shape: selective dims (filtered
+    //      part, nation, region) broadcast into the lineitem scan; the two
+    //      fact-fact joins (lineitem-orders, orders-customer) shuffle on
+    //      their keys; the nation dim enters TWICE under different aliases
+    //      (customer's nation gates the region, supplier's nation labels
+    //      the volume) — the self-join-alias case Spark 4 resolves by
+    //      attribute, pinned green here.
+    Q("h08_market_share",
+      (s, d) => {
+        val vol = discPrice18()
+        val zero = lit(0).cast("decimal(18,4)")
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cust_nk"),
+            col("n_regionkey").as("cust_rk"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("supp_nk"),
+            col("n_name").as("supp_nation"))
+        val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= ts("1995-01-01") &&
+                col("o_orderdate") < ts("1997-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("cust_nk"))
+          .join(broadcast(asia), col("cust_rk") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("supp_nk"))
+          .select(year(col("o_orderdate")).as("o_year"),
+            vol.as("volume"), col("supp_nation"))
+          .groupBy(col("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_7", col("volume"))
+              .otherwise(zero)).cast("double") /
+            sum(col("volume")).cast("double")).as("mkt_share"),
+            sum(col("volume")).cast("double").as("total_volume"))
+      },
+      Some(s"""
+        WITH flat AS (
+          SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+            $discPrice18Sql AS volume,
+            n2.n_name AS supp_nation
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+          CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+          CAST(SUM(volume) AS DOUBLE) AS total_volume
+        FROM flat GROUP BY o_year""")),
+
     // ---- Q18: large-volume customers ------------------------------------
     Q("h18_large_volume_customer",
       (s, d) => {

@@ -108,6 +108,49 @@ object Warehouse {
           FROM customer b FULL OUTER JOIN nxt n
             ON b.c_custkey = n.c_custkey)
         SELECT segment, change, COUNT(*) AS n
-        FROM j GROUP BY 1, 2"""))
+        FROM j GROUP BY 1, 2""")),
+
+    // ---- incremental aggregate maintenance (materialized-view delta) ----
+    //      the 100 TB pattern for standing summaries: never re-scan the
+    //      full fact table — keep the summary in ALGEBRAIC form (count,
+    //      decimal sum, min, max), aggregate only the new batch, and merge
+    //      partial states (sum of counts/sums, min of mins, max of maxes).
+    //      Derived measures (avg) are re-derived from the merged state.
+    //      The oracle is the full recompute the merge must equal; decimal
+    //      sums make the merge order-exact, so the equality is bit-level.
+    Q("w03_incremental_agg",
+      (s, d) => {
+        val cutoff = lit("1997-01-01")
+        def summarize(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"),
+              min(col("o_totalprice")).as("min_price"),
+              max(col("o_totalprice")).as("max_price"))
+        val orders = Tables.orders(s, d)
+        // the standing summary (all history before the batch)...
+        val mv = summarize(orders.filter(col("o_orderdate") < cutoff))
+        // ...and the new batch's partial state: only THIS slice is scanned
+        val delta = summarize(orders.filter(col("o_orderdate") >= cutoff))
+        mv.unionByName(delta)
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("sum_price")).as("merged_sum"),
+            min(col("min_price")).as("min_price"),
+            max(col("max_price")).as("max_price"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            col("merged_sum").cast("double").as("total_price"),
+            (col("merged_sum").cast("double") / col("n_orders"))
+              .as("avg_price"),
+            col("min_price"), col("max_price"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_price,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            AS avg_price,
+          MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_orderpriority"""))
   )
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions
+
+/** cms_estimate: reader-side probe of Spark's count_min_sketch binary.
+  * Pins the two hash paths (long keys, string keys via UTF-8 bytes) and
+  * the one-sided error guarantee (estimate is never below the exact
+  * count) that ds02's gate boolean relies on. */
+class SketchProbeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("long-key probe returns the exact count on a collision-free sketch") {
+    VectorExpressions.registerAll(spark)
+    val df = (1 to 1000).map(i => (i % 10).toLong).toDF("k")
+    // width 2000 counters >> 10 keys: no collisions, estimate == exact
+    val sk = df.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 42)").as("sk"))
+    val probed = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .crossJoin(sk)
+      .select(col("k"), col("exact"),
+        call_function("cms_estimate", col("sk"), col("k")).as("est"))
+      .collect()
+    assert(probed.length == 10)
+    probed.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"key ${r.getLong(0)}: est ${r.getLong(2)} != exact ${r.getLong(1)}"))
+  }
+
+  test("string-key probe matches the aggregate's UTF-8 byte hashing") {
+    VectorExpressions.registerAll(spark)
+    val df = Seq.fill(7)("alpha").union(Seq.fill(3)("βeta")).toDF("s")
+    val sk = df.agg(expr("count_min_sketch(s, 0.001d, 0.999d, 7)").as("sk"))
+    val probed = df.groupBy("s").agg(count(lit(1)).as("exact"))
+      .crossJoin(sk)
+      .select(col("s"), col("exact"),
+        call_function("cms_estimate", col("sk"), col("s")).as("est"))
+      .collect()
+    probed.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"key ${r.getString(0)}: est ${r.getLong(2)} != exact ${r.getLong(1)}"))
+  }
+
+  test("estimate is never below exact even under forced collisions") {
+    VectorExpressions.registerAll(spark)
+    val df = (1 to 5000).map(_.toLong).toDF("k")
+    // eps=0.5 -> width 4: every counter is shared by ~1250 keys
+    val sk = df.agg(expr("count_min_sketch(k, 0.5d, 0.9d, 1)").as("sk"))
+    val low = df.crossJoin(sk)
+      .select(call_function("cms_estimate", col("sk"), col("k")).as("est"))
+      .filter(col("est") < 1L)
+      .count()
+    assert(low == 0, s"$low keys estimated below their exact count of 1")
+  }
+
+  test("null sketch or null key yields null") {
+    VectorExpressions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT cms_estimate(CAST(NULL AS BINARY), 1L) AS a").collect()
+    assert(r.head.isNullAt(0))
+  }
+}
