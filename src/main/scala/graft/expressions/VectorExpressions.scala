@@ -144,6 +144,33 @@ object VectorExpressions {
           require(args.length == 2, s"vec_l2sq expects 2 arguments, got ${args.length}")
           L2SquaredDistance(args.head, args(1))
         }),
+      (FunctionIdentifier("bloom_agg"),
+        new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            s"bloom_agg expects (key, expectedItems, fpp), got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val n = args(1) match {
+            case Literal(v: Long, _) => v
+            case Literal(v: Int, _) => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"bloom_agg expectedItems must be an integer literal, got $other")
+          }
+          val fpp = args(2) match {
+            case Literal(v: Double, _) => v
+            case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"bloom_agg fpp must be a double literal, got $other")
+          }
+          BloomAgg(args.head, n, fpp).toAggregateExpression()
+        }),
+      (FunctionIdentifier("bloom_contains"),
+        new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"bloom_contains expects 2 arguments, got ${args.length}")
+          BloomMightContain(args.head, args(1))
+        }),
       (FunctionIdentifier("cms_estimate"),
         new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
         (args: Seq[Expression]) => {

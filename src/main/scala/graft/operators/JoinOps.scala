@@ -85,6 +85,31 @@ object JoinOps {
       .drop("_bin")
   }
 
+  /** Bloom semi-join reduction: filter `fact` down to rows whose key
+    * PROBABLY appears in `build`'s key set, using a bloom filter built
+    * with [[graft.expressions.BloomAgg]] and probed per-row with
+    * [[graft.expressions.BloomMightContain]].
+    *
+    * False negatives are impossible, so `bloomPreFilter(...)` followed by
+    * the exact join is result-identical to the plain join — but the
+    * shuffle the join needs now carries only probable matches (true
+    * matches + ~fpp of the rest). The filter itself is a driver-side
+    * scalar (one aggregate row, KBs–MBs regardless of build row count)
+    * bound into the probe as a literal — the same life cycle as a
+    * broadcast variable, reusable against any number of scans across
+    * queries. Spark's own runtime bloom injection (RuntimeFilterSpec)
+    * does this only within a single query's join. */
+  def bloomPreFilter(fact: DataFrame, factKey: String,
+                     build: DataFrame, buildKey: String,
+                     expectedItems: Long, fpp: Double): DataFrame = {
+    graft.expressions.VectorExpressions.registerAll(fact.sparkSession)
+    val bytes = build
+      .agg(call_function("bloom_agg", col(buildKey),
+        lit(expectedItems), lit(fpp)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(call_function("bloom_contains", lit(bytes), col(factKey)))
+  }
+
   /** Salted equi-join for skewed fact keys: the dimension side is
     * replicated `salt` times, the fact side picks a deterministic salt
     * from row identity, and the join key becomes (key, salt) — a hot key

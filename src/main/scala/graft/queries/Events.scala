@@ -310,6 +310,27 @@ object Events {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
         SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
         FROM p WHERE e1 IS NOT NULL
-        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20"""))
+        GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""")),
+
+    // ---- VARIANT semi-structured path (Spark 4 native JSON type) --------
+    //      parse once into the binary VARIANT encoding, extract typed
+    //      paths with variant_get — the schema-on-read route when props
+    //      carry heterogeneous payloads a fixed from_json StructType
+    //      (e04's approach) can't declare. Extraction is a typed path
+    //      probe into the encoded value, not a per-row string re-parse.
+    Q("e12_variant_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+          CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+          CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+        FROM events GROUP BY event_type"""))
   )
 }

@@ -79,6 +79,38 @@ object Sketches {
       },
       Some("""
         SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS est_in_band
-        FROM lineitem GROUP BY l_suppkey"""))
+        FROM lineitem GROUP BY l_suppkey""")),
+
+    // ---- bloom semi-join reduction --------------------------------------
+    //      lineitem is pre-filtered by a bloom filter over the urgent
+    //      orders' keys BEFORE the exact semi join — the shuffle then
+    //      carries probable matches only. No false negatives, so the
+    //      composed result equals the plain semi join, which is exactly
+    //      what the oracle checks (false positives are eliminated by the
+    //      exact join; BloomReductionSpec pins the reduction itself).
+    Q("ds03_bloom_prefilter",
+      (s, d) => {
+        val urgentKeys = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val reduced = graft.operators.JoinOps.bloomPreFilter(
+          Tables.lineitem(s, d), "l_orderkey",
+          urgentKeys, "o_orderkey",
+          expectedItems = 1000000L, fpp = 0.03)
+        reduced
+          .join(urgentKeys, col("l_orderkey") === col("o_orderkey"),
+            "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
+                      AND o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag"""))
   )
 }
