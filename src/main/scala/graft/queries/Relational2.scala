@@ -447,6 +447,29 @@ object Relational2 {
           COALESCE(daily.revenue, 0.0) AS revenue
         FROM spine LEFT JOIN daily USING (day)""")),
 
+    // ---- ordered string aggregation (LISTAGG WITHIN GROUP) --------------
+    //      deterministic only WITH the in-group order clause — unordered
+    //      listagg concatenates in partition arrival order. The filter
+    //      keeps group payloads bounded; at scale an unbounded listagg is
+    //      a memory hazard, not a query.
+    Q("q51_listagg",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_cust_q51")
+        s.sql("""
+          SELECT c_mktsegment,
+            COUNT(*) AS n,
+            listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+          FROM v_cust_q51
+          WHERE c_acctbal > 9900.0
+          GROUP BY c_mktsegment""")
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+          string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_acctbal > 9900.0
+        GROUP BY c_mktsegment""")),
+
     // ---- skew-salted join under the correctness gate --------------------
     //      JoinOps.saltedJoin spreads each hot key over `salt` reducers
     //      (fact side salted by row hash, dim side exploded salt-ways);

@@ -181,6 +181,35 @@ object StreamingQueries {
           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_type = 'purchase'
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- custom TypedImperativeAggregate through the micro-batch planner
+    //      the engine's own minhash_agg runs as STREAMING state: its
+    //      serialize/deserialize round-trips through the state store
+    //      between micro-batches. The stream's final signature must equal
+    //      the batch signature over the same rows (minhash is
+    //      order-independent: element-wise min) — emitted as a boolean
+    //      the oracle asserts, since DuckDB can't evaluate the sketch.
+    Q("st06_stream_custom_agg",
+      (s, d) => {
+        val streamed = replay(s, "st06", mode = "complete") { c =>
+          graft.expressions.VectorExpressions.registerAll(c)
+          eventsStream(c, d)
+            .withWatermark("ts", unbounded)
+            .groupBy("event_type")
+            .agg(expr("minhash_agg(xxhash64(user_id), 16)").as("sig_stream"),
+              count(lit(1)).as("n"))
+        }
+        graft.expressions.VectorExpressions.registerAll(s)
+        val batch = Tables.events(s, d)
+          .groupBy(col("event_type").as("bt"))
+          .agg(expr("minhash_agg(xxhash64(user_id), 16)").as("sig_batch"))
+        streamed.join(batch, col("event_type") === col("bt"))
+          .select(col("event_type"), col("n"),
+            (col("sig_stream") <=> col("sig_batch")).as("sig_equal"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n, TRUE AS sig_equal
+        FROM events GROUP BY event_type"""))
   )
 }
