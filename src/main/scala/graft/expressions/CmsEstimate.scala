@@ -23,16 +23,38 @@ import org.apache.spark.util.sketch.CountMinSketch
   * keys probe the long-hash path, string keys probe with their UTF-8
   * bytes (`CountMinSketchAgg` adds strings via `addBinary(getBytes)`).
   *
-  * Probes are expected on POST-aggregate rows (a handful of groups, not
-  * the fact table), so this evaluates interpreted (CodegenFallback) and
-  * re-reads the sketch per row; a per-partition deserialization cache
-  * would be the upgrade if a probe ever lands in a hot path.
+  * Probes are expected on POST-aggregate rows, but nothing enforces
+  * that, and a probe accidentally placed on a fact-table scan would
+  * deserialize the full sketch (~150 KB at eps=0.001) per ROW. A
+  * thread-local single-slot cache keyed by the sketch bytes makes the
+  * common case (one sketch value repeated across every probed row) a
+  * reference-compare: the sketch is broadcast as one literal/column
+  * value, so consecutive rows see the same byte array instance and even
+  * the content-compare fallback is cheaper than a re-deserialize.
   */
 case class CmsEstimate(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def prettyName: String = "cms_estimate"
   override def dataType: DataType = LongType
+
+  // thread-local because one Catalyst expression instance can be shared
+  // by several tasks of the same executor; @transient so the cache never
+  // rides the serialized plan to executors
+  @transient private lazy val lastSketch =
+    new ThreadLocal[(Array[Byte], CountMinSketch)]()
+
+  private def sketchFor(bytes: Array[Byte]): CountMinSketch = {
+    val cached = lastSketch.get()
+    if (cached != null &&
+        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
+      cached._2
+    else {
+      val cms = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      lastSketch.set((bytes, cms))
+      cms
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != BinaryType)
@@ -46,8 +68,7 @@ case class CmsEstimate(left: Expression, right: Expression)
     }
 
   override protected def nullSafeEval(sketchBytes: Any, key: Any): Any = {
-    val cms = CountMinSketch.readFrom(
-      new ByteArrayInputStream(sketchBytes.asInstanceOf[Array[Byte]]))
+    val cms = sketchFor(sketchBytes.asInstanceOf[Array[Byte]])
     right.dataType match {
       case LongType => cms.estimateCount(key.asInstanceOf[java.lang.Long])
       case StringType =>

@@ -158,9 +158,15 @@ object VectorExpressions {
           }
           val fpp = args(2) match {
             case Literal(v: Double, _) => v
+            case Literal(v: Float, _) => v.toDouble
+            // a plain SQL literal like 0.03 parses as DecimalType, and
+            // Catalyst stores its value as o.a.s.sql.types.Decimal (NOT
+            // java.math.BigDecimal) — both spellings accepted
+            case Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+              v.toDouble
             case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
             case other => throw new IllegalArgumentException(
-              s"bloom_agg fpp must be a double literal, got $other")
+              s"bloom_agg fpp must be a numeric literal, got $other")
           }
           BloomAgg(args.head, n, fpp).toAggregateExpression()
         }),

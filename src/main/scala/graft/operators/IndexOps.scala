@@ -18,14 +18,23 @@ object IndexOps {
     * be a unique ordering for the numbering to be well-defined) */
   def globalRowIndex(df: DataFrame, sortCols: Seq[Column],
                      indexName: String = "row_idx"): DataFrame = {
+    // persisted because the frame is traversed twice — the counts action
+    // below and the caller's eventual action over the numbered result.
+    // Without the cache each pass re-runs the scan + range exchange +
+    // in-partition sort: a full extra pass over the dataset at 100 TB.
+    // Lifecycle: the cache is catalog-tracked, so the harness's
+    // clearCache() between queries (Bench/Verify) reclaims it; callers
+    // embedding this in a longer job should unpersist after their action.
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(indexName,
           org.apache.spark.sql.types.LongType, nullable = false))
     // per-partition counts -> exclusive prefix offsets (tiny driver-side
-    // metadata, same technique as RDD.zipWithIndex)
+    // metadata, same technique as RDD.zipWithIndex); this action also
+    // populates the cache the numbering pass reads
     val counts = sorted.rdd.mapPartitionsWithIndex { case (pid, it) =>
       Iterator((pid, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)

@@ -53,32 +53,31 @@ object Sketches {
     // ---- count-min frequency sketch + in-plan probe ---------------------
     //      one CMS over the fact table's supplier key (fixed KB whatever
     //      the row count — the shippable per-partition frequency summary),
-    //      probed per key with the native cms_estimate expression. CMS
-    //      guarantees estimate >= exact always, and <= exact + eps*N with
-    //      high probability; both bounds are emitted as a boolean the
-    //      oracle asserts TRUE (deterministic: fixed seed, fixed data).
+    //      probed per key with the native cms_estimate expression. The
+    //      gate asserts only the DETERMINISTIC invariant (estimate >=
+    //      exact, always true for CMS); the upper band est <= exact +
+    //      eps*N holds only with probability 0.999 per key, so asserting
+    //      it here would let a regenerated dataset legitimately flip the
+    //      gate red with no code bug — that bound is pinned on seeded
+    //      fixed data in SketchProbeSpec instead.
     Q("ds02_countmin",
       (s, d) => {
         graft.expressions.VectorExpressions.registerAll(s)
         val li = Tables.lineitem(s, d)
         // eps=0.001 -> width 2000 counters; depth from confidence 0.999
         val sketch = li.agg(
-          expr("count_min_sketch(l_suppkey, 0.001d, 0.999d, 42)").as("sk"),
-          count(lit(1)).as("n_total"))
+          expr("count_min_sketch(l_suppkey, 0.001d, 0.999d, 42)").as("sk"))
         val exact = li.groupBy("l_suppkey")
           .agg(count(lit(1)).as("n_exact"))
         exact.crossJoin(broadcast(sketch))
           .select(col("l_suppkey"), col("n_exact"),
             call_function("cms_estimate", col("sk"), col("l_suppkey"))
-              .as("est"), col("n_total"))
+              .as("est"))
           .select(col("l_suppkey"), col("n_exact"),
-            (col("est") >= col("n_exact") &&
-              col("est") <= col("n_exact") +
-                ceil(col("n_total") * 0.001).cast("long"))
-              .as("est_in_band"))
+            (col("est") >= col("n_exact")).as("est_ge_exact"))
       },
       Some("""
-        SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS est_in_band
+        SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS est_ge_exact
         FROM lineitem GROUP BY l_suppkey""")),
 
     // ---- bloom semi-join reduction --------------------------------------

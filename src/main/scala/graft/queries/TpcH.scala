@@ -227,20 +227,26 @@ object TpcH {
           AND l_shipdate < TIMESTAMP '1996-04-01'""")),
 
     // ---- Q15: top supplier(s) by revenue --------------------------------
-    //      rank-over-global-agg instead of the spec's view + scalar
-    //      subquery: one pass, ties all surface, deterministic
+    //      the spec's view formulation: scalar MAX over the per-supplier
+    //      aggregate, joined back as a broadcast equi-join. Ties all
+    //      surface and NO single-task stage exists — the rank-over-
+    //      unpartitioned-window alternative funnels every supplier row
+    //      through one task (|suppliers| is millions at TPC-H sf10k).
+    //      `revenue` is persisted so its lineitem scan+agg runs once
+    //      across the two consumers (max probe + join back).
     Q("h15_top_supplier",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val revenue = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= ts("1996-01-01") &&
             col("l_shipdate") < ts("1996-04-01"))
           .groupBy(col("l_suppkey"))
           .agg(sum(discPrice18()).cast("double").as("total_revenue"))
+          .persist()
+        val maxRev = revenue
+          .agg(max(col("total_revenue")).as("max_revenue"))
         revenue
-          .withColumn("rk", rank().over(
-            Window.orderBy(col("total_revenue").desc)))
-          .filter(col("rk") === 1).drop("rk")
+          .join(broadcast(maxRev),
+            col("total_revenue") === col("max_revenue"))
           .join(broadcast(Tables.supplier(s, d)),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

@@ -63,6 +63,23 @@ class BloomReductionSpec extends SparkSpec {
       "built keys must always probe true")
   }
 
+  test("SQL decimal literals are accepted for fpp (0.03 parses as DECIMAL)") {
+    // a plain SQL call writes the fpp as a decimal literal, which Catalyst
+    // stores as o.a.s.sql.types.Decimal — regression test for the builder
+    // only matching Double/java.math.BigDecimal
+    VectorExpressions.registerAll(spark)
+    spark.range(10).createOrReplaceTempView("bloom_fpp_src")
+    val bytes = spark.sql(
+      "SELECT bloom_agg(id, 1000, 0.03) AS f FROM bloom_fpp_src")
+      .head().getAs[Array[Byte]](0)
+    assert(bytes.nonEmpty)
+    val hits = spark.range(10)
+      .select(call_function("bloom_contains", lit(bytes), col("id")).as("h"))
+      .agg(sum(when(col("h"), 1).otherwise(0)).as("hits"))
+      .head().getLong(0)
+    assert(hits == 10, "built keys must always probe true")
+  }
+
   test("null keys probe to null; empty build contains nothing") {
     VectorExpressions.registerAll(spark)
     val bytes = spark.range(0).select(col("id"))

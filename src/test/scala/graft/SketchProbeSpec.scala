@@ -50,6 +50,30 @@ class SketchProbeSpec extends SparkSpec {
     assert(low == 0, s"$low keys estimated below their exact count of 1")
   }
 
+  test("upper error band est <= exact + eps*N holds on seeded fixed data") {
+    // the probabilistic bound ds02's gate deliberately does NOT assert
+    // (confidence 0.999 per key — a regenerated dataset could flip it):
+    // on THIS fixed seed + fixed input it is deterministic, so pin it
+    // here where a failure always means a code change, not bad luck
+    VectorExpressions.registerAll(spark)
+    val df = (1 to 20000).map(i => (i % 500).toLong).toDF("k")
+    val eps = 0.001
+    val sk = df.agg(expr(s"count_min_sketch(k, ${eps}d, 0.999d, 42)").as("sk"),
+      count(lit(1)).as("n_total"))
+    val out = df.groupBy("k").agg(count(lit(1)).as("exact"))
+      .crossJoin(sk)
+      .select(col("k"), col("exact"), col("n_total"),
+        call_function("cms_estimate", col("sk"), col("k")).as("est"))
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val bound = r.getLong(1) + math.ceil(eps * r.getLong(2)).toLong
+      assert(r.getLong(3) >= r.getLong(1) && r.getLong(3) <= bound,
+        s"key ${r.getLong(0)}: est ${r.getLong(3)} outside " +
+          s"[${r.getLong(1)}, $bound]")
+    }
+  }
+
   test("null sketch or null key yields null") {
     VectorExpressions.registerAll(spark)
     val r = spark.sql(
