@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.operators.SimilarityOps
 
-/** Clustering analytics over `embeddings` — the k-means training step the
+/** Clustering analytics over `embeddings` — the k-means training the
   * IVF index docstring defers to ("a production index would k-means-train
   * these offline") plus nearest-centroid evaluation, as gate-checked
   * distributed operators.
@@ -14,23 +14,75 @@ import graft.operators.SimilarityOps
   * L2 via a partial-aggregated min-struct — one shuffle keyed by vec_id,
   * linear in corpus size. Per-cluster means go through DECIMAL sums so
   * the oracle's aggregation order cannot change the result (double sums
-  * are order-sensitive; decimal sums are exact and commutative).
+  * are order-sensitive; decimal sums are exact and commutative); that
+  * exactness is what lets c03 iterate — every derived centroid
+  * coordinate is bit-identical on both sides, so the NEXT assignment
+  * round agrees too, and the whole fixed-point replay stays hash-exact.
+  *
+  * At 100 TB: the corpus frame is persisted once and each Lloyd pass is
+  * one broadcast-join scan + one keyed shuffle; centroids (k × dims
+  * doubles) never leave the plan, there is no per-iteration driver
+  * collect, and the iteration count is FIXED (deterministic replay — a
+  * convergence threshold would be data-dependent and un-replayable by
+  * the SQL oracle).
   */
 object Clustering {
 
-  /** corpus as (vec_id, v: array<double>) + the first-k deterministic
-    * seed centroids, shared by both queries */
-  private def assigned(s: SparkSession, d: String, k: Int): DataFrame = {
-    val emb = SimilarityOps.prepared(Tables.embeddings(s, d))
-      .select(col("vec_id"), col("v"))
-    val cents = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
+  /** nearest-centroid assignment: one broadcast join + one keyed
+    * min-struct aggregation. Output: (vec_id, cell, d2, v) — d2 kept so
+    * callers can compute the within-cluster SSE of a pass for free. */
+  private[graft] def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
+      .agg(min(struct(col("d2"), col("cell"))).as("best"),
         first(col("v")).as("v"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.d2").as("d2"), col("v"))
+
+  /** Lloyd centroid refresh: exact decimal per-(cell, dim) means,
+    * reassembled into ordered vectors. Empty cells vanish (the classic
+    * k-means empty-cluster case) — the oracle replay does the same. */
+  private[graft] def refreshCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "coord")))
+      .groupBy(col("cell"), col("dim"))
+      .agg((sum(col("coord").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cell"), expr("transform(dm, x -> x.m)").as("cv"))
+
+  /** the first-k deterministic seed centroids */
+  private def seeds(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+
+  /** corpus as (vec_id, v: array<double>) */
+  private[graft] def corpus(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.prepared(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("v"))
+
+  /** assignment passes a_0 .. a_{iters-1}: a_0 against the seed
+    * centroids, each later pass against the refresh of the previous
+    * assignment. All lazy — one DAG, no driver-side data movement. */
+  private[graft] def lloydPasses(emb: DataFrame, k: Int, iters: Int): Seq[DataFrame] = {
+    require(iters >= 1)
+    Iterator.iterate(assignTo(emb, seeds(emb, k))) { a =>
+      assignTo(emb, refreshCentroids(a))
+    }.take(iters).toSeq
   }
+
+  /** first-4-dimensions summary of an assignment (the c01/c03 report):
+    * member counts and exact decimal-summed coordinate means per cell */
+  private def report4(a: DataFrame): DataFrame =
+    a.select(col("cell"), explode(array((0 until 4).map(lit): _*)).as("dim"),
+        col("v"))
+      .withColumn("coord", element_at(col("v"), col("dim") + 1))
+      .groupBy(col("cell"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("coord").cast("decimal(18,9)")).cast("double").as("sum_coord"))
+      .withColumn("mean_coord", col("sum_coord") / col("n_members"))
 
   private def l2sqSql(a: String, b: String) =
     s"""list_reduce(list_prepend(0.0,
@@ -38,15 +90,43 @@ object Clustering {
          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        (x, y) -> x + y)"""
 
-  private val assignCte = s"""
+  /** CTE chain replaying `iters` Lloyd passes: c0 = seeds, a_i = argmin
+    * assignment against c_i, c_{i+1} = exact decimal centroid refresh of
+    * a_i. The double arithmetic matches Spark bit-for-bit: left-fold L2
+    * sums on both sides, decimal-exact means, ties broken by cell. */
+  private def lloydCte(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(s"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-    c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
-    d AS (SELECT e.vec_id, c.cell, ${l2sqSql("e.v", "c.cv")} AS d2 FROM e, c),
-    a AS (SELECT vec_id, cell FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-              ORDER BY d2 ASC, cell ASC) AS rk FROM d)
-          WHERE rk = 1)
-  """
+    c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k)""")
+    for (i <- 0 until iters) {
+      sb ++= s""",
+    d$i AS (SELECT e.vec_id, c$i.cell, ${l2sqSql("e.v", s"c$i.cv")} AS d2
+            FROM e, c$i),
+    a$i AS (SELECT vec_id, cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cell ASC) AS rk FROM d$i)
+            WHERE rk = 1)"""
+      if (i < iters - 1) sb ++= s""",
+    c${i + 1} AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+              SELECT a.cell, t.dim AS dim,
+                CAST(SUM(CAST(e.v[t.dim] AS DECIMAL(18,9))) AS DOUBLE)
+                  / COUNT(*) AS m
+              FROM a$i a JOIN e USING (vec_id)
+              CROSS JOIN UNNEST(range(1, len(e.v) + 1)) AS t(dim)
+              GROUP BY a.cell, t.dim) GROUP BY cell)"""
+    }
+    sb.toString
+  }
+
+  private def report4Sql(a: String) = s"""
+    , m AS (SELECT $a.cell, t.dim, e.v[t.dim + 1] AS coord
+            FROM $a JOIN e USING (vec_id)
+            CROSS JOIN (VALUES (0), (1), (2), (3)) t(dim))
+    SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_members,
+      CAST(SUM(CAST(coord AS DECIMAL(18,9))) AS DOUBLE) AS sum_coord,
+      CAST(SUM(CAST(coord AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+        AS mean_coord
+    FROM m GROUP BY cell, dim"""
 
   val qs: Seq[Q] = Seq(
 
@@ -56,36 +136,35 @@ object Clustering {
     //      index runs offline, expressed as broadcast-argmin + one keyed
     //      aggregation (no per-iteration driver involvement)
     Q("c01_kmeans_step",
-      (s, d) => assigned(s, d, k = 8)
-        .select(col("cell"), explode(array((0 until 4).map(lit): _*)).as("dim"),
-          col("v"))
-        .withColumn("coord", element_at(col("v"), col("dim") + 1))
-        .groupBy(col("cell"), col("dim").cast("long").as("dim"))
-        .agg(count(lit(1)).as("n_members"),
-          sum(col("coord").cast("decimal(18,9)")).cast("double").as("sum_coord"))
-        .withColumn("mean_coord", col("sum_coord") / col("n_members")),
-      Some(assignCte + """
-        , m AS (SELECT a.cell, t.dim, e.v[t.dim + 1] AS coord
-                FROM a JOIN e USING (vec_id)
-                CROSS JOIN (VALUES (0), (1), (2), (3)) t(dim))
-        SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_members,
-          CAST(SUM(CAST(coord AS DECIMAL(18,9))) AS DOUBLE) AS sum_coord,
-          CAST(SUM(CAST(coord AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
-            AS mean_coord
-        FROM m GROUP BY cell, dim""")),
+      (s, d) => report4(lloydPasses(corpus(s, d), k = 8, iters = 1).last),
+      Some(lloydCte(8, 1) + report4Sql("a0"))),
 
     // ---- nearest-centroid confusion vs the true labels ------------------
     //      the evaluation step of centroid-based classification/indexing:
     //      how each labeled class distributes over the 8 seed cells
     Q("c02_centroid_confusion",
-      (s, d) => assigned(s, d, k = 8)
+      (s, d) => lloydPasses(corpus(s, d), k = 8, iters = 1).last
         .join(Tables.embeddings(s, d).select(col("vec_id"),
           col("label").cast("long").as("label")), "vec_id")
         .groupBy(col("label"), col("cell"))
         .agg(count(lit(1)).as("n")),
-      Some(assignCte + """
+      Some(lloydCte(8, 1) + """
         SELECT CAST(label AS BIGINT) AS label, cell, COUNT(*) AS n
-        FROM a JOIN embeddings USING (vec_id)
-        GROUP BY 1, 2"""))
+        FROM a0 JOIN embeddings USING (vec_id)
+        GROUP BY 1, 2""")),
+
+    // ---- convergent k-means: 3 full Lloyd passes -------------------------
+    //      assignment -> exact-decimal centroid refresh -> reassignment,
+    //      twice over, then the same 4-dim report as c01 — the offline
+    //      IVF training loop end to end. The corpus frame is persisted
+    //      for the duration (each pass re-scans it); KMeansSpec pins the
+    //      monotone non-increasing within-cluster SSE across the passes.
+    Q("c03_kmeans_converged",
+      (s, d) => {
+        val emb = corpus(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        report4(lloydPasses(emb, k = 8, iters = 3).last)
+      },
+      Some(lloydCte(8, 3) + report4Sql("a2")))
   )
 }

@@ -178,6 +178,70 @@ object IoQueries {
           MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1997-03-01'
-          AND o_orderdate < TIMESTAMP '1997-06-01'"""))
+          AND o_orderdate < TIMESTAMP '1997-06-01'""")),
+
+    // ---- CSV sink + schema-on-read round trip ----------------------------
+    //      CSV is the interchange format, not the storage format: written
+    //      UNcompressed (plain text splits across tasks; a gzip'd CSV is
+    //      one unsplittable blob per file at 100 TB) and read back with an
+    //      EXPLICIT schema — schema inference reads the data twice and
+    //      guesses. The oracle recomputes the aggregate from the source
+    //      parquet, so quoting/escaping/typed round-trip fidelity (incl.
+    //      the free-text column) is what's actually being verified.
+    Q("io06_csv_roundtrip",
+      (s, d) => {
+        val out = scratch("io06")
+        Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "n_chars", "text")
+          .write.mode("overwrite")
+          .option("header", "true").option("escape", "\"")
+          .csv(out)
+        s.read
+          .schema("doc_id BIGINT, lang STRING, source STRING, " +
+            "n_chars BIGINT, text STRING")
+          .option("header", "true").option("escape", "\"")
+          .csv(out)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"),
+            countDistinct(col("doc_id")).as("n_distinct"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(LEN(text)) AS BIGINT) AS sum_text_len,
+          COUNT(DISTINCT doc_id) AS n_distinct
+        FROM documents GROUP BY lang""")),
+
+    // ---- JSON-lines sink + schema-on-read round trip ---------------------
+    //      same discipline as io06: newline-delimited JSON (each line its
+    //      own record -> splittable), explicit schema on read. Doubles
+    //      survive exactly (Jackson emits shortest-round-trip rendering),
+    //      which the decimal-summed aggregate would expose if they didn't.
+    Q("io07_json_roundtrip",
+      (s, d) => {
+        val out = scratch("io07")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity",
+            "l_extendedprice")
+          .write.mode("overwrite").json(out)
+        s.read
+          .schema("l_orderkey BIGINT, l_returnflag STRING, " +
+            "l_quantity DOUBLE, l_extendedprice DOUBLE")
+          .json(out)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+          COUNT(DISTINCT l_orderkey) AS n_orders,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM lineitem GROUP BY l_returnflag"""))
   )
 }
