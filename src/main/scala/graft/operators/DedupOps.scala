@@ -247,7 +247,19 @@ object DedupOps {
     * wide. A log2 token-count bucket rides along as a secondary key
     * (emitted at L and L+1 so one boundary crossing still collides);
     * raising comboSize is the web-scale knob: exponentially smaller
-    * buckets for combinatorially more probes. */
+    * buckets for combinatorially more probes.
+    *
+    * Codegen note (measured): building the probe keys as an inline
+    * `explode(array(key_1 … key_240))` inlines every slice expression
+    * into one generated method — for (16,2) that is 240 xxhash64 calls
+    * and Janino dies with "Code grows beyond 64 KB", so the WHOLE stage
+    * silently falls back to interpreted eval (candidate gen measured 4.1s
+    * vs 0.5s at sf0.1, plus a multi-second failed-compile). Instead the
+    * (comboIndex, slice positions, lenBucket delta) probe table is ONE
+    * constant array literal exploded per row, and the bucket key is a
+    * single xxhash64 over values looked up via codegen'd element_at — the
+    * generated code is constant-size no matter how many combos, which is
+    * exactly what the web-scale comboSize knob needs. */
   def simHashCandidates(sigs: DataFrame, maxHamming: Int, blocks: Int = 16,
                         comboSize: Int = 2): DataFrame = {
     require(comboSize >= 1 && comboSize < blocks,
@@ -258,19 +270,31 @@ object DedupOps {
     val rem = 64 % blocks
     val widths = Seq.tabulate(blocks)(i => if (i < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    def slice(i: Int): Column =
-      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val lenBucket = floor(log2(col("n_tok") + 1)).cast("long")
-    val keys = for {
+    // probe table: one row per (combo, lenBucket delta), each carrying
+    // the (shift offset, bit mask) of its slices — a pure literal, so
+    // Generate replays a constant array instead of evaluating
+    // 2*C(blocks,comboSize) hash expressions per input row, and the
+    // slice values are re-derived from `simhash` AFTER the explode (the
+    // exploded row carries only doc_id/simhash/lb, not a slice array
+    // that Generate would copy once per probe)
+    val probes = typedLit(for {
       (combo, ci) <- (0 until blocks).combinations(comboSize).toSeq.zipWithIndex
       dl <- 0 to 1
-    } yield xxhash64((lit(ci.toLong) +: combo.map(slice)) :+ (lenBucket + dl): _*)
+    } yield (ci.toLong, combo.map(offsets).toSeq,
+             combo.map(i => (1L << widths(i)) - 1).toSeq, dl.toLong))
+    val bucket = expr("xxhash64(p._1, " +
+      (1 to comboSize).map(j =>
+        s"shiftright(simhash, element_at(p._2, $j)) & element_at(p._3, $j)")
+        .mkString(", ") + ", lb + p._4)")
     // persisted: the self-join's two branches get fresh expression ids,
     // so without this Spark recomputes the full signature pipeline
-    // (shingle + 17-agg + 240-key explode) once per side; the cached
+    // (shingle + 17-agg + probe explode) once per side; the cached
     // frame is (doc_id, simhash, bucket) — ~nCombos*2 rows/doc, spillable
     val banded = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bucket"))
+      .select(col("doc_id"), col("simhash"), lenBucket.as("lb"),
+        explode(probes).as("p"))
+      .select(col("doc_id"), col("simhash"), bucket.as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // measured note: a groupBy(bucket)+collect_list+combination-expansion
     // formulation (computing `banded` once) was tried and is ~50% slower
