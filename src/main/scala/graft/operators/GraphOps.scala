@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics as pure DataFrame programs — PageRank,
+  * degree-oriented triangle counting, and bounded BFS. These are the
+  * graph-shaped jobs a training-data pipeline runs over entity/link
+  * structure (source-domain link graphs, co-occurrence graphs), expressed
+  * so Catalyst keeps every step a declarative join + keyed aggregation:
+  * no driver-side adjacency structures, no RDD drops.
+  *
+  * Scale notes (the shapes that survive 100 TB):
+  *  - Each PageRank iteration is ONE shuffle join (ranks × adjacency on
+  *    src) + ONE keyed aggregation (contributions by dst). The adjacency
+  *    frame (edges + out-degree) is persisted once and reused across all
+  *    iterations; rank frames are O(|V|) and flow through the shuffle.
+  *    On a cluster, pre-partitioning adjacency by src makes the per-round
+  *    join a co-located zero-exchange probe.
+  *  - Triangle counting uses the degree-orientation trick (Cohen 2009;
+  *    also Suri & Vassilvitskii's MapReduce variant): orienting every
+  *    edge from its (degree, id)-smaller endpoint to the larger caps the
+  *    effective out-degree at O(sqrt(|E|)), so the wedge join generates
+  *    O(|E|^1.5) candidates instead of sum(deg^2) — the difference
+  *    between feasible and explosive on skewed power-law graphs.
+  *  - BFS keeps a persisted visited set and joins only the FRONTIER
+  *    (newly discovered nodes) against adjacency each round — work per
+  *    round is O(edges out of frontier), not O(|V|).
+  *
+  * Determinism discipline (same as Clustering): per-node contribution
+  * sums go through exact DECIMAL arithmetic so aggregation order cannot
+  * perturb the result, and iteration counts are FIXED so the DuckDB
+  * oracle can replay the computation as a CTE chain bit-for-bit.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank over a directed edge list (src, dst).
+    *
+    * Callers must pass a graph where every node has at least one
+    * out-edge (e.g. a bidirectionalized undirected graph) — dangling
+    * mass is then zero and the per-iteration update is exactly
+    *   r'(n) = teleport/N + damping * sum_{m->n} r(m)/outdeg(m).
+    *
+    * `teleport` is taken explicitly rather than computed as 1-damping:
+    * 1.0 - 0.85 is 0.15000000000000002 in IEEE double, which would
+    * silently diverge from an oracle writing the literal 0.15.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // adjacency with out-degree attached: the frame every iteration joins
+    val adj = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = deg.agg(count(lit(1)).as("n"))
+    val r0 = deg.select(col("src").as("id"))
+      .crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    (0 until iters).foldLeft(r0) { (r, _) =>
+      adj.join(r, col("src") === col("id"))
+        // double division is deterministic (both operands exact on both
+        // engines); the SUM goes through decimal so shuffle order can't
+        // change the result. Ranks are < 1 and node degree is bounded by
+        // |V|, so the decimal(28,15) units stay far under 2^53 and the
+        // final decimal->double conversion is exactly the same correctly
+        // rounded value on Spark (BigDecimal) and DuckDB (int/1e15).
+        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib").cast("decimal(28,15)")).cast("double").as("m"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("id"),
+          (lit(teleport) / col("n") + lit(damping) * col("m")).as("rank"))
+    }
+  }
+
+  /** Triangle census of an undirected graph given as canonical edges
+    * (u < v, deduplicated). Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).
+    *
+    * Orientation: every edge points from its (degree, id)-smaller
+    * endpoint to the larger, a total order, so each triangle a<b<c is
+    * generated exactly once as the wedge (a->b, a->c) closed by b->c.
+    * Wedge candidates are bounded by the ORIENTED out-degree (<=
+    * O(sqrt(|E|)) per node), not the raw degree — the skew-proof shape.
+    */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val e = und.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val fwd = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // oriented edge + the (deg, id) sort key of its head, so the wedge
+    // join can order the two heads without re-joining degrees
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, struct(col("dv").as("kd"), col("v").as("ki")))
+          .otherwise(struct(col("du").as("kd"), col("u").as("ki")))
+          .as("dkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dkey") < col("o2.dkey"))
+      .select(col("o1.dst").as("b"), col("o2.dst").as("c"))
+    val triangles = wedges.join(oriented.as("e3"),
+      col("b") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
+
+    val nodesRow = deg.agg(count(lit(1)).as("n_nodes"),
+      (sum(col("deg") * (col("deg") - 1)) / lit(2)).cast("long").as("n_wedges"))
+    val edgesRow = e.agg(count(lit(1)).as("n_edges"))
+    val triRow = triangles.agg(count(lit(1)).as("n_triangles"))
+    nodesRow.crossJoin(edgesRow).crossJoin(triRow)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("global_clustering"))
+  }
+
+  /** Min-hop BFS from `start` over a directed edge list, bounded at
+    * `maxHops`. Returns (id, hop) with hop = first-discovery distance.
+    * Each round joins only the new frontier against adjacency and
+    * anti-joins the visited set — never re-expands settled nodes. */
+  def bfsHops(edges: DataFrame, start: Long, maxHops: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq((start, 0L)).toDF("id", "hop")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited.select("id")
+    for (hop <- 1 to maxHops) {
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(hop.toLong).as("hop"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      frontier = next.select("id")
+    }
+    visited
+  }
+}

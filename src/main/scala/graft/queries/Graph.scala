@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.GraphOps
+
+/** Gate-visible graph analytics over graphs derived from the star
+  * schema:
+  *  - the BIPARTITE trade graph — customer c and supplier s are linked
+  *    iff c ordered from s (orders x lineitem, distinct pairs), node ids
+  *    disambiguated as custkey*2 / suppkey*2+1, bidirectionalized so
+  *    every node has out-edges;
+  *  - the CO-PURCHASE part graph — parts u < v are linked iff they
+  *    appear together in >= 2 orders (the noise-floor filter that keeps
+  *    a co-occurrence graph sparse instead of quadratic-dense).
+  *
+  * Every query is a fixed-iteration computation so the DuckDB oracle
+  * replays it exactly: PageRank as a CTE chain (one CTE per iteration),
+  * BFS as a bounded recursive CTE, triangles as the canonical
+  * a<b<c three-way self-join (count is orientation-independent, so the
+  * oracle can use the simple formulation while Spark runs the
+  * degree-oriented one that survives skew).
+  */
+object Graph {
+
+  /** distinct customer->supplier pairs with disjoint long ids */
+  private def bipartitePairs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+
+  /** both directions of the bipartite graph: (src, dst) */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
+    val und = bipartitePairs(s, d)
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  private val bipartiteSql = """
+    und AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL
+      SELECT b AS src, a AS dst FROM und)"""
+
+  /** CTE chain replaying `iters` PageRank rounds with the same exact
+    * decimal contribution sums as GraphOps.pageRank. */
+  private def pageRankSql(iters: Int): String = {
+    val sb = new StringBuilder("WITH" + bipartiteSql + """,
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+           FROM deg, nn)""")
+    for (i <- 0 until iters) sb ++= s""",
+    r${i + 1} AS (
+      SELECT id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * m AS rank
+      FROM (
+        SELECT e.dst AS id,
+          CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15))) AS DOUBLE) AS m
+        FROM edges e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst))"""
+    sb ++= s"""
+    SELECT id,
+      CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      rank
+    FROM r$iters"""
+    sb.toString
+  }
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- fixed-iteration PageRank over the trade graph ------------------
+    //      3 rounds, damping 0.85: each round is one shuffle join of the
+    //      rank frame against the persisted adjacency plus one keyed
+    //      decimal-exact aggregation — the iterative-analytics shape
+    //      (centrality over a source/link graph) with zero driver-side
+    //      state. Oracle replays the identical arithmetic as a CTE chain.
+    Q("g01_pagerank",
+      (s, d) => GraphOps.pageRank(bipartiteEdges(s, d), iters = 3)
+        .select(col("id"),
+          when(col("id") % 2 === 0, "customer").otherwise("supplier")
+            .as("kind"),
+          col("rank")),
+      Some(pageRankSql(3))),
+
+    // ---- degree-oriented triangle census of the co-purchase graph -------
+    //      edges = part pairs co-ordered >= 2 times; Spark runs the
+    //      orientation-bounded wedge join (out-degree capped at
+    //      O(sqrt(|E|)) — the formulation that survives power-law skew),
+    //      the oracle counts the same triangles via the canonical
+    //      a<b<c self-join. Global clustering = 3*triangles/wedges.
+    Q("g02_triangle_count",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val und = li.as("x")
+          .join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("u"), col("v"))
+        GraphOps.triangleStats(und)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT x.l_partkey AS u, y.l_partkey AS v
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        deg AS (
+          SELECT id, COUNT(*) AS deg FROM (
+            SELECT u AS id FROM pairs UNION ALL SELECT v AS id FROM pairs)
+          GROUP BY id),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM pairs e1
+          JOIN pairs e2 ON e1.v = e2.u
+          JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT
+          (SELECT COUNT(*) FROM deg) AS n_nodes,
+          (SELECT COUNT(*) FROM pairs) AS n_edges,
+          (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) FROM deg)
+            AS n_wedges,
+          (SELECT n_triangles FROM tri) AS n_triangles,
+          CAST(3.0 AS DOUBLE) * (SELECT n_triangles FROM tri)
+            / (SELECT SUM(deg * (deg - 1)) // 2 FROM deg)
+            AS global_clustering""")),
+
+    // ---- bounded BFS reachability from one customer ---------------------
+    //      3-hop frontier expansion from customer #1 (node id 2) over the
+    //      trade graph: per-round work is frontier-out-edges only, the
+    //      visited set is persisted and anti-joined — reachability sizes
+    //      per hop. Oracle: bounded recursive CTE + min-hop dedup.
+    Q("g03_bfs_reachability",
+      (s, d) => GraphOps.bfsHops(bipartiteEdges(s, d), start = 2L, maxHops = 3)
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes")),
+      Some("""
+        WITH RECURSIVE""" + bipartiteSql + """,
+        walk AS (
+          SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop
+          UNION
+          SELECT e.dst, w.hop + 1 FROM walk w
+          JOIN edges e ON w.id = e.src
+          WHERE w.hop < 3)
+        SELECT min_hop AS hop, COUNT(*) AS n_nodes FROM (
+          SELECT id, MIN(hop) AS min_hop FROM walk GROUP BY id)
+        GROUP BY 1"""))
+  )
+}

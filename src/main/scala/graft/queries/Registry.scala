@@ -22,7 +22,7 @@ object Registry {
     Relational.qs ++ Relational2.qs ++ TripParity.qs ++ TextOps.qs ++
       Dedup.qs ++ Similarity.qs ++ Events.qs ++ Multimodal.qs ++
       StreamingQueries.qs ++ TpcH.qs ++ Sketches.qs ++ IoQueries.qs ++
-      Clustering.qs ++ Warehouse.qs
+      Clustering.qs ++ Warehouse.qs ++ Graph.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

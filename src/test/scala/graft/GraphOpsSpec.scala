@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def undirected(pairs: (Long, Long)*) = {
+    val und = pairs.toDF("a", "b")
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  test("pageRank: ranks sum to 1 and the hub outranks the spokes") {
+    // star graph: node 0 linked to 1..5 (bidirectional)
+    val edges = undirected((1L to 5L).map(i => (0L, i)): _*)
+    val r = GraphOps.pageRank(edges, iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"sum=${r.values.sum}")
+    assert(r(0L) > r(1L) * 3, s"hub=${r(0L)} spoke=${r(1L)}")
+    // spokes are symmetric
+    assert((2L to 5L).forall(i => r(i) == r(1L)))
+  }
+
+  test("pageRank on a cycle is uniform regardless of iteration count") {
+    val n = 6L
+    val edges = undirected((0L until n).map(i => (i, (i + 1) % n)): _*)
+    val r = GraphOps.pageRank(edges, iters = 3).collect().map(_.getDouble(1))
+    assert(r.length == n)
+    assert(r.forall(v => math.abs(v - 1.0 / n) < 1e-12))
+  }
+
+  test("triangleStats counts K4 exactly") {
+    // complete graph on 4 nodes: 6 edges, 4 triangles, 12 wedges,
+    // clustering 1.0
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val row = GraphOps.triangleStats(und).collect().head
+    assert(row.getLong(0) == 4)          // n_nodes
+    assert(row.getLong(1) == 6)          // n_edges
+    assert(row.getLong(2) == 12)         // n_wedges
+    assert(row.getLong(3) == 4)          // n_triangles
+    assert(row.getDouble(4) == 1.0)      // 3*4/12
+  }
+
+  test("triangleStats: triangle with a pendant edge") {
+    // nodes 1-2-3 form a triangle; 4 hangs off node 1.
+    // degrees: 1->3, 2->2, 3->2, 4->1; wedges = 3+1+1+0 = 5
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    val row = GraphOps.triangleStats(und).collect().head
+    assert(row.getLong(0) == 4 && row.getLong(1) == 4)
+    assert(row.getLong(2) == 5 && row.getLong(3) == 1)
+    assert(row.getDouble(4) == 3.0 * 1 / 5)
+  }
+
+  test("bfsHops: min-hop distances on a path with a shortcut") {
+    // path 1-2-3-4-5 plus shortcut 1-4: node 4 is 1 hop away, 5 is 2
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val hops = GraphOps.bfsHops(edges, start = 1L, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops stops at maxHops and never revisits") {
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val hops = GraphOps.bfsHops(edges, start = 1L, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
