@@ -242,6 +242,73 @@ object IoQueries {
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
             AS sum_price
-        FROM lineitem GROUP BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- ORC sink round trip ---------------------------------------------
+    //      the third columnar format next to parquet (io01) and the text
+    //      interchange formats (io06/io07): zstd-compressed ORC written
+    //      and read back through Spark's vectorized ORC reader, incl. a
+    //      TIMESTAMP_NTZ column (type-annotation round-trip fidelity).
+    //      DuckDB reads no ORC, so the oracle recomputes the aggregate
+    //      from the source parquet — same discipline as io06.
+    Q("io08_orc_roundtrip",
+      (s, d) => {
+        val out = scratch("io08")
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice",
+            "o_orderdate")
+          .write.mode("overwrite").option("compression", "zstd").orc(out)
+        s.read.orc(out)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_orderkey")).as("n_distinct"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+            min(col("o_orderdate")).as("first_day"),
+            max(col("o_orderdate")).as("last_day"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+          COUNT(DISTINCT o_orderkey) AS n_distinct,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          MIN(o_orderdate) AS first_day, MAX(o_orderdate) AS last_day
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- Z-order (Morton) multi-dimensional layout -----------------------
+    //      orders clustered by the bit-interleave of (o_custkey,
+    //      days(o_orderdate)): every written file then carries a TIGHT
+    //      min/max range on BOTH dimensions, so row-group stats prune a
+    //      customer-range scan AND a date-range scan from the same single
+    //      layout — what io05's one-column sort can only do for its sort
+    //      key. ZOrderLayoutSpec pins the pruning claim against the
+    //      written files' actual per-file min/max; here the gate verifies
+    //      a 2-D box query's VALUES survive the layout round trip.
+    Q("io09_zorder_layout",
+      (s, d) => {
+        val out = scratch("io09")
+        val days = datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date"))
+        Tables.orders(s, d)
+          .withColumn("zkey",
+            graft.functions.Layout.zorder16(col("o_custkey"), days))
+          .repartitionByRange(8, col("zkey"))
+          .sortWithinPartitions("zkey")
+          .drop("zkey")
+          .write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_custkey") < 256 &&
+            col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1996-01-01"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_customers,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_custkey < 256
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'"""))
   )
 }
