@@ -197,6 +197,23 @@ object VectorExpressions {
           }
           require(k >= 1, s"minhash_agg k must be >= 1, got $k")
           MinHashAgg(args.head, k).toAggregateExpression()
+        }),
+      (FunctionIdentifier("mg_topk_agg"),
+        new ExpressionInfo(classOf[HeavyHittersAgg].getName, "mg_topk_agg"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"mg_topk_agg expects (key, capacity), got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val capacity = args(1) match {
+            case Literal(v: Int, _) => v
+            case Literal(v: Long, _) => v.toInt
+            case Literal(v: Short, _) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"mg_topk_agg capacity must be an integer literal, got $other")
+          }
+          require(capacity >= 1,
+            s"mg_topk_agg capacity must be >= 1, got $capacity")
+          HeavyHittersAgg(args.head, capacity).toAggregateExpression()
         }))
 
   /** idempotent per-session registration (the session-extension route in

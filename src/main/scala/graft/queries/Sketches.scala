@@ -110,6 +110,53 @@ object Sketches {
         FROM lineitem
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey
                       AND o_orderpriority = '1-URGENT')
-        GROUP BY l_returnflag"""))
+        GROUP BY l_returnflag""")),
+
+    // ---- Misra-Gries heavy hitters over a skewed key -------------------
+    //      the frequent-items sketch: one bounded map (capacity 16)
+    //      instead of a full-cardinality groupBy — O(capacity) state per
+    //      partition however many distinct keys flow through. The key is
+    //      a deterministic Zipf-like transform of the lineitem keys
+    //      (floor(M/u) of a uniform u: count(k) ~ N/(k(k+1)) — top key
+    //      ~N/2, 127 distinct at sf0.01), so eviction genuinely happens
+    //      (cardinality >> capacity) AND provable heavy hitters exist.
+    //      Gate strategy (same discipline as ds02): WHICH near-floor keys
+    //      the summary tracks depends on merge order, but MG's theorems
+    //      are order-independent — every key with true count > N/capacity
+    //      is guaranteed tracked, underestimated by at most N/capacity.
+    //      The gate asserts exactly those invariants over the
+    //      deterministic provably-heavy key set (integer arithmetic, no
+    //      tolerance); HeavyHittersSpec pins exact summary contents on
+    //      order-fixed input.
+    Q("ds04_heavy_hitters",
+      (s, d) => {
+        graft.expressions.VectorExpressions.registerAll(s)
+        val keyed = Tables.lineitem(s, d)
+          // `div` (integer division), not `/` (double division on longs)
+          .select(expr("4096L div (1L + pmod(l_orderkey * 48271L" +
+            " + l_linenumber, 4096L))").as("key"))
+        val sketch = keyed
+          .agg(expr("mg_topk_agg(key, 16)").as("mg"), count(lit(1)).as("n"))
+        val exact = keyed.groupBy("key").agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(broadcast(sketch))
+          .filter(col("n_exact") * 16 > col("n"))
+          .select(col("key"), col("n_exact"),
+            element_at(col("mg"), col("key")).as("est"), col("n"))
+          .select(col("key"), col("n_exact"),
+            (col("est").isNotNull && col("est") <= col("n_exact"))
+              .as("est_le_exact"),
+            (col("est").isNotNull &&
+              (col("n_exact") - col("est")) * 16 <= col("n"))
+              .as("within_band"))
+      },
+      Some("""
+        WITH k AS (
+          SELECT 4096 // (1 + (l_orderkey * 48271 + l_linenumber) % 4096)
+            AS key
+          FROM lineitem),
+        tot AS (SELECT COUNT(*) AS n FROM k),
+        c AS (SELECT key, COUNT(*) AS n_exact FROM k GROUP BY key)
+        SELECT key, n_exact, TRUE AS est_le_exact, TRUE AS within_band
+        FROM c, tot WHERE n_exact * 16 > tot.n"""))
   )
 }
