@@ -102,11 +102,13 @@ object Bench {
     Files.writeString(Paths.get("bench.json"), line(results) + "\n")
     spark.stop()
 
-    // regression tracking: diff per-query times against the most recent
-    // committed round's BENCH_r*.json so a regression (like r5's t05
-    // outlier) is surfaced by the harness, not discovered by the judge.
+    // regression tracking: diff per-query times against bench_baseline
+    // .json (a committed FULL per-query map, refreshed manually from a
+    // quiet-host run) falling back to the most recent round's
+    // BENCH_r*.json — the driver file only carries the 16-query headline
+    // map, which is how a 2x d03 move slipped past the tracker in r7.
     // Printed to stderr — the driver parses the LAST stdout line as JSON.
-    for (prev <- latestRoundFile()) {
+    for (prev <- baselineFile().orElse(latestRoundFile())) {
       val prevJson = Files.readString(prev)
       // only compare like against like: the committed rounds run at
       // sf0.1, a dev loop at sf0.001 would diff meaninglessly
@@ -134,6 +136,13 @@ object Bench {
     println(line(results.filter(r => headline(r._1))))
     if (errors.nonEmpty) sys.exit(1)
   }
+
+  /** the committed full-coverage baseline, if present. Unlike the
+    * driver's BENCH_r*.json (headline subset only), this carries every
+    * query — regenerate with a full sf0.1 Bench run on a quiet host and
+    * commit the refreshed file. */
+  private def baselineFile(): Option[java.nio.file.Path] =
+    Some(Paths.get("bench_baseline.json")).filter(Files.exists(_))
 
   /** newest committed round benchmark (BENCH_r<NN>.json) in cwd, if any */
   private def latestRoundFile(): Option[java.nio.file.Path] = {

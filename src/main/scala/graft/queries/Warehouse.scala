@@ -151,6 +151,64 @@ object Warehouse {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
             AS avg_price,
           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
-        FROM orders GROUP BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- declarative data-quality audit (expectations as one pass) ------
+    //      the pre-publish contract check every warehouse load runs:
+    //      volume, key uniqueness, value ranges, referential integrity —
+    //      computed as ONE multi-aggregate scan (count_if measures, no
+    //      per-check re-scan) plus one anti-join for the foreign key,
+    //      then unpivoted to a (check, measured, passed) report. At
+    //      100 TB the audit costs a single pass over the batch, and the
+    //      orphan check is a broadcast anti-join against the dimension.
+    Q("w04_quality_audit",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val measures = orders.agg(
+          count(lit(1)).as("row_count"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("orderkey_dupes"),
+          expr("count_if(o_totalprice < 0)").as("negative_totalprice"),
+          expr("count_if(o_orderdate < TIMESTAMP '1992-01-01' OR " +
+            "o_orderdate >= TIMESTAMP '1999-01-01')").as("date_out_of_range"))
+        val orphans = orders
+          .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_custkey"))
+        measures.crossJoin(orphans)
+          .unpivot(
+            ids = Array.empty[org.apache.spark.sql.Column],
+            values = Array(col("row_count"), col("orderkey_dupes"),
+              col("negative_totalprice"), col("date_out_of_range"),
+              col("orphan_custkey")),
+            variableColumnName = "check_name",
+            valueColumnName = "measured")
+          .select(col("check_name"), col("measured"),
+            when(col("check_name") === "row_count", col("measured") > 0)
+              .otherwise(col("measured") === 0).as("passed"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT COUNT(*) AS row_count,
+            COUNT(*) - COUNT(DISTINCT o_orderkey) AS orderkey_dupes,
+            COUNT(*) FILTER (WHERE o_totalprice < 0)
+              AS negative_totalprice,
+            COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+              OR o_orderdate >= TIMESTAMP '1999-01-01')
+              AS date_out_of_range
+          FROM orders),
+        o AS (
+          SELECT COUNT(*) AS orphan_custkey FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        long AS (
+          SELECT 'row_count' AS check_name, row_count AS measured FROM m
+          UNION ALL SELECT 'orderkey_dupes', orderkey_dupes FROM m
+          UNION ALL SELECT 'negative_totalprice', negative_totalprice FROM m
+          UNION ALL SELECT 'date_out_of_range', date_out_of_range FROM m
+          UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM o)
+        SELECT check_name, measured,
+          CASE WHEN check_name = 'row_count' THEN measured > 0
+               ELSE measured = 0 END AS passed
+        FROM long"""))
   )
 }
