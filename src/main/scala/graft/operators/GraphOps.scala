@@ -49,9 +49,16 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     require(iters >= 1)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edge construction is often a join+distinct pipeline; persist it so
+    // the degree aggregation and the adjacency join don't re-run it
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted |V|-sized frame: feeds the adjacency join, the node-count
+    // broadcast (used once per iteration — without the persist every
+    // broadcast re-runs the full edge pipeline), and the initial ranks
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // adjacency with out-degree attached: the frame every iteration joins
-    val adj = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     val n = deg.agg(count(lit(1)).as("n"))
     val r0 = deg.select(col("src").as("id"))
       .crossJoin(broadcast(n))
