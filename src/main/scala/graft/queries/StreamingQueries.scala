@@ -210,6 +210,43 @@ object StreamingQueries {
       },
       Some("""
         SELECT event_type, COUNT(*) AS n, TRUE AS sig_equal
+        FROM events GROUP BY event_type""")),
+
+    // ---- Misra-Gries summary as STREAMING state -------------------------
+    //      the engine's mg_topk_agg (ds04) through the micro-batch
+    //      planner: its serialize/merge path round-trips the state store
+    //      between micro-batches. Capacity (4096) exceeds the fixture's
+    //      per-type user cardinality (150 @sf0.01 / 1500 @sf0.1), so the
+    //      summary is provably EXACT (no eviction ever fires) and the
+    //      streamed map must equal the batch per-user counts key for key
+    //      — asserted as a per-type boolean over a full outer join, the
+    //      st06 discipline (DuckDB can't evaluate the sketch itself).
+    Q("st07_stream_heavy_hitters",
+      (s, d) => {
+        val streamed = replay(s, "st07", mode = "complete") { c =>
+          graft.expressions.VectorExpressions.registerAll(c)
+          eventsStream(c, d)
+            .withWatermark("ts", unbounded)
+            .groupBy("event_type")
+            .agg(expr("mg_topk_agg(user_id, 4096)").as("mg"),
+              count(lit(1)).as("n"))
+        }
+        val est = streamed.select(col("event_type"), col("n"),
+          explode(col("mg")).as(Seq("uid", "est")))
+        val batch = Tables.events(s, d)
+          .groupBy(col("event_type").as("bt"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        est.join(batch,
+            col("event_type") === col("bt") && col("uid") === col("user_id"),
+            "full_outer")
+          .groupBy(coalesce(col("event_type"), col("bt")).as("event_type"))
+          .agg(max(col("n")).as("n"), count(lit(1)).as("n_users"),
+            (sum(when(col("est") === col("cnt"), 0).otherwise(1)) === 0)
+              .as("all_exact"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+          COUNT(DISTINCT user_id) AS n_users, TRUE AS all_exact
         FROM events GROUP BY event_type"""))
   )
 }

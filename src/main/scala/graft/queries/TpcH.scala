@@ -505,6 +505,57 @@ object TpcH {
           JOIN big ON o_orderkey = l_orderkey
           JOIN customer ON o_custkey = c_custkey
         ORDER BY o_totalprice DESC, o_orderkey ASC
-        LIMIT 100"""))
+        LIMIT 100""")),
+
+    // ---- Q21: suppliers who kept orders waiting --------------------------
+    //      the classic double-EXISTS shape (another supplier in the same
+    //      order, but no OTHER late supplier), reformulated as ONE
+    //      aggregation pass: per (order, supplier) a late flag, per order
+    //      the supplier/late-supplier counts, then charge the unique late
+    //      supplier of multi-supplier orders. At 100 TB this does two
+    //      keyed shuffles over the fact instead of two correlated
+    //      fact-fact self-joins — same result set, a fraction of the IO.
+    //      (No l_commitdate/l_receiptdate in the fixture; "late" is
+    //      shipped > 60 days after the order date, the h04 proxy.)
+    Q("h21_waiting_supplier",
+      (s, d) => {
+        val perSupp = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1).otherwise(0))
+            .as("late"))
+        val soleLate = perSupp.groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        perSupp.filter(col("late") === 1)
+          .join(soleLate, col("l_orderkey") === col("ok"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH ls AS (
+          SELECT l_orderkey, l_suppkey,
+            MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        po AS (
+          SELECT l_orderkey FROM ls GROUP BY 1
+          HAVING COUNT(*) >= 2 AND SUM(late) = 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM ls JOIN po USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 20"""))
   )
 }
