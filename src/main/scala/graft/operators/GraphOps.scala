@@ -126,6 +126,98 @@ object GraphOps {
           .as("global_clustering"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the log-round algorithm that replaces naive min-label
+    * propagation on high-diameter graphs: propagation needs
+    * diameter-many rounds (a 1M-node chain = 1M rounds), star
+    * contraction converges in O(log n) regardless of diameter.
+    *
+    * Each round is two groupBy-join passes over the current edge set:
+    *  - large-star: every node u computes m = min(u, Γ(u)) and rewires
+    *    its STRICTLY LARGER neighbors to m;
+    *  - small-star: every node rewires its smaller-or-equal neighbors
+    *    (and itself) to the minimum of that set.
+    * The edge set monotonically contracts toward a union of stars
+    * centered at component minima; convergence is detected by an exact
+    * (count, decimal hash-sum) signature — one tiny action per round.
+    *
+    * Each round's result is EAGERLY localCheckpoint'ed, not persisted:
+    * a persisted frame keeps its full logical lineage, and since each
+    * star step references its input several times (adjacency union +
+    * degree join), plan size would grow ~10x per round — Catalyst
+    * re-analysis goes exponential long before execution is the
+    * bottleneck (the classic iterative-DataFrame trap; GraphFrames
+    * checkpoints for the same reason). localCheckpoint truncates the
+    * plan at a materialized RDD each round, keeping analysis O(1) per
+    * round; superseded round blocks are reclaimed by the ContextCleaner.
+    * A multi-hour production run on preemptible executors would use
+    * reliable `checkpoint()` (HDFS/object store) instead — same
+    * truncation, survives executor loss.
+    *
+    * Input: undirected edges (u, v); self-loops and duplicates are
+    * canonicalized away. Output: (id, component) for every endpoint,
+    * component = the minimum node id reachable (deterministic).
+    */
+  def connectedComponents(und: DataFrame, maxRounds: Int = 30): DataFrame =
+    ccWithRounds(und, maxRounds)._1
+
+  private[graft] def ccWithRounds(und: DataFrame,
+                                  maxRounds: Int): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val m = adj.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      adj.join(m, "a").filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = e.select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      val m = down.groupBy("a").agg(min(col("b")).as("m"))
+      down.join(m, "a")
+        .select(col("b").as("u"), col("m").as("v"))
+        .union(m.select(col("a").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // exact edge-set signature: equal sets give equal signatures, and the
+    // decimal sum of per-edge hashes makes a collision across DIFFERENT
+    // sets vanishingly unlikely (and a miss only costs one extra round)
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO
+                     else r.getDecimal(1))
+    }
+    var e = und.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var sig = signature(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      rounds += 1
+    }
+    // converged edge set is a union of stars (u -> component root);
+    // nodes absent from it are their own singleton components
+    val labels = nodes
+      .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"),
+        "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("component"))
+    (labels, rounds)
+  }
+
   /** Min-hop BFS from `start` over a directed edge list, bounded at
     * `maxHops`. Returns (id, hop) with hop = first-discovery distance.
     * Each round joins only the new frontier against adjacency and

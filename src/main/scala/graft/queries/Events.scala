@@ -331,6 +331,36 @@ object Events {
           CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
           CAST(MIN(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
           CAST(MAX(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
-        FROM events GROUP BY event_type"""))
+        FROM events GROUP BY event_type""")),
+
+    // ---- OHLC resample (candlestick downsample) -------------------------
+    //      the time-series compaction every metrics store runs: per
+    //      (series, day) the first/last/min/max values plus volume.
+    //      Open/close are extracted through a lexicographic struct
+    //      min/max over (ts, event_id, value) — event_id breaks ts ties,
+    //      so the result is deterministic without any window (one hash
+    //      aggregation, no sort, no single-partition funnel; the
+    //      min_by/max_by shape with a total tiebreak order).
+    Q("e13_ohlc_resample",
+      (s, d) => {
+        val key = struct(col("ts"), col("event_id"), col("value"))
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .agg(
+            min(key).getField("value").as("open_v"),
+            max(key).getField("value").as("close_v"),
+            min(col("value")).as("low_v"), max(col("value")).as("high_v"),
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("vol"))
+      },
+      Some("""
+        SELECT event_type, date_trunc('day', ts) AS day,
+          (MIN(struct_pack(ts := ts, eid := event_id, v := value))).v
+            AS open_v,
+          (MAX(struct_pack(ts := ts, eid := event_id, v := value))).v
+            AS close_v,
+          MIN(value) AS low_v, MAX(value) AS high_v, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vol
+        FROM events GROUP BY 1, 2"""))
   )
 }

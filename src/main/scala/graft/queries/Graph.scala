@@ -74,6 +74,27 @@ object Graph {
     sb.toString
   }
 
+  /** co-purchase part graph: canonical (u < v) pairs co-ordered >= 2
+    * times — shared by g02 (triangles) and g04 (components) */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x")
+      .join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  private val coPurchaseSql = """
+    pairs AS (
+      SELECT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- fixed-iteration PageRank over the trade graph ------------------
@@ -97,24 +118,8 @@ object Graph {
     //      the oracle counts the same triangles via the canonical
     //      a<b<c self-join. Global clustering = 3*triangles/wedges.
     Q("g02_triangle_count",
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val und = li.as("x")
-          .join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select(col("u"), col("v"))
-        GraphOps.triangleStats(und)
-      },
-      Some("""
-        WITH pairs AS (
-          SELECT x.l_partkey AS u, y.l_partkey AS v
-          FROM lineitem x JOIN lineitem y
-            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      (s, d) => GraphOps.triangleStats(coPurchasePairs(s, d)),
+      Some("WITH " + coPurchaseSql + """,
         deg AS (
           SELECT id, COUNT(*) AS deg FROM (
             SELECT u AS id FROM pairs UNION ALL SELECT v AS id FROM pairs)
@@ -153,6 +158,33 @@ object Graph {
           WHERE w.hop < 3)
         SELECT min_hop AS hop, COUNT(*) AS n_nodes FROM (
           SELECT id, MIN(hop) AS min_hop FROM walk GROUP BY id)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- connected components via large-star / small-star ---------------
+    //      the log-round star-contraction algorithm (not naive min-label
+    //      propagation, which needs diameter-many rounds) over the
+    //      co-purchase graph; reported as the component-size histogram.
+    //      Component labels are the minimum reachable node id —
+    //      deterministic however the contraction converges — so the
+    //      oracle's recursive-CTE transitive closure must agree exactly.
+    Q("g04_connected_components",
+      (s, d) => GraphOps.connectedComponents(coPurchasePairs(s, d))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("component_size"))
+        .groupBy(col("component_size"))
+        .agg(count(lit(1)).as("n_components")),
+      Some("WITH RECURSIVE " + coPurchaseSql + """,
+        e AS (SELECT u AS s, v AS t FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+        reach AS (
+          SELECT s, t FROM e
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        lab AS (SELECT s AS id, LEAST(s, MIN(t)) AS component
+                FROM reach GROUP BY s),
+        sizes AS (SELECT component, COUNT(*) AS component_size
+                  FROM lab GROUP BY 1)
+        SELECT component_size, COUNT(*) AS n_components
+        FROM sizes GROUP BY component_size"""))
   )
 }

@@ -757,6 +757,41 @@ object Relational2 {
           (n * sxy - sx * sy) /
             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
           (n * sxy - sx * sy) / n / n AS covar_pop
-        FROM m"""))
+        FROM m""")),
+
+    // ---- array higher-order functions (lambda surface) ------------------
+    //      transform/filter/aggregate/slice as codegen'd lambda
+    //      expressions over per-supplier price arrays — the HOF route
+    //      that replaces a UDF for per-row collection math. Prices are
+    //      held as integer cents (exact; a decimal accumulator would
+    //      change type under lambda addition) and the array is sorted,
+    //      so every fold is order-fixed on both engines.
+    Q("q52_array_hof",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy("l_suppkey")
+        .agg(array_sort(collect_list(col("cents"))).as("arr"))
+        .select(col("l_suppkey"),
+          size(col("arr")).cast("long").as("n_items"),
+          expr("aggregate(arr, 0L, (acc, x) -> acc + x)").as("total_cents"),
+          size(expr("filter(arr, x -> x > 500000L)")).cast("long")
+            .as("n_big"),
+          expr("aggregate(slice(arr, -3, 3), 0L, (acc, x) -> acc + x)")
+            .as("top3_cents")),
+      Some("""
+        WITH a AS (
+          SELECT l_suppkey, list_sort(list(
+            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)))
+            AS arr
+          FROM lineitem GROUP BY 1)
+        SELECT l_suppkey, CAST(len(arr) AS BIGINT) AS n_items,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+            (acc, x) -> acc + x) AS total_cents,
+          CAST(len(list_filter(arr, x -> x > 500000)) AS BIGINT) AS n_big,
+          list_reduce(list_prepend(CAST(0 AS BIGINT), arr[-3:]),
+            (acc, x) -> acc + x) AS top3_cents
+        FROM a"""))
   )
 }

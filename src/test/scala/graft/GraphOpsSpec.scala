@@ -62,6 +62,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(hops == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
   }
 
+  test("connectedComponents labels a 64-node path in logarithmic rounds") {
+    // the adversarial case for min-label propagation: diameter 63 would
+    // need 63 propagation rounds; star contraction must stay logarithmic
+    val und = (0L until 63L).map(i => (i, i + 1)).toDF("u", "v")
+    val (labels, rounds) = GraphOps.ccWithRounds(und, maxRounds = 30)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 0L), s"non-root labels: ${got.filter(_._2 != 0L).take(3).toSeq}")
+    assert(rounds <= 12, s"took $rounds rounds for diameter 63")
+  }
+
+  test("connectedComponents separates components and keeps min labels") {
+    // K3 {1,2,3}, an edge {10,11}, and a chain 20-21-22 (plus a dup and
+    // a reversed edge to exercise canonicalization)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (11L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("u", "v")
+    val labels = GraphOps.connectedComponents(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("bfsHops stops at maxHops and never revisits") {
     val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val hops = GraphOps.bfsHops(edges, start = 1L, maxHops = 2)
