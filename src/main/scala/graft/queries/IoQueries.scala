@@ -309,6 +309,45 @@ object IoQueries {
         FROM orders
         WHERE o_custkey < 256
           AND o_orderdate >= TIMESTAMP '1995-01-01'
-          AND o_orderdate < TIMESTAMP '1996-01-01'"""))
+          AND o_orderdate < TIMESTAMP '1996-01-01'""")),
+
+    // ---- dynamic partition overwrite (partition-scoped upsert) ----------
+    //      the daily-restatement primitive: rewriting ONE hive partition
+    //      must not touch its siblings. Static overwrite mode would drop
+    //      the whole table; dynamic mode replaces exactly the partitions
+    //      present in the incoming frame. The gate restates the
+    //      1-URGENT partition with adjusted prices, reads the table
+    //      back, and the oracle recomputes what an untouched-staying,
+    //      urgent-restated table must equal — sibling corruption or a
+    //      full-table drop would hash-mismatch immediately.
+    Q("io10_dynamic_overwrite",
+      (s, d) => {
+        val out = scratch("io10")
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        orders.write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("o_orderpriority").parquet(out)
+        orders.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice",
+            (col("o_totalprice").cast("decimal(18,2)") +
+              lit(10).cast("decimal(18,2)")).cast("double"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "zstd")
+          .partitionBy("o_orderpriority").parquet(out)
+        s.read.parquet(out)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+            THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                 + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2))
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS sum_price
+        FROM orders GROUP BY o_orderpriority"""))
   )
 }

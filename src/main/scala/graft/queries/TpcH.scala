@@ -556,6 +556,85 @@ object TpcH {
         WHERE late = 1
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC
+        LIMIT 20""")),
+
+    // ---- Q9: product-type profit by nation and year ----------------------
+    //      the wide-join profit rollup: lineitem x part x supplier x
+    //      nation x orders, profit = disc price - 20% of retail-valued
+    //      quantity (no partsupp.supplycost in the fixture — retail
+    //      price stands in). Dims broadcast, the fact joins shuffle
+    //      once; all money math in pinned-precision decimals so the
+    //      (38,6) sums are exact on both engines.
+    Q("h09_product_profit",
+      (s, d) => {
+        val cost = ((dec(col("l_quantity")) * dec(col("p_retailprice")))
+          .cast("decimal(18,4)") * lit(0.2).cast("decimal(2,1)"))
+          .cast("decimal(30,6)")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"), col("p_retailprice"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(charge() - cost).cast("double").as("sum_profit"),
+            count(lit(1)).as("n_items"))
+      },
+      Some(s"""
+        SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+          CAST(SUM($chargeSql - CAST(CAST(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(18,4))
+              * CAST(0.2 AS DECIMAL(2,1)) AS DECIMAL(30,6))) AS DOUBLE)
+            AS sum_profit,
+          COUNT(*) AS n_items
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1, 2""")),
+
+    // ---- Q16: supplier count by part attribute with an exclusion list ----
+    //      the NOT IN shape: distinct suppliers per (brand, type, size)
+    //      excluding flagged suppliers (negative account balance stands
+    //      in for the complaints predicate) — planned as a broadcast
+    //      ANTI join against the exclusion subquery, then a distinct
+    //      aggregation; deterministic top-20 with full tiebreakers.
+    Q("h16_supplier_cnt",
+      (s, d) => {
+        val flagged = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+          .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#1")
+            .select("p_partkey", "p_brand", "p_type", "p_size")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+            col("p_type").asc, col("p_size").asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+          COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
         LIMIT 20"""))
   )
 }
