@@ -185,6 +185,41 @@ object Graph {
         sizes AS (SELECT component, COUNT(*) AS component_size
                   FROM lab GROUP BY 1)
         SELECT component_size, COUNT(*) AS n_components
-        FROM sizes GROUP BY component_size"""))
+        FROM sizes GROUP BY component_size""")),
+
+    // ---- recursive CTE through the SQL FRONTEND --------------------------
+    //      the same bounded reachability as g03, but parsed, planned and
+    //      executed by Spark's own WITH RECURSIVE support (new in Spark
+    //      4) — the body below runs VERBATIM on both engines, modulo
+    //      dialect: Spark recursion requires UNION ALL (so the min-hop
+    //      dedup happens outside the recursion), and the bound keeps the
+    //      path expansion finite and small. Graph recursion at real
+    //      scale still belongs to the checkpointed operators (g03/g04);
+    //      this gates the frontend's iterative execution path itself.
+    Q("g05_recursive_sql",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("g05_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("g05_lineitem")
+        s.sql(recursiveWalk("g05_orders", "g05_lineitem"))
+      },
+      Some(recursiveWalk("orders", "lineitem")))
   )
+
+  /** dialect-shared bounded-reachability recursion (see g05) */
+  private def recursiveWalk(orders: String, lineitem: String): String = s"""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM $orders JOIN $lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT a AS src, b AS dst FROM und
+      UNION ALL
+      SELECT b AS src, a AS dst FROM und),
+    walk AS (
+      SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop
+      UNION ALL
+      SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON w.id = e.src
+      WHERE w.hop < 2)
+    SELECT min_hop AS hop, COUNT(*) AS n_nodes FROM (
+      SELECT id, MIN(hop) AS min_hop FROM walk GROUP BY id)
+    GROUP BY 1"""
 }

@@ -792,6 +792,32 @@ object Relational2 {
           CAST(len(list_filter(arr, x -> x > 500000)) AS BIGINT) AS n_big,
           list_reduce(list_prepend(CAST(0 AS BIGINT), arr[-3:]),
             (acc, x) -> acc + x) AS top3_cents
-        FROM a"""))
+        FROM a""")),
+
+    // ---- SQL pipe syntax (Spark 4 |> frontend) --------------------------
+    //      the linear filter->aggregate flow written in pipe syntax and
+    //      executed by Spark's parser; the oracle is the equivalent ANSI
+    //      form (DuckDB has no pipe dialect). Same plan as the ANSI
+    //      query — this gates the FRONTEND path, not a new operator.
+    Q("q53_pipe_syntax",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("q53_lineitem")
+        s.sql("""
+          FROM q53_lineitem
+          |> WHERE l_quantity > 10
+          |> AGGREGATE COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+             GROUP BY l_returnflag""")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM lineitem WHERE l_quantity > 10
+        GROUP BY l_returnflag"""))
   )
 }
