@@ -110,6 +110,41 @@ object JoinOps {
     fact.filter(call_function("bloom_contains", lit(bytes), col(factKey)))
   }
 
+  /** Binned interval-overlap join: pairs (l, r) whose CLOSED intervals
+    * [lStart, lEnd] and [rStart, rEnd] (timestamp columns) intersect,
+    * i.e. lStart <= rEnd AND rStart <= lEnd.
+    *
+    * A naive inequality join is a nested-loop cross product at any
+    * scale. Here each interval is exploded onto every `binSec`-wide time
+    * bin it touches and the two sides are EQUI-joined on the bin — one
+    * hash shuffle, cost linear in sum-of-per-bin pairs (the true output
+    * work), not |L|·|R|. An overlapping pair co-occurs in every bin both
+    * intervals share, so to emit it exactly once WITHOUT a distinct
+    * (a second full shuffle), the pair is kept only in its canonical
+    * bin — the bin holding the later of the two starts, which both
+    * intervals provably cover when they overlap.
+    *
+    * Choose binSec near the typical interval length: duplication factor
+    * is ceil(len/binSec)+1 per row. Column names must be disjoint. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          binSec: Long): DataFrame = {
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left/right column names must be disjoint")
+    require(binSec > 0, "binSec must be positive")
+    val binMicros = binSec * 1000000L
+    def spannedBins(st: String, en: String) =
+      expr(s"sequence(unix_micros($st) div $binMicros, unix_micros($en) div $binMicros)")
+    val l = left.withColumn("_bin", explode(spannedBins(lStart, lEnd)))
+    val r = right.withColumn("_bin", explode(spannedBins(rStart, rEnd)))
+    l.join(r, "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bin") ===
+        expr(s"unix_micros(greatest($lStart, $rStart)) div $binMicros"))
+      .drop("_bin")
+  }
+
   /** Salted equi-join for skewed fact keys: the dimension side is
     * replicated `salt` times, the fact side picks a deterministic salt
     * from row identity, and the join key becomes (key, salt) — a hot key

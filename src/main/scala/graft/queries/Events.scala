@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
@@ -16,6 +17,30 @@ import graft.io.Tables
 object Events {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** 30-min-gap sessionization of `events` (the e03 logic): one row per
+    * (user_id, session_seq) with its event count and [start, end] span.
+    * Per-user keyed window — state bounded by a user's events at any
+    * scale. Shared by e03 (the report) and e14 (the overlap join). */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
+        col("n_events"), col("session_start"), col("session_end"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -48,25 +73,7 @@ object Events {
 
     // ---- sessionization: 30-min inactivity gap --------------------------
     Q("e03_sessionize",
-      (s, d) => {
-        val byUser = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").asc, col("event_id").asc)
-        Tables.events(s, d)
-          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-          .withColumn("new_session",
-            (col("prev_ts").isNull ||
-              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
-              .cast("int"))
-          .withColumn("session_seq",
-            sum(col("new_session")).over(
-              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("session_seq"))
-          .agg(count(lit(1)).as("n_events"),
-            min(col("ts")).as("session_start"),
-            max(col("ts")).as("session_end"))
-          .select(col("user_id"), col("session_seq").cast("long").as("session_seq"),
-            col("n_events"), col("session_start"), col("session_end"))
-      },
+      (s, d) => sessions(s, d),
       // unix_timestamp truncates to whole seconds; the oracle mirrors that
       // with epoch(date_trunc('second', ts)) so gap edges agree exactly.
       Some("""
@@ -361,6 +368,54 @@ object Events {
             AS close_v,
           MIN(value) AS low_v, MAX(value) AS high_v, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vol
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- interval-overlap self-join: concurrent sessions ----------------
+    //      for each session, how many OTHER users' sessions overlap it in
+    //      time — the both-sides-are-intervals generalization of e06's
+    //      point-in-range join. JoinOps.intervalOverlapJoin buckets both
+    //      interval sets onto 1-hour bins (sessions are 30-min-gap bounded,
+    //      so a session spans ~1-2 bins) and equi-joins on the bin: one
+    //      hash shuffle, work linear in per-bin concurrency — never an
+    //      inequality nested loop. The oracle replays the semantics as a
+    //      plain inequality self-join (fine at sf0.01; the binning IS the
+    //      scale path).
+    Q("e14_interval_overlap",
+      (s, d) => {
+        val base = sessions(s, d)
+        def side(p: String) = base.select(
+          col("user_id").as(s"${p}_user"), col("session_seq").as(s"${p}_seq"),
+          col("session_start").as(s"${p}_start"), col("session_end").as(s"${p}_end"))
+        graft.operators.JoinOps.intervalOverlapJoin(
+            side("a"), side("b"),
+            "a_start", "a_end", "b_start", "b_end", binSec = 3600L)
+          .filter(col("a_user") =!= col("b_user"))
+          .groupBy(col("a_user").as("user_id"), col("a_seq").as("session_seq"))
+          .agg(count(lit(1)).as("n_concurrent"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(date_trunc('second', ts))
+                    - epoch(date_trunc('second', LAG(ts) OVER w)) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        s AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM g),
+        sess AS (
+          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+            MIN(ts) AS session_start, MAX(ts) AS session_end
+          FROM s GROUP BY user_id, session_seq)
+        SELECT a.user_id, a.session_seq, COUNT(*) AS n_concurrent
+        FROM sess a JOIN sess b
+          ON a.session_start <= b.session_end
+         AND b.session_start <= a.session_end
+         AND a.user_id <> b.user_id
+        GROUP BY a.user_id, a.session_seq"""))
   )
 }

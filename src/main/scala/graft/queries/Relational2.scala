@@ -818,6 +818,32 @@ object Relational2 {
           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
             AS sum_price
         FROM lineitem WHERE l_quantity > 10
-        GROUP BY l_returnflag"""))
+        GROUP BY l_returnflag""")),
+
+    // ---- deterministic mode (most-frequent value) per group -------------
+    //      two-level aggregation: count per (group, value), then argmax
+    //      by a lexicographic (count, value) struct max — ties broken by
+    //      the larger value, so the answer is a pure function of the data
+    //      (Spark's builtin `mode` is tie-nondeterministic, useless under
+    //      a hash gate). Two keyed hash aggregations, partial-combined on
+    //      both levels; no window, no sort — the 100 TB shape.
+    Q("q54_mode_per_group",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("m"))
+        .select(col("o_orderstatus"),
+          col("m.o_orderpriority").as("mode_priority"),
+          col("m.cnt").as("mode_count")),
+      Some("""
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+          FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+          cnt AS mode_count
+        FROM c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+          ORDER BY cnt DESC, o_orderpriority DESC) = 1"""))
   )
 }

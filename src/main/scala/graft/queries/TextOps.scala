@@ -462,6 +462,43 @@ object TextOps {
               FROM sc)
         SELECT lang, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
           MIN(quality) AS min_q, MAX(quality) AS max_q
-        FROM b GROUP BY 1, 2"""))
+        FROM b GROUP BY 1, 2""")),
+
+    // ---- deterministic train/validation/test split ----------------------
+    //      80/10/10 by md5(doc_id) — the IndexOps.portableHashSample
+    //      recipe generalized to disjoint buckets. Membership is a pure
+    //      function of the key: stable across runs, executors, engines,
+    //      and data arrivals (a re-run or a late partition never moves a
+    //      document between splits — the property a training pipeline
+    //      needs for no train/test leakage). Pure projection + one
+    //      aggregation; no shuffle before the 3-group reduce.
+    //      0.8*16^6 = 0xcccccc, 0.9*16^6 = 0xe66666 (exact).
+    Q("t16_train_test_split",
+      (s, d) => {
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        val cut80 = "cccccc" + "0" * 26
+        val cut90 = "e66666" + "0" * 26
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h < lit(cut80), "train")
+              .when(h < lit(cut90), "validation")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"))
+      },
+      Some(s"""
+        SELECT CASE
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccc${"0" * 26}'
+              THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e66666${"0" * 26}'
+              THEN 'validation'
+            ELSE 'test' END AS split,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        FROM documents GROUP BY 1"""))
   )
 }

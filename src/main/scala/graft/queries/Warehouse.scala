@@ -209,6 +209,54 @@ object Warehouse {
         SELECT check_name, measured,
           CASE WHEN check_name = 'row_count' THEN measured > 0
                ELSE measured = 0 END AS passed
-        FROM long"""))
+        FROM long""")),
+
+    // ---- per-group z-score outlier report --------------------------------
+    //      data-quality profiling: per event_type, mean/stddev of `value`
+    //      from exact decimal sums (order-insensitive, so both engines
+    //      derive bit-identical moments), then a broadcast join back to
+    //      flag |z| > 2 rows. Two scans of events, one tiny broadcast —
+    //      no per-row window, no global sort; the scan parallelizes
+    //      freely at 100 TB. All double arithmetic downstream of the
+    //      exact moments is the same expression tree on both sides, so
+    //      the boundary rows agree exactly.
+    Q("w05_outlier_zscore",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n_all"),
+          (sum(col("value").cast("decimal(18,2)")).cast("double")
+            / count(lit(1))).as("mean_v"),
+          (sum((col("value").cast("decimal(18,2)")
+              * col("value").cast("decimal(18,2)")).cast("decimal(38,4)"))
+            .cast("double") / count(lit(1))).as("m2"))
+          .withColumn("std_v", sqrt(col("m2") - col("mean_v") * col("mean_v")))
+        ev.join(broadcast(stats), "event_type")
+          .withColumn("z", (col("value") - col("mean_v")) / col("std_v"))
+          .filter(abs(col("z")) > 2.0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_outliers"),
+            max(abs(col("z"))).as("max_abs_z"),
+            min(col("value")).as("min_outlier_v"),
+            max(col("value")).as("max_outlier_v"))
+      },
+      Some("""
+        WITH st AS (
+          SELECT event_type, COUNT(*) AS n_all,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              AS mean_v,
+            CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) / COUNT(*) AS m2
+          FROM events GROUP BY event_type),
+        z AS (
+          SELECT e.event_type, e.value,
+            (e.value - st.mean_v) / sqrt(st.m2 - st.mean_v * st.mean_v) AS z
+          FROM events e JOIN st USING (event_type))
+        SELECT event_type, COUNT(*) AS n_outliers,
+          MAX(abs(z)) AS max_abs_z,
+          MIN(value) AS min_outlier_v, MAX(value) AS max_outlier_v
+        FROM z WHERE abs(z) > 2.0
+        GROUP BY event_type"""))
   )
 }

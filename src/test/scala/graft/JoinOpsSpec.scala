@@ -30,6 +30,43 @@ class JoinOpsSpec extends SparkSpec {
       (1L, "2024-01-01 10:05:00.0", 101.0)))
   }
 
+  test("intervalOverlapJoin equals the inequality join, exactly once") {
+    // seeded random intervals spanning 0-5 bins at binSec=60 — exercises
+    // same-bin, adjacent-bin, and multi-bin-span pairs plus touching
+    // endpoints (closed-interval semantics)
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(n: Int, p: String) = (1 to n).map { i =>
+      val st = base + rnd.nextInt(3600) * 1000L
+      val en = st + rnd.nextInt(300) * 1000L // 0..5 min long
+      (i.toLong, new Timestamp(st), new Timestamp(en))
+    }.toDF(s"${p}_id", s"${p}_st", s"${p}_en")
+    val l = mk(120, "l")
+    val r = mk(90, "r")
+    val binned = JoinOps.intervalOverlapJoin(l, r,
+        "l_st", "l_en", "r_st", "r_en", binSec = 60L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.join(r,
+        col("l_st") <= col("r_en") && col("r_st") <= col("l_en"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(binned.length == binned.toSet.size, "pair emitted more than once")
+    assert(binned.toSet == naive.toSet)
+    assert(naive.nonEmpty)
+  }
+
+  test("intervalOverlapJoin keeps endpoint-touching pairs (closed intervals)") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
+      .toDF("l_id", "l_st", "l_en")
+    val r = Seq(
+      (10L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:00:00")), // touches
+      (11L, ts("2024-01-01 10:30:01"), ts("2024-01-01 11:00:00"))) // misses
+      .toDF("r_id", "r_st", "r_en")
+    val got = JoinOps.intervalOverlapJoin(l, r,
+        "l_st", "l_en", "r_st", "r_en", binSec = 3600L)
+      .select("r_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L))
+  }
+
   test("saltedJoin equals the plain join") {
     val fact = (1 to 1000).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
     val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
