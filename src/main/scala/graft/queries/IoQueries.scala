@@ -348,6 +348,42 @@ object IoQueries {
                  + CAST(10 AS DECIMAL(18,2)) AS DECIMAL(18,2))
             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
             AS sum_price
-        FROM orders GROUP BY o_orderpriority"""))
+        FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- schema-merge read across heterogenous parquet batches ----------
+    //      a long-lived dataset accretes files written under different
+    //      schema versions; mergeSchema=true reconciles them AT READ
+    //      TIME (union-by-name with nulls for absent columns) — no
+    //      rewrite of petabytes of old files. Two batches with disjoint
+    //      payload columns land in one directory; the merged read must
+    //      see every row with exactly its own batch's column populated.
+    Q("io11_merge_schema",
+      (s, d) => {
+        val out = scratch("io11")
+        val orders = Tables.orders(s, d)
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(out)
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("append").option("compression", "zstd")
+          .parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_totalprice")).as("n_with_price"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+          COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_with_price,
+          COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END)
+            AS n_with_priority,
+          CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS sum_price
+        FROM orders"""))
   )
 }

@@ -844,6 +844,29 @@ object Relational2 {
           cnt AS mode_count
         FROM c
         QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-          ORDER BY cnt DESC, o_orderpriority DESC) = 1"""))
+          ORDER BY cnt DESC, o_orderpriority DESC) = 1""")),
+
+    // ---- fixed-width histogram --------------------------------------
+    //      the data-profiling staple: bucket by floor(x / width) — one
+    //      codegen'd projection + one keyed aggregation, no global pass
+    //      to find min/max first (the literal width makes the histogram
+    //      mergeable across partitions and across days at 100 TB).
+    //      Bucket ids are exact (floor of a double division is the same
+    //      IEEE value on both engines); sums go through decimal.
+    Q("q55_histogram",
+      (s, d) => Tables.orders(s, d)
+        .select(floor(col("o_totalprice") / 25000.0).cast("long")
+            .as("bucket"),
+          col("o_totalprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price")),
+      Some("""
+        SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders GROUP BY 1"""))
   )
 }

@@ -286,6 +286,50 @@ object Similarity {
           CAST(COUNT(ann.vec_id) AS DOUBLE) / 5 AS recall
         FROM ex LEFT JOIN ann
           ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
-        GROUP BY ex.q_id"""))
+        GROUP BY ex.q_id""")),
+
+    // ---- per-dimension embedding statistics ------------------------------
+    //      the embedding-space health check every corpus pipeline runs
+    //      before training (dead dims, scale drift, outliers): posexplode
+    //      to (dim, value), one keyed aggregation — 64 groups whatever
+    //      the corpus size, so the reduce side is trivially small and the
+    //      map side is a shuffle-free partial aggregate. Moments go
+    //      through exact decimal; min/max are order-independent.
+    Q("s11_dim_stats",
+      (s, d) => {
+        val dv = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "f")))
+          .select(col("dim").cast("long").as("dim"),
+            col("f").cast("double").as("v"))
+        val x = col("v").cast("decimal(18,7)")
+        dv.groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            (sum(x).cast("double") / count(lit(1))).as("mean_v"),
+            (sum((x * x).cast("decimal(38,14)")).cast("double")
+              / count(lit(1))).as("m2"),
+            min(col("v")).as("min_v"),
+            max(col("v")).as("max_v"))
+          .select(col("dim"), col("n"), col("mean_v"),
+            (col("m2") - col("mean_v") * col("mean_v")).as("var_v"),
+            col("min_v"), col("max_v"))
+      },
+      Some("""
+        WITH dv AS (
+          SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+              AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+        m AS (
+          SELECT dim, COUNT(*) AS n,
+            CAST(SUM(CAST(v AS DECIMAL(18,7))) AS DOUBLE) / COUNT(*)
+              AS mean_v,
+            CAST(SUM(CAST(CAST(v AS DECIMAL(18,7))
+                * CAST(v AS DECIMAL(18,7)) AS DECIMAL(38,14)))
+              AS DOUBLE) / COUNT(*) AS m2,
+            MIN(v) AS min_v, MAX(v) AS max_v
+          FROM dv GROUP BY dim)
+        SELECT dim, n, mean_v, m2 - mean_v * mean_v AS var_v,
+          min_v, max_v
+        FROM m"""))
   )
 }

@@ -499,6 +499,61 @@ object TextOps {
           COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
-        FROM documents GROUP BY 1"""))
+        FROM documents GROUP BY 1""")),
+
+    // ---- n-gram novelty of the held-out split ----------------------------
+    //      how much of the test split's bigram vocabulary is UNSEEN in
+    //      train — the distribution-shift / split-leakage check run
+    //      before training (novelty ~0 means the split leaks, ~1 means
+    //      the domains don't overlap). Deterministic md5 split (t16's
+    //      80% cut), distinct bigram sets per (lang, split), one anti
+    //      join keyed by (lang, gram): at 100 TB both sides are
+    //      already-deduplicated vocabularies (sublinear in corpus size),
+    //      and the counts-then-ratio arithmetic is exact until the final
+    //      double division.
+    Q("t17_ngram_novelty",
+      (s, d) => {
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        val cut80 = "cccccc" + "0" * 26
+        val grams = Tables.documents(s, d)
+          .withColumn("is_train", h < lit(cut80))
+          .withColumn("toks", tokens("text"))
+          .select(col("lang"), col("is_train"),
+            explode(wordNgrams("toks", 2)).as("gram"))
+        val train = grams.filter(col("is_train"))
+          .select("lang", "gram").distinct()
+        val test = grams.filter(!col("is_train"))
+          .select("lang", "gram").distinct()
+        val novel = test.join(train, Seq("lang", "gram"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_novel"))
+        test.groupBy("lang").agg(count(lit(1)).as("n_test_grams"))
+          .join(novel, Seq("lang"), "left")
+          .select(col("lang"), col("n_test_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            (coalesce(col("n_novel"), lit(0L)).cast("double")
+              / col("n_test_grams")).as("novelty"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT lang,
+            md5(CAST(doc_id AS VARCHAR)) < 'cccccc${"0" * 26}' AS is_train,
+            string_split_regex(trim(text), ' +') toks
+          FROM documents),
+        g AS (
+          SELECT lang, is_train, g.gram FROM t,
+            unnest(list_transform(range(1, len(toks)),
+              i -> toks[i] || ' ' || toks[i+1])) g(gram)),
+        tr AS (SELECT DISTINCT lang, gram FROM g WHERE is_train),
+        te AS (SELECT DISTINCT lang, gram FROM g WHERE NOT is_train),
+        nov AS (
+          SELECT lang, COUNT(*) AS n_novel
+          FROM te ANTI JOIN tr USING (lang, gram)
+          GROUP BY lang)
+        SELECT te.lang, COUNT(*) AS n_test_grams,
+          COALESCE(ANY_VALUE(nov.n_novel), 0) AS n_novel,
+          CAST(COALESCE(ANY_VALUE(nov.n_novel), 0) AS DOUBLE) / COUNT(*)
+            AS novelty
+        FROM te LEFT JOIN nov ON te.lang = nov.lang
+        GROUP BY te.lang"""))
   )
 }

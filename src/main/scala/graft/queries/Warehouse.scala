@@ -257,6 +257,74 @@ object Warehouse {
           MAX(abs(z)) AS max_abs_z,
           MIN(value) AS min_outlier_v, MAX(value) AS max_outlier_v
         FROM z WHERE abs(z) > 2.0
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ---- referential-integrity audit across the star schema -------------
+    //      per FK relationship: total child rows, orphaned child rows
+    //      (no matching parent), unreferenced parent rows (no child).
+    //      Orphan checks are left_anti joins where the parent side is a
+    //      pruned single-key projection — broadcastable however large
+    //      the fact side grows; the unreferenced check shrinks the fact
+    //      side to distinct keys FIRST (aggregate-before-join), so the
+    //      anti join probes |distinct keys|, not |fact rows|.
+    Q("w06_referential_audit",
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        def audit(name: String, child: DataFrame, ck: String,
+                  parent: DataFrame, pk: String): DataFrame = {
+          val childKeys = child.select(col(ck))
+          val parentKeys = parent.select(col(pk))
+          val orphans = childKeys
+            .join(broadcast(parentKeys), col(ck) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphan_rows"))
+          val unref = parentKeys
+            .join(childKeys.distinct(), col(pk) === col(ck), "left_anti")
+            .agg(count(lit(1)).as("n_unreferenced_parents"))
+          childKeys.agg(count(lit(1)).as("n_child_rows"))
+            .crossJoin(orphans).crossJoin(unref)
+            .select(lit(name).as("relationship"), col("n_child_rows"),
+              col("n_orphan_rows"), col("n_unreferenced_parents"))
+        }
+        audit("orders.custkey->customer",
+            Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey")
+          .unionAll(audit("lineitem.partkey->part",
+            Tables.lineitem(s, d), "l_partkey",
+            Tables.part(s, d), "p_partkey"))
+          .unionAll(audit("lineitem.suppkey->supplier",
+            Tables.lineitem(s, d), "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"))
+          .unionAll(audit("customer.nationkey->nation",
+            Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey"))
+      },
+      Some("""
+        SELECT 'orders.custkey->customer' AS relationship,
+          (SELECT COUNT(*) FROM orders) AS n_child_rows,
+          (SELECT COUNT(*) FROM orders o ANTI JOIN customer c
+             ON o.o_custkey = c.c_custkey) AS n_orphan_rows,
+          (SELECT COUNT(*) FROM customer c ANTI JOIN orders o
+             ON c.c_custkey = o.o_custkey) AS n_unreferenced_parents
+        UNION ALL
+        SELECT 'lineitem.partkey->part',
+          (SELECT COUNT(*) FROM lineitem),
+          (SELECT COUNT(*) FROM lineitem l ANTI JOIN part p
+             ON l.l_partkey = p.p_partkey),
+          (SELECT COUNT(*) FROM part p ANTI JOIN lineitem l
+             ON p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem.suppkey->supplier',
+          (SELECT COUNT(*) FROM lineitem),
+          (SELECT COUNT(*) FROM lineitem l ANTI JOIN supplier su
+             ON l.l_suppkey = su.s_suppkey),
+          (SELECT COUNT(*) FROM supplier su ANTI JOIN lineitem l
+             ON su.s_suppkey = l.l_suppkey)
+        UNION ALL
+        SELECT 'customer.nationkey->nation',
+          (SELECT COUNT(*) FROM customer),
+          (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
+             ON c.c_nationkey = n.n_nationkey),
+          (SELECT COUNT(*) FROM nation n ANTI JOIN customer c
+             ON n.n_nationkey = c.c_nationkey)"""))
   )
 }
