@@ -8,8 +8,12 @@ import graft.io.Tables
   * standard OLAP shapes (pricing summary, shipping priority, order
   * priority, local-supplier volume, forecast revenue, returned items,
   * promo effect, top supplier, large-volume customers) adapted to the
-  * columns the fixtures actually carry (no partsupp / commitdate /
-  * shipmode, so Q2/Q12 are out and Q4 uses a late-shipment EXISTS proxy).
+  * columns the fixtures actually carry — all 22 query SHAPES are
+  * covered. No partsupp / commitdate / shipmode exist, so Q2 derives
+  * its supply relation from lineitem unit prices, Q11's stock value is
+  * supplied revenue, Q12 classes lateness by shipdate vs orderdate and
+  * groups by return flag, Q20 thresholds shipped quantity, and Q4 uses
+  * a late-shipment EXISTS proxy.
   *
   * These exist for benchmark credibility: they are the industry-standard
   * plan shapes a judge (or user) can eyeball against any other engine.
@@ -635,6 +639,166 @@ object TpcH {
             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // ---- Q2: min-cost supplier per part ----------------------------------
+    //      the fixtures carry no partsupp, so the supply relation is
+    //      derived: per (part, supplier), the minimum observed unit price
+    //      in lineitem (extendedprice/quantity — identical IEEE division
+    //      on both engines). The Q2 shape survives intact: aggregate the
+    //      supply cost, take the per-part MIN over suppliers of one
+    //      region (correlated-subquery semantics as an agg + join-back),
+    //      then decorate with the supplier/nation dims. Dims broadcast;
+    //      the only shuffles are the two keyed aggregations.
+    Q("h02_min_cost_supplier",
+      (s, d) => {
+        val eurSupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        val parts = Tables.part(s, d)
+          .filter(col("p_type") === "STANDARD" && col("p_size") <= 10)
+          .select("p_partkey", "p_size")
+        val supply = Tables.lineitem(s, d)
+          .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("p_partkey"), col("p_size"), col("s_suppkey"),
+            col("s_name"), col("s_acctbal"), col("n_name"))
+          .agg(min(col("l_extendedprice") / col("l_quantity"))
+            .as("unit_cost"))
+        val minCost = supply.groupBy(col("p_partkey").as("mk"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        supply.join(minCost,
+            col("p_partkey") === col("mk")
+              && col("unit_cost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_size"), col("unit_cost"))
+      },
+      Some("""
+        WITH supply AS (
+          SELECT p_partkey, p_size, s_suppkey, s_name, s_acctbal, n_name,
+            MIN(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+          GROUP BY 1, 2, 3, 4, 5, 6)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_size, unit_cost
+        FROM supply
+        WHERE unit_cost = (SELECT MIN(unit_cost) FROM supply s2
+                           WHERE s2.p_partkey = supply.p_partkey)""")),
+
+    // ---- Q11: important stock identification -----------------------------
+    //      no partsupp availqty/supplycost: the per-part "stock value" is
+    //      the discounted revenue supplied by one nation's suppliers.
+    //      The distinctive Q11 shape is kept: a grouped value sum
+    //      filtered by HAVING value > fraction * (scalar subquery of the
+    //      same sum over everything) — the global total travels as a
+    //      broadcast single row, never a driver round-trip.
+    Q("h11_important_stock",
+      (s, d) => {
+        // one "nation group" of suppliers (keys ≡ 3 mod 5) — a literal
+        // single nation can be absent from the tiniest fixture
+        val n7 = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_nationkey") % 5 === 3)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")
+        val value = Tables.lineitem(s, d)
+          .join(broadcast(n7), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey"), discPrice18().as("val"))
+        val total = value.agg(
+          sum(col("val")).cast("double").as("total_val"))
+        value.groupBy("l_partkey")
+          .agg(sum(col("val")).cast("double").as("part_val"))
+          .crossJoin(broadcast(total))
+          .filter(col("part_val") > col("total_val") * 0.001)
+          .select(col("l_partkey"), col("part_val"))
+      },
+      Some(s"""
+        WITH v AS (
+          SELECT l_partkey, $discPrice18Sql AS val
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_nationkey % 5 = 3)
+        SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_val
+        FROM v GROUP BY l_partkey
+        HAVING CAST(SUM(val) AS DOUBLE) >
+          (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001""")),
+
+    // ---- Q12: late lines by priority class -------------------------------
+    //      no shipmode/commitdate/receiptdate: "late" is shipdate more
+    //      than 60 days after the order date, and the grouping attribute
+    //      is the return flag. The Q12 shape — fact-fact join + CASE
+    //      conditional counts split by order priority — is unchanged.
+    Q("h12_late_lines",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count")),
+      Some("""
+        SELECT l_returnflag,
+          COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 END) AS high_line_count,
+          COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_returnflag""")),
+
+    // ---- Q20: potential part promotion -----------------------------------
+    //      suppliers who moved real volume of one part family in one
+    //      year — Q20's nested-IN chain becomes part-filter broadcast →
+    //      keyed qty aggregation → HAVING threshold → semi-join back to
+    //      the supplier dim (the order that keeps every join's build
+    //      side tiny however large lineitem grows).
+    Q("h20_potential_promotion",
+      (s, d) => {
+        val redParts = Tables.part(s, d)
+          .filter(col("p_name").startsWith("red"))
+          .select("p_partkey")
+        val bigMovers = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= ts("1996-01-01")
+            && col("l_shipdate") < ts("1997-01-01"))
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("red_qty"))
+          .filter(col("red_qty") > 100.0)
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(bigMovers, col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            col("red_qty"))
+      },
+      Some("""
+        WITH movers AS (
+          SELECT l_suppkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              AS red_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            > 100.0)
+        SELECT s_suppkey, s_name, n_name, red_qty
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN movers ON s_suppkey = l_suppkey"""))
   )
 }
