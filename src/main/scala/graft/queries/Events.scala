@@ -416,6 +416,41 @@ object Events {
           ON a.session_start <= b.session_end
          AND b.session_start <= a.session_end
          AND a.user_id <> b.user_id
-        GROUP BY a.user_id, a.session_seq"""))
+        GROUP BY a.user_id, a.session_seq""")),
+
+    // ---- gaps-and-islands: consecutive-day activity streaks -------------
+    //      the classic sessionize-by-calendar shape: distinct active
+    //      days per user, islands identified by day - row_number (a
+    //      constant within each consecutive run), then per-user streak
+    //      stats. Both windows and aggregations are keyed by user_id —
+    //      one shuffle, no global ordering anywhere.
+    Q("e15_activity_streaks",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val streaks = days
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        streaks.groupBy("user_id")
+          .agg(count(lit(1)).as("n_streaks"),
+            sum(col("len")).as("n_active_days"),
+            max(col("len")).as("max_streak"))
+      },
+      Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        isl AS (
+          SELECT user_id, day - CAST(ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+          FROM days),
+        st AS (
+          SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS n_streaks,
+          CAST(SUM(len) AS BIGINT) AS n_active_days,
+          MAX(len) AS max_streak
+        FROM st GROUP BY user_id"""))
   )
 }

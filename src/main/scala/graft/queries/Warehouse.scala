@@ -325,6 +325,30 @@ object Warehouse {
           (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
              ON c.c_nationkey = n.n_nationkey),
           (SELECT COUNT(*) FROM nation n ANTI JOIN customer c
-             ON n.n_nationkey = c.c_nationkey)"""))
+             ON n.n_nationkey = c.c_nationkey)""")),
+
+    // ---- join-key skew profile -------------------------------------------
+    //      the operational pre-join check that decides whether a key
+    //      needs JoinOps.saltedJoin: the hottest keys with their share
+    //      of the table. One keyed aggregation + a broadcast scalar
+    //      total + TakeOrdered — never a global sort of all keys.
+    Q("w07_key_skew_profile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val total = li.agg(count(lit(1)).as("total_rows"))
+        li.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(total))
+          .select(col("l_partkey"), col("n_rows"),
+            (col("n_rows").cast("double") / col("total_rows")).as("share"))
+          .orderBy(col("n_rows").desc, col("l_partkey").asc)
+          .limit(20)
+      },
+      Some("""
+        SELECT l_partkey, COUNT(*) AS n_rows,
+          CAST(COUNT(*) AS DOUBLE)
+            / (SELECT COUNT(*) FROM lineitem) AS share
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY n_rows DESC, l_partkey ASC LIMIT 20"""))
   )
 }
