@@ -49,20 +49,24 @@ object GraphOps {
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
     require(iters >= 1)
-    // edge construction is often a join+distinct pipeline; persist it so
-    // the degree aggregation and the adjacency join don't re-run it
-    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted |V|-sized frame: feeds the adjacency join, the node-count
-    // broadcast (used once per iteration — without the persist every
-    // broadcast re-runs the full edge pipeline), and the initial ranks
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    import org.apache.spark.sql.expressions.Window
+    // ONE persisted frame: adjacency with the out-degree attached via a
+    // src-keyed window — a single shuffle, versus the earlier
+    // materialize-edges + groupBy-degrees + join-back pipeline (three
+    // cached frames, two extra passes over the edge set per bench run)
+    val adj = edges.select(col("src"), col("dst"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // adjacency with out-degree attached: the frame every iteration joins
-    val adj = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.agg(count(lit(1)).as("n"))
-    val r0 = deg.select(col("src").as("id"))
-      .crossJoin(broadcast(n))
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    // |V| as a driver-side scalar (same one-row-action lifecycle as
+    // JoinOps.bloomPreFilter's .head()): folding it in as a literal
+    // keeps the per-iteration plan free of the node-count broadcast
+    // join the earlier shape re-planned every round
+    val n = adj.agg(countDistinct(col("src"))).head().getLong(0)
+    // 1.0/n, teleport/n are single IEEE divisions — identical values to
+    // the oracle's CAST(x AS DOUBLE) / n
+    val r0 = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), lit(1.0 / n).as("rank"))
     (0 until iters).foldLeft(r0) { (r, _) =>
       adj.join(r, col("src") === col("id"))
         // double division is deterministic (both operands exact on both
@@ -74,9 +78,8 @@ object GraphOps {
         .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib").cast("decimal(28,15)")).cast("double").as("m"))
-        .crossJoin(broadcast(n))
         .select(col("dst").as("id"),
-          (lit(teleport) / col("n") + lit(damping) * col("m")).as("rank"))
+          (lit(teleport / n) + lit(damping) * col("m")).as("rank"))
     }
   }
 
