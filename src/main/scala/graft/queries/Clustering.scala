@@ -165,6 +165,40 @@ object Clustering {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         report4(lloydPasses(emb, k = 8, iters = 3).last)
       },
-      Some(lloydCte(8, 3) + report4Sql("a2")))
+      Some(lloydCte(8, 3) + report4Sql("a2"))),
+
+    // ---- inference: per-cluster distortion of the trained index ---------
+    //      the serving-side read of c03's training loop: assign the
+    //      corpus to the final centroids and report each cell's size and
+    //      within-cluster SSE — the number an IVF index operator watches
+    //      to decide when to re-train. Same broadcast-argmin shape as
+    //      every assignment pass; the SSE sum goes through decimal so
+    //      the per-cell totals are aggregation-order-exact.
+    Q("c04_assignment_distortion",
+      (s, d) => {
+        val emb = corpus(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lloydPasses(emb, k = 8, iters = 3).last
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            // d2 is quantized by floor(d2 * 1e9), NOT a decimal cast:
+            // cast rounds HALF_UP off the shortest decimal rendering on
+            // the JVM but off the exact binary value in DuckDB, and the
+            // two disagree exactly at rendered ...5 midpoints (observed
+            // at sf0.01). floor of the identical IEEE product is the
+            // same integer on both engines, and the integers sum exactly
+            // inside decimal.
+            (sum(floor(col("d2") * 1e9).cast("decimal(38,0)"))
+              .cast("double") / 1e9).as("sse"))
+      },
+      Some(lloydCte(8, 3) + """
+        , best AS (SELECT vec_id, cell, d2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, cell ASC) AS rk FROM d2)
+            WHERE rk = 1)
+        SELECT cell, COUNT(*) AS n_members,
+          CAST(SUM(CAST(FLOOR(d2 * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+            AS sse
+        FROM best GROUP BY cell"""))
   )
 }
