@@ -76,6 +76,11 @@ object StreamingQueries {
   // watermark far past the fixture's span: bounded replay, nothing evicted
   private val unbounded = "36500 days"
 
+  /** per-JVM scratch root for the file-sink gate (same isolation
+    * rationale as IoQueries.scratchRoot) */
+  private lazy val scratchRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_st_")
+
   val qs: Seq[Q] = Seq(
 
     // ---- incremental tumbling-window aggregation ------------------------
@@ -247,6 +252,44 @@ object StreamingQueries {
       Some("""
         SELECT event_type, COUNT(*) AS n,
           COUNT(DISTINCT user_id) AS n_users, TRUE AS all_exact
-        FROM events GROUP BY event_type"""))
+        FROM events GROUP BY event_type""")),
+
+    // ---- the production sink path: parquet file sink + checkpoint --------
+    //      every other st* gate collects from a memory sink; this one
+    //      runs the real exactly-once file sink — streaming dedup writes
+    //      zstd parquet under a checkpointed output manifest, and the
+    //      gate aggregates what a DOWNSTREAM BATCH READER actually sees.
+    //      Re-running in the same JVM is the production restart case:
+    //      the checkpoint shows nothing new, no files are duplicated,
+    //      and the read-back result is unchanged (exactly-once across
+    //      restarts is the file sink's whole contract). The scratch
+    //      path is keyed by the data dir so sf0.001 spec runs and
+    //      sf0.01 gate runs never share a checkpoint.
+    Q("st08_file_sink",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st08-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = EventStreams.dedupStream(eventsStream(child, d),
+            Seq("user_id", "event_type"), "ts", unbounded)
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .option("compression", "zstd")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        s.read.parquet(s"$base/out")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_pairs,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type"""))
   )
 }
