@@ -330,6 +330,57 @@ object Similarity {
           FROM dv GROUP BY dim)
         SELECT dim, n, mean_v, m2 - mean_v * mean_v AS var_v,
           min_v, max_v
-        FROM m"""))
+        FROM m""")),
+
+    // ---- label-separation matrix: pairwise centroid cosines --------------
+    //      the class-separation diagnostic for labeled embeddings: one
+    //      exact-decimal centroid per label (the refreshCentroids shape),
+    //      then the cosine between every label pair. Pairwise work is
+    //      k*(k-1)/2 over k labels — never over the corpus — so the only
+    //      data-sized pass is the centroid aggregation's single shuffle.
+    Q("s12_label_separation",
+      (s, d) => {
+        graft.expressions.VectorExpressions.registerAll(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("label").cast("long").as("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cents = emb
+          .select(col("label"), posexplode(col("v")).as(Seq("dim", "coord")))
+          .groupBy(col("label"), col("dim"))
+          .agg((sum(col("coord").cast("decimal(18,9)")).cast("double") /
+            count(lit(1))).as("m"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+            .as("dm"))
+          .select(col("label"), expr("transform(dm, x -> x.m)").as("cv"))
+          .withColumn("nrm",
+            sqrt(call_function("vec_dot", col("cv"), col("cv"))))
+        val a = cents.select(col("label").as("la"), col("cv").as("va"),
+          col("nrm").as("na"))
+        val b = cents.select(col("label").as("lb"), col("cv").as("vb"),
+          col("nrm").as("nb"))
+        a.join(b, col("la") < col("lb"))
+          .select(col("la"), col("lb"),
+            (call_function("vec_dot", col("va"), col("vb"))
+              / (col("na") * col("nb"))).as("cosine"))
+      },
+      Some(s"""
+        WITH dv AS (
+          SELECT label, generate_subscripts(embedding, 1) AS dim,
+            CAST(unnest(embedding) AS DOUBLE) AS coord
+          FROM embeddings),
+        m AS (
+          SELECT label, dim,
+            CAST(SUM(CAST(coord AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+              AS m
+          FROM dv GROUP BY 1, 2),
+        c AS (SELECT label, list(m ORDER BY dim) AS cv FROM m
+              GROUP BY label),
+        n2 AS (SELECT CAST(label AS BIGINT) AS label, cv,
+                 sqrt(${dotSql("cv", "cv")}) AS nrm
+               FROM c)
+        SELECT a.label AS la, b.label AS lb,
+          ${dotSql("a.cv", "b.cv")} / (a.nrm * b.nrm) AS cosine
+        FROM n2 a JOIN n2 b ON a.label < b.label"""))
   )
 }

@@ -327,6 +327,51 @@ object Warehouse {
           (SELECT COUNT(*) FROM nation n ANTI JOIN customer c
              ON n.n_nationkey = c.c_nationkey)""")),
 
+    // ---- CDC changelog apply (upsert + delete merge) ---------------------
+    //      the table-maintenance MERGE a change-data-capture feed drives:
+    //      the latest change per key wins (keyed window, deterministic
+    //      tiebreak), deletes drop the row, updates replace the payload,
+    //      untouched keys pass through. One shuffle for latest-per-key,
+    //      one outer join on the merge key — the exact shape a format-
+    //      level MERGE INTO executes underneath.
+    Q("w08_cdc_apply",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        val latest = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_custkey").as("key"),
+            when(col("o_custkey") % 10 === 0, "D").otherwise("U").as("op"),
+            col("o_totalprice").as("new_bal"))
+        Tables.customer(s, d)
+          .join(latest, col("c_custkey") === col("key"), "left_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("c_mktsegment"),
+            when(col("op") === "U", col("new_bal"))
+              .otherwise(col("c_acctbal")).as("bal"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("bal").cast("decimal(18,2)")).cast("double")
+              .as("sum_bal"))
+      },
+      Some("""
+        WITH latest AS (
+          SELECT o_custkey AS key,
+            CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+            o_totalprice AS new_bal
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+          CAST(SUM(CAST(CASE WHEN op = 'U' THEN new_bal ELSE c_acctbal END
+            AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer LEFT JOIN latest ON c_custkey = key
+        WHERE op IS NULL OR op <> 'D'
+        GROUP BY c_mktsegment""")),
+
     // ---- join-key skew profile -------------------------------------------
     //      the operational pre-join check that decides whether a key
     //      needs JoinOps.saltedJoin: the hottest keys with their share
