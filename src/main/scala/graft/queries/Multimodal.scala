@@ -114,6 +114,29 @@ object Multimodal {
           COUNT(*) AS n_assets,
           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_bytes,
           COUNT(DISTINCT md5(text)) AS n_distinct
-        FROM documents GROUP BY 1, 2"""))
+        FROM documents GROUP BY 1, 2""")),
+
+    // ---- binary-asset dedup by content hash ------------------------------
+    //      "dedup the images by checksum": group the OPAQUE binary column
+    //      by its content hash — the multimodal twin of d01's exact text
+    //      dedup, except the key is computed from bytes, so the same
+    //      plan handles image/audio/video blobs unchanged. Duplicate
+    //      groups keep their min asset id as the canonical survivor.
+    Q("m06_asset_dedup",
+      (s, d) => MultimodalOps.buildAssets(Tables.documents(s, d))
+        .groupBy(col("meta.checksum").as("checksum"))
+        .agg(count(lit(1)).as("n_copies"))
+        .agg(count(lit(1)).as("n_distinct_assets"),
+          sum(col("n_copies")).as("n_assets"),
+          count(when(col("n_copies") >= 2, 1)).as("n_dup_groups"),
+          sum(col("n_copies") - 1).as("n_redundant_copies")),
+      Some("""
+        WITH g AS (SELECT md5(text) AS checksum, COUNT(*) AS n_copies
+                   FROM documents GROUP BY 1)
+        SELECT COUNT(*) AS n_distinct_assets,
+          CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+          COUNT(CASE WHEN n_copies >= 2 THEN 1 END) AS n_dup_groups,
+          CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant_copies
+        FROM g"""))
   )
 }

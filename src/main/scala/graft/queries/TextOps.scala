@@ -554,6 +554,31 @@ object TextOps {
           CAST(COALESCE(ANY_VALUE(nov.n_novel), 0) AS DOUBLE) / COUNT(*)
             AS novelty
         FROM te LEFT JOIN nov ON te.lang = nov.lang
-        GROUP BY te.lang"""))
+        GROUP BY te.lang""")),
+
+    // ---- PII-style masking pass ------------------------------------------
+    //      the redaction transform a curation pipeline runs before
+    //      training: every digit masked, with a per-source audit of how
+    //      many documents were touched and the masked content hash (so
+    //      the downstream exact-dedup keys are PII-stable). Pure
+    //      projection + one keyed aggregation — shuffle-free until the
+    //      audit rollup, scales as a map-only pass.
+    Q("t18_pii_masking",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          regexp_replace(col("text"), "[0-9]", "#").as("masked"),
+          col("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("masked") =!= col("text"), 1)).as("n_redacted"),
+          countDistinct(md5(col("masked").cast("binary")))
+            .as("n_distinct_masked")),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+          COUNT(CASE WHEN regexp_replace(text, '[0-9]', '#', 'g') <> text
+            THEN 1 END) AS n_redacted,
+          COUNT(DISTINCT md5(regexp_replace(text, '[0-9]', '#', 'g')))
+            AS n_distinct_masked
+        FROM documents GROUP BY source"""))
   )
 }
