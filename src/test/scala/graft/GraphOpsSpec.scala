@@ -90,4 +90,42 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("connectedComponents matches union-find on seeded random graphs") {
+    // property check beyond the fixed fixtures: across sparse, critical
+    // (~n/2 edges, many mid-size components) and dense regimes, the
+    // distributed star contraction must agree exactly with a trusted
+    // driver-side union-find
+    val rng = new scala.util.Random(42)
+    for ((n, m) <- Seq((60, 20), (60, 35), (60, 120))) {
+      val edges = Seq.fill(m)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val und = edges.toDF("u", "v")
+      val got = GraphOps.connectedComponents(und)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // union-find with path compression; roots relabeled to component min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      // self-loops are canonicalized away by the operator: a node with
+      // only self-loop edges is not part of the graph
+      val real = edges.filter(e => e._1 != e._2)
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra) = rb
+      }
+      val nodes = real.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = nodes.groupBy(id => find(id.toInt))
+        .map { case (r, ids) => r -> ids.min }
+      val want = nodes.map(id => id -> minOfRoot(find(id.toInt))).toMap
+      assert(got == want,
+        s"(n=$n m=$m) diff: ${(got.toSet diff want.toSet).take(5)}")
+    }
+  }
 }
