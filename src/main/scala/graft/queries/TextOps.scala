@@ -579,6 +579,54 @@ object TextOps {
             THEN 1 END) AS n_redacted,
           COUNT(DISTINCT md5(regexp_replace(text, '[0-9]', '#', 'g')))
             AS n_distinct_masked
-        FROM documents GROUP BY source"""))
+        FROM documents GROUP BY source""")),
+
+    // ---- source-pair vocabulary similarity --------------------------------
+    //      which SOURCES are near-duplicates of each other (mirror
+    //      detection): exact Jaccard between per-source token
+    //      vocabularies. Vocabularies are deduplicated before the
+    //      token-keyed self-join, so the pairwise work is bounded by
+    //      |vocab| * C(sources-per-token, 2), never corpus size — the
+    //      source-level twin of d02's per-document Jaccard.
+    Q("t19_source_similarity",
+      (s, d) => {
+        val st = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("source"), explode(col("toks")).as("tok"))
+          .distinct()
+        val sizes = st.groupBy("source").agg(count(lit(1)).as("sz"))
+        st.as("a")
+          .join(st.as("b"),
+            col("a.tok") === col("b.tok")
+              && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+          .agg(count(lit(1)).as("common"))
+          .join(broadcast(sizes.select(col("source").as("sa"),
+            col("sz").as("za"))), "sa")
+          .join(broadcast(sizes.select(col("source").as("sb"),
+            col("sz").as("zb"))), "sb")
+          .filter(col("common").cast("double")
+            / (col("za") + col("zb") - col("common")) >= 0.3)
+          .select(col("sa"), col("sb"), col("common"),
+            (col("common").cast("double")
+              / (col("za") + col("zb") - col("common"))).as("jaccard"))
+      },
+      Some("""
+        WITH st AS (
+          SELECT DISTINCT source, t.tok
+          FROM documents,
+            unnest(string_split_regex(trim(text), ' +')) t(tok)),
+        sz AS (SELECT source, COUNT(*) AS sz FROM st GROUP BY source),
+        pr AS (
+          SELECT a.source AS sa, b.source AS sb, COUNT(*) AS common
+          FROM st a JOIN st b
+            ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT sa, sb, common,
+          CAST(common AS DOUBLE) / (za.sz + zb.sz - common) AS jaccard
+        FROM pr
+        JOIN sz za ON pr.sa = za.source
+        JOIN sz zb ON pr.sb = zb.source
+        WHERE CAST(common AS DOUBLE) / (za.sz + zb.sz - common) >= 0.3"""))
   )
 }
