@@ -384,6 +384,43 @@ object IoQueries {
           CAST(SUM(CASE WHEN o_orderkey % 2 = 0
             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
             AS sum_price
-        FROM orders"""))
+        FROM orders""")),
+
+    // ---- permissive ingestion of malformed records ----------------------
+    //      real feeds carry broken rows; dropping the file (FAILFAST) or
+    //      the rows silently (DROPMALFORMED) are both wrong at scale —
+    //      the production shape is PERMISSIVE with a corrupt-record
+    //      column, so bad rows are COUNTED and quarantined while good
+    //      rows flow. Every 7th record is deliberately corrupted before
+    //      the CSV write; the read-back must classify exactly those.
+    Q("io12_corrupt_records",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val out = scratch("io12")
+        Tables.documents(s, d)
+          .select(concat_ws(",", col("doc_id"),
+            when(col("doc_id") % 7 === 0, lit("x"))
+              .otherwise(col("n_chars").cast("string")),
+            col("lang")).as("value"))
+          .write.mode("overwrite").text(out)
+        val sch = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_chars", LongType),
+          StructField("lang", StringType),
+          StructField("_bad", StringType)))
+        s.read.schema(sch)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(out)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("_bad")).as("n_corrupt"),
+            sum(col("n_chars")).as("sum_good_chars"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+          COUNT(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_corrupt,
+          CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT)
+            AS sum_good_chars
+        FROM documents"""))
   )
 }
