@@ -18,6 +18,10 @@ import graft.io.Tables
   */
 object Sketches {
 
+  /** per-JVM scratch (same isolation rationale as IoQueries.scratchRoot) */
+  private lazy val scratchRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_ds_")
+
   val qs: Seq[Q] = Seq(
 
     // ---- per-lang HLL sketches + a union-merged corpus rollup ----------
@@ -157,6 +161,45 @@ object Sketches {
         tot AS (SELECT COUNT(*) AS n FROM k),
         c AS (SELECT key, COUNT(*) AS n_exact FROM k GROUP BY key)
         SELECT key, n_exact, TRUE AS est_le_exact, TRUE AS within_band
-        FROM c, tot WHERE n_exact * 16 > tot.n"""))
+        FROM c, tot WHERE n_exact * 16 > tot.n""")),
+
+    // ---- sketch warehouse: HLL bytes persisted + merged from parquet -----
+    //      the daily-sketch-table pattern at full fidelity: per-month
+    //      sketches land in a parquet table (binary column, KBs per row
+    //      whatever the month's volume), a later query unions them for
+    //      the all-time grain WITHOUT rescanning the facts. The gate
+    //      invariant is deterministic: the parquet round trip is
+    //      byte-preserving, so merging the sketches FROM DISK must give
+    //      exactly the estimate of merging the same sketches in memory.
+    //      (Estimates across DIFFERENT groupings are not comparable —
+    //      sketches promote from exact set mode to dense registers at
+    //      group-size-dependent points, measured 1500/1488/1492 for
+    //      month/priority/one-shot at sf0.01 — so cross-grouping
+    //      equality would be a false invariant.)
+    Q("ds05_sketch_warehouse",
+      (s, d) => {
+        val out = scratchRoot.resolve("ds05").toString
+        val orders = Tables.orders(s, d)
+        val byMonth = orders
+          .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+        byMonth.write.mode("overwrite").option("compression", "zstd")
+          .parquet(out)
+        val fromDisk = orders.sparkSession.read.parquet(out)
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("est_disk"))
+        val inMemory = byMonth
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("est_mem"))
+        val exact = orders
+          .agg(countDistinct(col("o_custkey")).as("n_exact"))
+        exact.crossJoin(fromDisk).crossJoin(inMemory)
+          .select(col("n_exact"),
+            (col("est_disk") === col("est_mem")).as("roundtrip_lossless"))
+      },
+      Some("""
+        SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+          TRUE AS roundtrip_lossless
+        FROM orders"""))
   )
 }
