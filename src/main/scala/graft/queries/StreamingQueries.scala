@@ -290,6 +290,42 @@ object StreamingQueries {
         SELECT event_type, COUNT(*) AS n_pairs,
           COUNT(DISTINCT user_id) AS n_users
         FROM (SELECT DISTINCT user_id, event_type FROM events)
-        GROUP BY event_type"""))
+        GROUP BY event_type""")),
+
+    // ---- multi-micro-batch replay ----------------------------------------
+    //      the single-file fixture makes AvailableNow a ONE-batch replay,
+    //      so the other st* gates exercise state mostly within a batch.
+    //      Here the fixture is split into 8 time-ranged files and the
+    //      source is throttled to one file per trigger — eight real
+    //      micro-batches flowing through the state store — and the
+    //      complete-mode windowed aggregate must still equal batch SQL
+    //      exactly, however the data was batched.
+    Q("st09_multibatch_replay",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st09-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        Tables.events(s, d)
+          .repartitionByRange(8, col("ts"))
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(base)
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = child.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base)
+        val q = EventStreams.windowedCounts(stream,
+            watermarkDelay = unbounded)
+          .writeStream.format("memory").queryName("st09")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        child.table("st09")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+          event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""))
   )
 }
