@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.JoinOps
+
+/** asOfJoinBackward vs a trusted driver-side scan on seeded random
+  * data: for every left row, the match must be exactly the right row
+  * with the greatest time <= the left time on the same key, and left
+  * rows with no eligible right row are dropped. Quote times are
+  * distinct per key — the operator (like ASOF JOIN generally) does not
+  * define which of two exactly-tied right rows wins. */
+class AsOfJoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoinBackward matches per-row max-time-at-or-before search") {
+    val rng = new scala.util.Random(11)
+    val trades = (1 to 60).map { i =>
+      (i.toLong, rng.nextInt(5).toLong, rng.nextInt(500).toLong)
+    } // (trade_id, key, t)
+    val quotes = rng.shuffle((0 until 500).toList).take(120).zipWithIndex
+      .map { case (t, i) => (1000L + i, (t % 5).toLong, t.toLong) }
+    // (quote_id, key, qt) — t distinct across ALL quotes, hence per key
+
+    val l = trades.toDF("trade_id", "k", "t")
+    val r = quotes.toDF("quote_id", "qk", "qt")
+    val got = JoinOps.asOfJoinBackward(l, r,
+        leftKey = "k", rightKey = "qk",
+        leftTime = "t", rightTime = "qt", rightVals = Seq("quote_id"))
+      .select("trade_id", "asof_quote_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+    val want = trades.flatMap { case (tid, k, t) =>
+      val eligible = quotes.filter(q => q._2 == k && q._3 <= t)
+      if (eligible.isEmpty) None
+      else Some(tid -> eligible.maxBy(_._3)._1)
+    }.toMap
+
+    assert(got == want,
+      s"diff: ${(got.toSet diff want.toSet).take(5)} / " +
+        s"${(want.toSet diff got.toSet).take(5)}")
+  }
+}
