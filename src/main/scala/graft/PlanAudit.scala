@@ -51,6 +51,12 @@ object PlanAudit {
       // one); no registered query should want a full ordered shuffle
       val globalSort = n("Exchange rangepartitioning")
       val singleParts = badSinglePartitions(plan)
+      // pushdown visibility: file scans, and how many of them reached
+      // the reader with at least one pushed filter — the "filters reach
+      // the parquet scan" rule made auditable (informative, not a gate:
+      // full-table aggregates legitimately push nothing)
+      val scans = n("FileScan parquet")
+      val pushedScans = n("PushedFilters: \\[[^\\]]")
       // an operator that drops to the RDD API hides its shuffles behind a
       // `Scan ExistingRDD` leaf — the audit cannot see inside, so the
       // shuffle count is a LOWER bound, reported as such, never as 0
@@ -62,7 +68,7 @@ object PlanAudit {
       if (rddOpaque) notes ++= " rdd-opaque(shuffle count is a lower bound)"
       val shufflesShown = if (rddOpaque) s">=$exchanges" else f"$exchanges%2d"
       println(f"$name%-26s shuffles=$shufflesShown bhj=$bhj nlj=$nlj " +
-        f"smj=$smj topk=$topk$notes")
+        f"smj=$smj topk=$topk scans=$scans pushed=$pushedScans$notes")
     }
     spark.stop()
     if (flagged.nonEmpty) {

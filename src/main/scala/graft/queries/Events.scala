@@ -361,7 +361,10 @@ object Events {
             sum(col("value").cast("decimal(18,2)")).cast("double").as("vol"))
       },
       Some("""
-        SELECT event_type, date_trunc('day', ts) AS day,
+        SELECT event_type,
+          -- DuckDB's date_trunc('day') yields DATE; Spark's yields
+          -- TIMESTAMP — cast so both engines emit the same type
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
           (MIN(struct_pack(ts := ts, eid := event_id, v := value))).v
             AS open_v,
           (MAX(struct_pack(ts := ts, eid := event_id, v := value))).v
