@@ -123,6 +123,71 @@ object Dedup {
         SELECT r.lang, r.doc_id, CAST(r.rn AS BIGINT) AS rn
         FROM r JOIN c USING (lang) WHERE rn <= CEIL(n_lang * 0.2)""")),
 
+    // ---- mixture resampling (domain reweighting) ------------------------
+    //      the training-mix construction step that FOLLOWS dedup: given a
+    //      target weight per source and a global document budget (half
+    //      the corpus), downsample each source at
+    //      rate = min(1, share * budget / n_avail) — feasibility-capped,
+    //      so an under-represented source is kept whole instead of
+    //      upsampled. Membership is the q34 portable hash cut (md5 of the
+    //      doc id against a per-source 24-bit threshold prefix), so the
+    //      kept SET — not just the counts — is a pure function of the
+    //      data, reproducible on any engine. Target weights derive from
+    //      the source id ((idx % 4) + 1) so both engines compute the
+    //      identical config without a side channel. Scale shape: one
+    //      small keyed shuffle for per-source counts, the rate table is
+    //      a broadcast, the filter is a codegen'd scan (no shuffle of the
+    //      corpus), one final small keyed aggregate.
+    Q("d09_mixture_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_avail"))
+          .withColumn("weight",
+            substring(col("source"), 4, 10).cast("long") % 4 + 1)
+        val totals = counts.agg(
+          sum(col("n_avail")).as("n_total"), sum(col("weight")).as("w_total"))
+        val rates = counts.crossJoin(broadcast(totals))
+          .withColumn("budget", floor(col("n_total").cast("double") * 0.5))
+          .withColumn("rate", least(lit(1.0),
+            col("weight").cast("double") / col("w_total") * col("budget")
+              / col("n_avail")))
+          .withColumn("cut", concat(
+            lpad(lower(hex(floor(col("rate") * 16777216L))), 6, "0"),
+            lit("0" * 26)))
+          .select(col("source"), col("weight"), col("n_avail"),
+            col("rate"), col("cut"))
+        docs.join(broadcast(rates), "source")
+          .filter(col("rate") >= 1.0 ||
+            md5(col("doc_id").cast("string").cast("binary")) < col("cut"))
+          .groupBy(col("source"), col("weight"), col("n_avail"))
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_avail,
+            (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS weight
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_avail) AS BIGINT) AS n_total,
+                     CAST(SUM(weight) AS BIGINT) AS w_total FROM c),
+        r AS (
+          SELECT source, weight, n_avail,
+            LEAST(CAST(1.0 AS DOUBLE),
+              CAST(weight AS DOUBLE) / w_total
+                * FLOOR(CAST(n_total AS DOUBLE) * 0.5) / n_avail) AS rate
+          FROM c, t),
+        cuts AS (
+          SELECT source, weight, n_avail, rate,
+            lpad(lower(to_hex(CAST(FLOOR(rate * 16777216) AS BIGINT))),
+                 6, '0') || repeat('0', 26) AS cut
+          FROM r)
+        SELECT cu.source, CAST(cu.weight AS BIGINT) AS weight,
+          CAST(cu.n_avail AS BIGINT) AS n_avail,
+          CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN cuts cu ON d.source = cu.source
+        WHERE cu.rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < cu.cut
+        GROUP BY 1, 2, 3""")),
+
     // ---- near-dup clustering: transitive closure of the pair list -------
     //      (the survivor-selection input: one cluster per connected
     //      component, labeled by its minimum doc_id). Oracle recomputes
