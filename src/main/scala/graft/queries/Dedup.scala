@@ -188,6 +188,53 @@ object Dedup {
         WHERE cu.rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < cu.cut
         GROUP BY 1, 2, 3""")),
 
+    // ---- survivor selection: the dedup DECISION -------------------------
+    //      the step that turns d07's clusters into a keep/drop list: per
+    //      near-dup cluster keep the longest document (doc_id breaks
+    //      ties, so the choice is total-ordered and deterministic), drop
+    //      the rest. One max_by aggregate over the cluster labels joined
+    //      with the doc lengths — no window, no sort; reported per
+    //      cluster with the byte savings the drop realizes. Oracle
+    //      recomputes the closure recursively and picks survivors with a
+    //      rank-1 filter over the identical (n_chars, doc_id) order.
+    Q("d10_survivor_selection",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val clusters = DedupOps.nearDupClusters(
+          DedupOps.ngramJaccardPairs(docs, 3, 0.6).select("doc_a", "doc_b"))
+        clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("cluster_id"))
+          .agg(
+            max_by(col("doc_id"), struct(col("n_chars"), col("doc_id")))
+              .as("survivor_id"),
+            count(lit(1)).as("cluster_size"),
+            (sum(col("n_chars")) -
+              max(struct(col("n_chars"), col("doc_id")))
+                .getField("n_chars")).cast("long").as("chars_removed"))
+      },
+      Some(jaccardCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+        , pr AS (SELECT doc_a, doc_b FROM p
+                 WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.6),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pr
+              UNION ALL SELECT doc_b, doc_a FROM pr),
+        reach AS (
+          SELECT s, t FROM e
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        lab AS (SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+                FROM reach GROUP BY s),
+        ranked AS (
+          SELECT cluster_id, doc_id, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id DESC) AS rn
+          FROM lab JOIN documents USING (doc_id))
+        SELECT cluster_id,
+          MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+          CAST(COUNT(*) AS BIGINT) AS cluster_size,
+          CAST(SUM(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+            AS chars_removed
+        FROM ranked GROUP BY 1""")),
+
     // ---- near-dup clustering: transitive closure of the pair list -------
     //      (the survivor-selection input: one cluster per connected
     //      component, labeled by its minimum doc_id). Oracle recomputes
