@@ -188,6 +188,79 @@ object Dedup {
         WHERE cu.rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < cu.cut
         GROUP BY 1, 2, 3""")),
 
+    // ---- epoch upsampling: the OVER-sampling regime d09 caps ------------
+    //      when a source's target share exceeds its size, training mixes
+    //      repeat it: rate 2.4 means every doc appears in 2 full epochs
+    //      and a deterministic 40% hash-cut slice appears in a 3rd.
+    //      Implementation is row-local after the broadcast rate join —
+    //      explode(sequence(1, n_copies)) fans each doc out to its epoch
+    //      copies with NO shuffle of the corpus (n_copies >= 1 filter
+    //      first: Spark's sequence(1, 0) counts DOWN, it is not empty).
+    //      Budget 1.5x the corpus so the fixture exercises rates on both
+    //      sides of 1. Oracle replays the emitted (source, epoch) counts
+    //      from per-source arithmetic + generate_series — an independent
+    //      derivation, not a mirrored explode.
+    Q("d11_epoch_upsample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_avail"))
+          .withColumn("weight",
+            substring(col("source"), 4, 10).cast("long") % 4 + 1)
+        val totals = counts.agg(
+          sum(col("n_avail")).as("n_total"), sum(col("weight")).as("w_total"))
+        val rates = counts.crossJoin(broadcast(totals))
+          .withColumn("rate",
+            col("weight").cast("double") / col("w_total")
+              * floor(col("n_total").cast("double") * 1.5)
+              / col("n_avail"))
+          .withColumn("copies", floor(col("rate")))
+          .withColumn("cut", concat(
+            lpad(lower(hex(floor((col("rate") - floor(col("rate")))
+              * 16777216L))), 6, "0"),
+            lit("0" * 26)))
+          .select(col("source"), col("copies"), col("cut"))
+        docs.join(broadcast(rates), "source")
+          .withColumn("n_copies", col("copies") +
+            when(md5(col("doc_id").cast("string").cast("binary"))
+              < col("cut"), 1L).otherwise(0L))
+          .filter(col("n_copies") >= 1)
+          .select(col("source"),
+            explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+          .groupBy(col("source"), col("epoch"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_avail,
+            (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS weight
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_avail) AS BIGINT) AS n_total,
+                     CAST(SUM(weight) AS BIGINT) AS w_total FROM c),
+        r AS (
+          SELECT source, n_avail,
+            CAST(weight AS DOUBLE) / w_total
+              * FLOOR(CAST(n_total AS DOUBLE) * 1.5) / n_avail AS rate
+          FROM c, t),
+        cuts AS (
+          SELECT source, n_avail, CAST(FLOOR(rate) AS BIGINT) AS copies,
+            lpad(lower(to_hex(CAST(FLOOR((rate - FLOOR(rate)) * 16777216)
+              AS BIGINT))), 6, '0') || repeat('0', 26) AS cut
+          FROM r),
+        k AS (
+          SELECT d.source, COUNT(*) AS n_frac
+          FROM documents d JOIN cuts USING (source)
+          WHERE md5(CAST(d.doc_id AS VARCHAR)) < cut GROUP BY 1)
+        SELECT source, CAST(epoch AS BIGINT) AS epoch,
+          CAST(n_docs AS BIGINT) AS n_docs
+        FROM (
+          SELECT source, unnest(generate_series(1, copies)) AS epoch,
+            n_avail AS n_docs
+          FROM cuts
+          UNION ALL
+          SELECT cu.source, cu.copies + 1 AS epoch, k.n_frac AS n_docs
+          FROM cuts cu JOIN k ON cu.source = k.source)""")),
+
     // ---- survivor selection: the dedup DECISION -------------------------
     //      the step that turns d07's clusters into a keep/drop list: per
     //      near-dup cluster keep the longest document (doc_id breaks
