@@ -454,6 +454,56 @@ object Events {
         SELECT user_id, COUNT(*) AS n_streaks,
           CAST(SUM(len) AS BIGINT) AS n_active_days,
           MAX(len) AS max_streak
-        FROM st GROUP BY user_id"""))
+        FROM st GROUP BY user_id""")),
+
+    // ---- last-touch conversion attribution ------------------------------
+    //      credit every purchase to the user's most recent click/view in
+    //      the preceding 24 h (ties broken by event_id — a total order,
+    //      so the credited touch is deterministic), 'none' if the window
+    //      is empty. ONE keyed range-frame window over the user timeline
+    //      — max of a conditional (ts, event_id, type) struct — so the
+    //      corpus shuffles once on user_id and no purchase×touch join
+    //      ever materializes; the oracle builds exactly that join and
+    //      rank-1-filters it, an independent derivation that is only
+    //      viable at oracle scale. Timestamps are floored to seconds on
+    //      BOTH engines before any comparison.
+    Q("e16_attribution",
+      (s, d) => {
+        val isTouch = col("event_type").isin("click", "view")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-86400L, -1L)
+        Tables.events(s, d)
+          .withColumn("touch", when(isTouch,
+            struct(unix_timestamp(col("ts")).as("tse"),
+              col("event_id").as("eid"), col("event_type").as("etype"))))
+          .withColumn("last_touch", max(col("touch")).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("last_touch.etype"), lit("none"))
+            .as("attributed_type"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(dec(col("value"))).cast("double").as("revenue"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id, user_id, epoch(date_trunc('second', ts)) AS tse,
+            value
+          FROM events WHERE event_type = 'purchase'),
+        t AS (
+          SELECT user_id, epoch(date_trunc('second', ts)) AS tse, event_id,
+            event_type
+          FROM events WHERE event_type IN ('click', 'view')),
+        j AS (
+          SELECT p.event_id AS pid, t.event_type AS touch_type,
+            ROW_NUMBER() OVER (PARTITION BY p.event_id
+              ORDER BY t.tse DESC, t.event_id DESC) AS rn
+          FROM p JOIN t ON p.user_id = t.user_id
+            AND t.tse BETWEEN p.tse - 86400 AND p.tse - 1),
+        a AS (SELECT pid, touch_type FROM j WHERE rn = 1)
+        SELECT COALESCE(a.touch_type, 'none') AS attributed_type,
+          CAST(COUNT(*) AS BIGINT) AS n_purchases,
+          CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM p LEFT JOIN a ON p.event_id = a.pid
+        GROUP BY 1"""))
   )
 }
