@@ -504,6 +504,45 @@ object Events {
           CAST(COUNT(*) AS BIGINT) AS n_purchases,
           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM p LEFT JOIN a ON p.event_id = a.pid
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- event-type transition matrix (first-order Markov) --------------
+    //      P(next | prev) over each user's timeline: one keyed lag
+    //      window (ordered by raw ts + event_id — a total order, no
+    //      arithmetic on time), a pair count, and a broadcast join
+    //      against the 5-row per-prev totals. Probabilities are emitted
+    //      as exact integer parts-per-1e9 (n * 1e9 div total) — no
+    //      doubles anywhere, so the gate is bit-exact by construction.
+    Q("e17_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("prev_type")
+          .agg(sum(col("n")).as("total"))
+        pairs.join(broadcast(totals), "prev_type")
+          .select(col("prev_type"), col("next_type"), col("n"),
+            expr("CAST(n * CAST(1000000000 AS BIGINT) div total AS BIGINT)")
+              .as("p_e9"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        c AS (
+          SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT prev_type, SUM(n) AS total FROM c GROUP BY 1)
+        SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+          CAST(c.n * 1000000000 // t.total AS BIGINT) AS p_e9
+        FROM c JOIN t USING (prev_type)"""))
   )
 }
