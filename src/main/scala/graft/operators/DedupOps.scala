@@ -137,6 +137,38 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** directed n-gram containment: (contained, container) pairs where at
+    * least num/den of the contained side's shingles appear in the other
+    * doc — the asymmetric criterion that catches doc-inside-doc
+    * duplication (quote expansion, boilerplate wrapping) which Jaccard
+    * under-scores when sizes differ. The threshold compares integers
+    * (common·den >= size·num), and the reported ratio is integer
+    * parts-per-1e9, so there is no float anywhere. Same all-pairs shape
+    * as ngramJaccardPairs: the ground-truth verifier — at scale feed it
+    * LSH candidates instead of the full cross product. */
+  def containmentPairs(docs: DataFrame, n: Int,
+                       num: Int, den: Int): DataFrame = {
+    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val stats = posts.as("a")
+      .join(posts.as("b"),
+        col("a.gram_id") === col("b.gram_id") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sa.sz").as("sa"), col("sb.sz").as("sb"))
+    def side(contained: String, container: String, sz: String) =
+      stats.filter(col("common") * den >= col(sz) * num)
+        .select(col(contained).as("contained_doc"),
+          col(container).as("container_doc"),
+          expr(s"CAST(common * CAST(1000000000 AS BIGINT) div $sz AS BIGINT)")
+            .as("c_e9"))
+    side("doc_a", "doc_b", "sa").unionByName(side("doc_b", "doc_a", "sb"))
+  }
+
   /** per-doc MinHash signature: k min-hashes over shingle ids as k
     * column-wise min aggregates — codegen'd HashAggregateExec with
     * primitive buffers, which holds up at any group-per-partition

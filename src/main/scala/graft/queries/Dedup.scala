@@ -188,6 +188,23 @@ object Dedup {
         WHERE cu.rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < cu.cut
         GROUP BY 1, 2, 3""")),
 
+    // ---- directed containment: the asymmetric dup criterion -------------
+    //      a short doc living inside a long one scores low Jaccard
+    //      (union is dominated by the long side) but high containment;
+    //      RefinedWeb-style curation filters on both. Threshold 0.8 as
+    //      an integer cross-multiply, ratio as integer parts-per-1e9 —
+    //      the filter and the output are float-free.
+    Q("d12_containment",
+      (s, d) => DedupOps.containmentPairs(
+        Tables.documents(s, d), n = 3, num = 4, den = 5),
+      Some(jaccardCte + """
+        SELECT doc_a AS contained_doc, doc_b AS container_doc,
+          CAST(common * 1000000000 // sa AS BIGINT) AS c_e9
+        FROM p WHERE common * 5 >= sa * 4
+        UNION ALL
+        SELECT doc_b, doc_a, CAST(common * 1000000000 // sb AS BIGINT)
+        FROM p WHERE common * 5 >= sb * 4""")),
+
     // ---- epoch upsampling: the OVER-sampling regime d09 caps ------------
     //      when a source's target share exceeds its size, training mixes
     //      repeat it: rate 2.4 means every doc appears in 2 full epochs
