@@ -37,6 +37,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => a == 3 || b == 3 })
   }
 
+  test("containmentPairs catches a doc embedded in a longer one") {
+    // doc 10's 4 trigrams ALL appear in doc 11 (full containment) while
+    // Jaccard is only 4/12 — the asymmetric case the operator exists for
+    val c = docs(
+      10L -> "alpha beta gamma delta epsilon zeta",
+      11L -> ("prefix words first alpha beta gamma delta epsilon zeta " +
+        "and then a long unrelated tail keeps the union large here"))
+    val r = DedupOps.containmentPairs(c, n = 3, num = 4, den = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((10L, 11L, 1000000000L)))
+    assert(DedupOps.ngramJaccardPairs(c, 3, 0.5).count() == 0)
+    // directionality: both sides reported iff both clear the threshold
+    val twins = docs(20L -> "one two three four five",
+      21L -> "one two three four five")
+    val both = DedupOps.containmentPairs(twins, 3, 4, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(both == Set((20L, 21L), (21L, 20L)))
+  }
+
   test("minHashNearDups recalls exact and near dups, exact-verified") {
     val pairs = DedupOps.minHashNearDups(corpus, n = 3, k = 128, bands = 64,
       minJaccard = 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
