@@ -188,6 +188,37 @@ object Dedup {
         WHERE cu.rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < cu.cut
         GROUP BY 1, 2, 3""")),
 
+    // ---- incremental dedup: new batch vs existing corpus ----------------
+    //      the production shape — dedup never reruns over the whole
+    //      corpus; each arriving batch anti-joins its content hashes
+    //      against the corpus fingerprint table, then dedups within
+    //      itself (min doc_id per hash). Here the corpus/batch split is
+    //      doc_id % 5 (deterministic fixture stand-in for an ingestion-
+    //      date partition). Scale shape: the fingerprint side projects
+    //      to ONE hash column before the anti-join — the corpus text is
+    //      never read twice — and the join is hash-keyed, broadcastable
+    //      when the batch is small.
+    Q("d13_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h", DedupOps.contentHash(col("text")))
+        val corpus = docs.filter(col("doc_id") % 5 < 4)
+        val batch = docs.filter(col("doc_id") % 5 === 4)
+        batch
+          .join(corpus.select("h").distinct(), Seq("h"), "left_anti")
+          .groupBy(col("h"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            count(lit(1)).as("n_batch_copies"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        corpus AS (SELECT DISTINCT h FROM d WHERE doc_id % 5 < 4),
+        batch AS (SELECT * FROM d WHERE doc_id % 5 = 4)
+        SELECT b.h, MIN(b.doc_id) AS doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+        FROM batch b ANTI JOIN corpus c ON b.h = c.h
+        GROUP BY b.h""")),
+
     // ---- directed containment: the asymmetric dup criterion -------------
     //      a short doc living inside a long one scores low Jaccard
     //      (union is dominated by the long side) but high containment;
