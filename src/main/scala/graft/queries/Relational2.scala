@@ -867,6 +867,37 @@ object Relational2 {
           COUNT(*) AS n_orders,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             AS sum_price
-        FROM orders GROUP BY 1"""))
+        FROM orders GROUP BY 1""")),
+
+    // ---- equi-depth deciles per group (q55 is equi-WIDTH) ---------------
+    //      ntile(10) within each priority keyed by (price, orderkey) — a
+    //      unique sort key, so bucket assignment is deterministic on any
+    //      engine (ntile is order-sensitive; ties without the id column
+    //      would make the gate flaky). Keyed window — the sort shuffles
+    //      by o_orderpriority, never globally. Output is integer counts
+    //      plus RAW min/max doubles (no arithmetic), strict-hash-safe.
+    Q("q56_equidepth_deciles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            ntile(10).over(w).as("decile"))
+          .groupBy(col("o_orderpriority"), col("decile"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("o_totalprice")).as("lo"),
+            max(col("o_totalprice")).as("hi"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderpriority, o_totalprice,
+            NTILE(10) OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS decile
+          FROM orders)
+        SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+          COUNT(*) AS n_orders, MIN(o_totalprice) AS lo,
+          MAX(o_totalprice) AS hi
+        FROM t GROUP BY 1, 2"""))
   )
 }
