@@ -394,6 +394,62 @@ object Warehouse {
           CAST(COUNT(*) AS DOUBLE)
             / (SELECT COUNT(*) FROM lineitem) AS share
         FROM lineitem GROUP BY l_partkey
-        ORDER BY n_rows DESC, l_partkey ASC LIMIT 20"""))
+        ORDER BY n_rows DESC, l_partkey ASC LIMIT 20""")),
+
+    // ---- ANALYZE-style column statistics ---------------------------------
+    //      the CBO inputs (row count, null count, exact NDV, min/max)
+    //      for three lineitem columns in ONE scan — the multi-distinct
+    //      aggregate plans one Expand pass, not one scan per column —
+    //      then stack()-unpivoted to a (column_name, stats...) table,
+    //      the shape a stats catalog stores. Double min/max are emitted
+    //      as integer cents so no float rendering is compared.
+    Q("w09_analyze_stats",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def nulls(c: String) = sum(col(c).isNull.cast("long"))
+        val a = li.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("ok_ndv"),
+          nulls("l_orderkey").as("ok_nulls"),
+          min(col("l_orderkey")).as("ok_lo"),
+          max(col("l_orderkey")).as("ok_hi"),
+          countDistinct(col("l_suppkey")).as("sk_ndv"),
+          nulls("l_suppkey").as("sk_nulls"),
+          min(col("l_suppkey")).as("sk_lo"),
+          max(col("l_suppkey")).as("sk_hi"),
+          countDistinct(col("l_quantity")).as("qt_ndv"),
+          nulls("l_quantity").as("qt_nulls"),
+          floor(min(col("l_quantity")) * 100).as("qt_lo"),
+          floor(max(col("l_quantity")) * 100).as("qt_hi"))
+        a.select(col("n_rows"), expr("""stack(3,
+            'l_orderkey', ok_nulls, ok_ndv, ok_lo, ok_hi,
+            'l_suppkey',  sk_nulls, sk_ndv, sk_lo, sk_hi,
+            'l_quantity', qt_nulls, qt_ndv, qt_lo, qt_hi)
+          AS (column_name, n_nulls, ndv, lo_i, hi_i)"""))
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n_rows,
+            COUNT(DISTINCT l_orderkey) AS ok_ndv,
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS ok_nulls,
+            MIN(l_orderkey) AS ok_lo, MAX(l_orderkey) AS ok_hi,
+            COUNT(DISTINCT l_suppkey) AS sk_ndv,
+            CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS sk_nulls,
+            MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi,
+            COUNT(DISTINCT l_quantity) AS qt_ndv,
+            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS qt_nulls,
+            CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS qt_lo,
+            CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS qt_hi
+          FROM lineitem)
+        SELECT n_rows, 'l_orderkey' AS column_name, ok_nulls AS n_nulls,
+          ok_ndv AS ndv, ok_lo AS lo_i, ok_hi AS hi_i FROM a
+        UNION ALL
+        SELECT n_rows, 'l_suppkey', sk_nulls, sk_ndv, sk_lo, sk_hi FROM a
+        UNION ALL
+        SELECT n_rows, 'l_quantity', qt_nulls, qt_ndv, qt_lo, qt_hi
+        FROM a"""))
   )
 }
