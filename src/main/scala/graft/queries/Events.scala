@@ -543,6 +543,64 @@ object Events {
         t AS (SELECT prev_type, SUM(n) AS total FROM c GROUP BY 1)
         SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
           CAST(c.n * 1000000000 // t.total AS BIGINT) AS p_e9
-        FROM c JOIN t USING (prev_type)"""))
+        FROM c JOIN t USING (prev_type)""")),
+
+    // ---- RFM segmentation (recency / frequency / monetary) --------------
+    //      the classic customer-value cube, engineered for determinism:
+    //      recency anchored to the corpus's own max purchase DATE (a
+    //      broadcast scalar — reruns don't shift segments the way a
+    //      wall-clock anchor would), monetary in exact decimal cents,
+    //      and FIXED integer band edges rather than global ntile
+    //      quantiles — banding is a row-local CASE, so no all-users
+    //      single-partition window exists anywhere in the plan.
+    Q("e18_rfm_segments",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+        val anchor = p.agg(max(to_date(col("ts"))).as("anchor"))
+        val u = p.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("m_dec"),
+          max(to_date(col("ts"))).as("last_d"))
+        u.crossJoin(broadcast(anchor))
+          .select(
+            datediff(col("anchor"), col("last_d")).as("r_days"),
+            col("n"),
+            (col("m_dec") * 100).cast("long").as("m_cents"))
+          .select(
+            when(col("r_days") <= 1, "active")
+              .when(col("r_days") <= 4, "warm")
+              .otherwise("lapsed").as("r_band"),
+            when(col("n") >= 16, "high")
+              .when(col("n") >= 10, "mid")
+              .otherwise("low").as("f_band"),
+            when(col("m_cents") >= 80000L, "big")
+              .when(col("m_cents") >= 40000L, "mid")
+              .otherwise("small").as("m_band"))
+          .groupBy(col("r_band"), col("f_band"), col("m_band"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+          WHERE event_type = 'purchase'),
+        u AS (
+          SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+              AS m_cents,
+            date_diff('day', MAX(d), (SELECT MAX(d) FROM p)) AS r_days
+          FROM p GROUP BY 1)
+        SELECT
+          CASE WHEN r_days <= 1 THEN 'active'
+               WHEN r_days <= 4 THEN 'warm'
+               ELSE 'lapsed' END AS r_band,
+          CASE WHEN n >= 16 THEN 'high'
+               WHEN n >= 10 THEN 'mid'
+               ELSE 'low' END AS f_band,
+          CASE WHEN m_cents >= 80000 THEN 'big'
+               WHEN m_cents >= 40000 THEN 'mid'
+               ELSE 'small' END AS m_band,
+          COUNT(*) AS n_users
+        FROM u GROUP BY 1, 2, 3"""))
   )
 }
