@@ -243,4 +243,36 @@ object GraphOps {
     }
     visited
   }
+
+  /** Synchronous label propagation (community detection), `rounds` fixed
+    * iterations from identity labels. Each node adopts the label that is
+    * most frequent among its in-neighbors, ties broken by SMALLEST label
+    * — the (count desc, label asc) argmax is a total order, so every
+    * round is deterministic and an independent engine can replay it
+    * exactly. Per round: one shuffle join (labels × edges on src) + one
+    * keyed count + one argmax aggregation — the same two-shuffle shape
+    * as a PageRank step; the argmax is max(struct(count, -label)), an
+    * aggregate, never a per-dst sort. Nodes need an in-edge to receive
+    * votes: feed an undirected graph as both edge directions. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until rounds) {
+      val next = e.join(labels, e("src") === labels("id"))
+        .groupBy(e("dst").as("nid"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("nid").as("id"))
+        .agg((max(struct(col("c"), (col("label") * -1).as("neg")))
+          .getField("neg") * -1).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    e.unpersist()
+    labels
+  }
 }

@@ -187,6 +187,51 @@ object Graph {
         SELECT component_size, COUNT(*) AS n_components
         FROM sizes GROUP BY component_size""")),
 
+    // ---- label-propagation communities ----------------------------------
+    //      2 synchronous LPA rounds over the co-purchase graph from
+    //      identity labels; each node adopts its neighbors' most frequent
+    //      label, smallest label on ties — a total order, so the rounds
+    //      replay exactly on any engine (generic LPA is notoriously
+    //      nondeterministic; the tiebreak is what makes it gateable).
+    //      Reported as the community-size histogram.
+    Q("g06_label_propagation",
+      (s, d) => {
+        // one pair frame referenced by both union branches — the two
+        // self-join subtrees stay identical, so ReuseExchange computes
+        // the co-purchase join once
+        val p = coPurchasePairs(s, d)
+        GraphOps.labelPropagation(
+          p.select(col("u").as("src"), col("v").as("dst"))
+            .unionByName(p.select(col("v").as("src"), col("u").as("dst"))),
+          rounds = 2)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("community_size"))
+          .groupBy(col("community_size"))
+          .agg(count(lit(1)).as("n_communities"))
+      },
+      Some("WITH " + coPurchaseSql + """,
+        e AS (SELECT u AS src, v AS dst FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        r1 AS (
+          SELECT id, label FROM (
+            SELECT e.dst AS id, l.label, COUNT(*) AS c,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM e JOIN l0 l ON e.src = l.id GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        r2 AS (
+          SELECT id, label FROM (
+            SELECT e.dst AS id, l.label, COUNT(*) AS c,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM e JOIN r1 l ON e.src = l.id GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        sizes AS (SELECT label, COUNT(*) AS community_size
+                  FROM r2 GROUP BY 1)
+        SELECT community_size, COUNT(*) AS n_communities
+        FROM sizes GROUP BY 1""")),
+
     // ---- recursive CTE through the SQL FRONTEND --------------------------
     //      the same bounded reachability as g03, but parsed, planned and
     //      executed by Spark's own WITH RECURSIVE support (new in Spark

@@ -128,4 +128,20 @@ class GraphOpsSpec extends SparkSpec {
         s"(n=$n m=$m) diff: ${(got.toSet diff want.toSet).take(5)}")
     }
   }
+
+  test("labelPropagation: known answers on triangle and path") {
+    def undirected(pairs: (Long, Long)*) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    // triangle: every node adopts label 1 within 2 rounds
+    val tri = GraphOps.labelPropagation(undirected(1L -> 2L, 2L -> 3L, 1L -> 3L),
+        rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // path 1-2-3 after 2 rounds: ends join the far end's label via the
+    // middle; hand-computed fixpoint-in-progress state
+    val path = GraphOps.labelPropagation(undirected(1L -> 2L, 2L -> 3L),
+        rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(path == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
 }
