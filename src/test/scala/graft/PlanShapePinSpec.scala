@@ -1,0 +1,41 @@
+package graft
+
+import graft.queries.Registry
+
+/** Pins the shuffle budget of headline queries — the structural scale
+  * property PlanAudit reports, promoted to a regression test. Bounds are
+  * UPPER bounds (a plan may legitimately improve); a failure means an
+  * edit added an Exchange to a plan that was shuffle-lean, exactly the
+  * regression that costs the most at 100 TB. Counts come from the
+  * executed plan string, same matcher as PlanAudit. */
+class PlanShapePinSpec extends SparkSpec {
+
+  // query -> max allowed exchanges (hash/range/single-partition)
+  private val budget: Map[String, Int] = Map(
+    "p01_tripmetrics_core" -> 0, // pure projection: NO shuffle, ever
+    "t01_token_stats" -> 0,      // per-doc metrics are row-local
+    "q09_topk" -> 0,             // top-k must collapse to TakeOrdered
+    "w01_scd2_merge" -> 0,       // broadcast merge, no exchange
+    "q01_agg" -> 1,              // one keyed aggregation
+    "d01_exact_dedup" -> 1,      // one hash-group on content hash
+    "h01_pricing_summary" -> 1,
+    "e01_tumbling_window" -> 1,
+    "q03_join_broadcast" -> 1,   // dims broadcast; one agg shuffle
+    "q20_star_join" -> 1,        // star: ALL dims broadcast
+    "q04_join_factfact" -> 2,    // fact-fact join + final agg
+    "s01_cosine_topk" -> 1)      // scoring is broadcast NLJ + one window
+
+  private def exchanges(plan: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).size +
+      "Exchange SinglePartition".r.findAllMatchIn(plan).size
+
+  test("headline query shuffle budgets hold") {
+    val over = budget.toSeq.sortBy(_._1).flatMap { case (name, max) =>
+      val plan = Registry.queries(name)(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+      val n = exchanges(plan)
+      if (n > max) Some(s"$name: $n exchanges (budget $max)") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
