@@ -199,6 +199,70 @@ object Clustering {
         SELECT cell, COUNT(*) AS n_members,
           CAST(SUM(CAST(FLOOR(d2 * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9
             AS sse
-        FROM best GROUP BY cell"""))
+        FROM best GROUP BY cell""")),
+
+    // ---- farthest-point seeding (deterministic k-means++ skeleton) ------
+    //      the init step the Lloyd queries' first-k seeds stand in for:
+    //      start from vec 0, then 3x pick the vector farthest from the
+    //      chosen set (argmax of running min-distance, ties to the
+    //      smaller id — a total order, unlike kmeans++'s sampling).
+    //      FULLY lazy: each argmax is a TakeOrdered(1) plan node feeding
+    //      the next round's broadcast, the running min-distance evolves
+    //      via least() (exact, order-free), and no seed ever visits the
+    //      driver. Reported as member counts of the induced assignment.
+    Q("c05_farthest_seeds",
+      (s, d) => {
+        val e = corpus(s, d)
+        def l2(a: Column, b: Column) = call_function("vec_l2sq", a, b)
+        val s0 = e.filter(col("vec_id") === 0)
+          .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+        var seeds = s0
+        var md = e.crossJoin(broadcast(s0.select(col("sv"))))
+          .select(col("vec_id"), col("v"), l2(col("v"), col("sv")).as("md"))
+        for (_ <- 1 to 3) {
+          val nxt = md.orderBy(col("md").desc, col("vec_id").asc).limit(1)
+            .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+          seeds = seeds.unionByName(nxt)
+          md = md.crossJoin(broadcast(nxt.select(col("sv"))))
+            .select(col("vec_id"), col("v"),
+              least(col("md"), l2(col("v"), col("sv"))).as("md"))
+        }
+        e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"),
+            struct(l2(col("v"), col("sv")).as("d2"), col("seed_id")).as("c"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("c")).as("best"))
+          .groupBy(col("best.seed_id").as("seed_id"))
+          .agg(count(lit(1)).as("n_assigned"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        s0 AS (SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id = 0),
+        m0 AS (SELECT e.vec_id, e.v, ${l2sqSql("e.v", "s0.sv")} AS md
+               FROM e, s0),
+        s1 AS (SELECT vec_id AS seed_id, v AS sv FROM m0
+               ORDER BY md DESC, vec_id ASC LIMIT 1),
+        m1 AS (SELECT m0.vec_id, m0.v,
+                 LEAST(m0.md, ${l2sqSql("m0.v", "s1.sv")}) AS md
+               FROM m0, s1),
+        s2 AS (SELECT vec_id AS seed_id, v AS sv FROM m1
+               ORDER BY md DESC, vec_id ASC LIMIT 1),
+        m2 AS (SELECT m1.vec_id, m1.v,
+                 LEAST(m1.md, ${l2sqSql("m1.v", "s2.sv")}) AS md
+               FROM m1, s2),
+        s3 AS (SELECT vec_id AS seed_id, v AS sv FROM m2
+               ORDER BY md DESC, vec_id ASC LIMIT 1),
+        seeds AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+                  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3),
+        d AS (SELECT e.vec_id, seeds.seed_id,
+                ${l2sqSql("e.v", "seeds.sv")} AS d2
+              FROM e, seeds),
+        best AS (SELECT vec_id, seed_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, seed_id ASC) AS rk FROM d)
+          WHERE rk = 1)
+        SELECT seed_id, COUNT(*) AS n_assigned
+        FROM best GROUP BY seed_id"""))
   )
 }
