@@ -396,6 +396,68 @@ object Warehouse {
         FROM lineitem GROUP BY l_partkey
         ORDER BY n_rows DESC, l_partkey ASC LIMIT 20""")),
 
+    // ---- temporal (AS OF event time) join to SCD2 versions ---------------
+    //      the lookup every SCD2 table exists for: each order joins the
+    //      customer version whose validity interval covers o_orderdate.
+    //      Scale shape: an EQUI-join on the dimension key (versions per
+    //      key are bounded, here <= 2) with the validity predicate as a
+    //      post-join filter — never a range join against the whole
+    //      version table. Validity intervals partition the timeline, so
+    //      every order matches exactly one version; the current-vs-
+    //      historical split in the output proves the temporal routing.
+    Q("w10_temporal_join",
+      (s, d) => {
+        val eff = lit("1997-01-01").cast("timestamp")
+        val origin = lit("1995-01-01").cast("timestamp")
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val scd = base
+          .select(col("c_custkey"), col("c_mktsegment"), explode(
+            when(col("c_custkey") % 7 =!= 0,
+              array(struct(col("c_acctbal").as("acctbal"),
+                origin.as("valid_from"),
+                lit(null).cast("timestamp").as("valid_to"))))
+            .otherwise(array(
+              struct(col("c_acctbal").as("acctbal"),
+                origin.as("valid_from"), eff.as("valid_to")),
+              struct((col("c_acctbal") + 100.0).as("acctbal"),
+                eff.as("valid_from"),
+                lit(null).cast("timestamp").as("valid_to")))))
+            .as("v"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("v.valid_from").as("valid_from"),
+            col("v.valid_to").as("valid_to"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+          .join(scd, col("o_custkey") === col("c_custkey") &&
+            col("o_orderdate") >= col("valid_from") &&
+            (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+          .groupBy(col("c_mktsegment"),
+            col("valid_to").isNull.as("is_current_version"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("revenue"))
+      },
+      Some("""
+        WITH scd AS (
+          SELECT c_custkey, c_mktsegment,
+            TIMESTAMP '1995-01-01' AS valid_from,
+            CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '1997-01-01' END
+              AS valid_to
+          FROM customer
+          UNION ALL
+          SELECT c_custkey, c_mktsegment,
+            TIMESTAMP '1997-01-01', CAST(NULL AS TIMESTAMP)
+          FROM customer WHERE c_custkey % 7 = 0)
+        SELECT c_mktsegment, valid_to IS NULL AS is_current_version,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders JOIN scd ON o_custkey = c_custkey
+          AND o_orderdate >= valid_from
+          AND (valid_to IS NULL OR o_orderdate < valid_to)
+        GROUP BY 1, 2""")),
+
     // ---- ANALYZE-style column statistics ---------------------------------
     //      the CBO inputs (row count, null count, exact NDV, min/max)
     //      for three lineitem columns in ONE scan — the multi-distinct
