@@ -381,6 +381,58 @@ object Similarity {
                FROM c)
         SELECT a.label AS la, b.label AS lb,
           ${dotSql("a.cv", "b.cv")} / (a.nrm * b.nrm) AS cosine
-        FROM n2 a JOIN n2 b ON a.label < b.label"""))
+        FROM n2 a JOIN n2 b ON a.label < b.label""")),
+
+    // ---- k-NN majority-vote classification (weak labeling) ---------------
+    //      the embedding-space labeler a curation pipeline uses to extend
+    //      a labeled seed set: every 5th vector is held out and receives
+    //      the majority label of its 5 nearest labeled neighbors (L2;
+    //      vote ties to the SMALLER label, rank ties to the smaller id —
+    //      total orders, so prediction is deterministic). Reported as the
+    //      confusion matrix against the held-out true labels. The vote
+    //      argmax is max(struct(count, -label)) — an aggregate, no
+    //      per-query sort; neighbor search is l2TopK's keyed window.
+    Q("s13_knn_classify",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val labels = emb.select(col("vec_id"),
+          col("label").cast("long").as("label"))
+        val nn = SimilarityOps.l2TopK(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0), k = 5)
+        val pred = nn
+          .join(broadcast(labels.select(col("vec_id"),
+            col("label").as("nbr_label"))), "vec_id")
+          .groupBy(col("q_id"), col("nbr_label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("q_id"))
+          .agg((max(struct(col("c"), (col("nbr_label") * -1).as("neg")))
+            .getField("neg") * -1).as("pred_label"))
+        pred
+          .join(broadcast(labels), pred("q_id") === labels("vec_id"))
+          .groupBy(col("label").as("true_label"), col("pred_label"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+                     CAST(label AS BIGINT) AS label FROM embeddings),
+        t AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+        l AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        p AS (SELECT t.vec_id AS q_id, t.label AS true_label,
+                l.vec_id AS nid, l.label AS nbr_label,
+                sqrt(${l2sqSql("l.v", "t.v")}) AS dist
+              FROM t, l),
+        nn AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY dist ASC, nid ASC) AS rk FROM p)
+          WHERE rk <= 5),
+        v AS (SELECT q_id, true_label, nbr_label, COUNT(*) AS c
+              FROM nn GROUP BY 1, 2, 3),
+        pred AS (SELECT q_id, true_label, nbr_label AS pred_label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY c DESC, nbr_label ASC) AS rn FROM v)
+          WHERE rn = 1)
+        SELECT true_label, pred_label, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2"""))
   )
 }
