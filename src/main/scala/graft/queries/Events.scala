@@ -601,6 +601,58 @@ object Events {
                WHEN m_cents >= 40000 THEN 'mid'
                ELSE 'small' END AS m_band,
           COUNT(*) AS n_users
-        FROM u GROUP BY 1, 2, 3"""))
+        FROM u GROUP BY 1, 2, 3""")),
+
+    // ---- time-to-convert by signup cohort -------------------------------
+    //      signup -> first subsequent purchase latency, rolled up by the
+    //      signup's ISO week: the activation metric behind e08's
+    //      retention grid. All time arithmetic in floored epoch SECONDS
+    //      (longs — unix_timestamp here, epoch(date_trunc('second'))
+    //      in the oracle), the mean as one exact long-sum divided once
+    //      in double; DuckDB's date_trunc('week') yields DATE where
+    //      Spark yields TIMESTAMP, so the oracle casts (the e13 lesson).
+    Q("e19_time_to_convert",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("su_raw"),
+            min(unix_timestamp(col("ts"))).as("su_ts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_timestamp(col("ts")).as("p_ts"))
+        su.join(pu, Seq("user_id"))
+          .filter(col("p_ts") >= col("su_ts"))
+          .groupBy(col("user_id"), col("su_raw"), col("su_ts"))
+          .agg(min(col("p_ts")).as("fp_ts"))
+          .select(date_trunc("week", col("su_raw")).as("cohort_week"),
+            (col("fp_ts") - col("su_ts")).as("delta"))
+          .groupBy(col("cohort_week"))
+          .agg(count(lit(1)).as("n_users"),
+            (sum(col("delta")).cast("double") / count(lit(1)))
+              .as("mean_secs"),
+            min(col("delta")).as("min_secs"),
+            max(col("delta")).as("max_secs"))
+      },
+      Some("""
+        WITH su AS (
+          SELECT user_id, MIN(ts) AS su_raw,
+            MIN(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS su_ts
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT user_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+        fp AS (
+          SELECT su.user_id, su.su_raw, su.su_ts, MIN(pu.p_ts) AS fp_ts
+          FROM su JOIN pu USING (user_id)
+          WHERE pu.p_ts >= su.su_ts
+          GROUP BY 1, 2, 3)
+        SELECT CAST(date_trunc('week', su_raw) AS TIMESTAMP)
+            AS cohort_week,
+          COUNT(*) AS n_users,
+          CAST(SUM(fp_ts - su_ts) AS DOUBLE) / COUNT(*) AS mean_secs,
+          CAST(MIN(fp_ts - su_ts) AS BIGINT) AS min_secs,
+          CAST(MAX(fp_ts - su_ts) AS BIGINT) AS max_secs
+        FROM fp GROUP BY 1"""))
   )
 }
