@@ -188,6 +188,67 @@ object Dedup {
         WHERE cu.rate >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) < cu.cut
         GROUP BY 1, 2, 3""")),
 
+    // ---- entity resolution: blocked fuzzy match + verify ----------------
+    //      record linkage between the customer table and a deterministic
+    //      "dirty" copy (one character substituted mid-name): candidate
+    //      pairs come only from BLOCKS (nation x last-3-chars of the
+    //      name) — the linear-candidate discipline every dedup family
+    //      here follows — then levenshtein-verified, best match by
+    //      (distance, custkey) total order. Reported per nation with the
+    //      candidate count (blocking efficiency) and how many best
+    //      matches recovered the true source record.
+    Q("d14_entity_resolution",
+      (s, d) => {
+        val clean = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            expr("right(c_name, 3)").as("blk"))
+        val dirty = Tables.customer(s, d)
+          .select(col("c_custkey").as("src_key"),
+            expr("concat(substr(c_name, 1, 9), 'X', substr(c_name, 11))")
+              .as("d_name"),
+            col("c_nationkey").as("d_nation"),
+            expr("right(c_name, 3)").as("blk"))
+        val cands = dirty.join(clean,
+          col("d_nation") === col("c_nationkey") && dirty("blk") === clean("blk"))
+          .select(col("src_key"), col("d_nation"), col("c_custkey"),
+            levenshtein(col("d_name"), col("c_name")).as("lev"))
+        cands
+          .groupBy(col("src_key"), col("d_nation"))
+          .agg(count(lit(1)).as("n_cands"),
+            min(struct(col("lev"), col("c_custkey"))).as("best"))
+          .groupBy(col("d_nation").as("nation"))
+          .agg(count(lit(1)).as("n_dirty"),
+            sum(col("n_cands")).as("n_candidate_pairs"),
+            sum((col("best.c_custkey") === col("src_key")).cast("long"))
+              .as("n_correct"))
+      },
+      Some("""
+        WITH clean AS (
+          SELECT c_custkey, c_name, c_nationkey, right(c_name, 3) AS blk
+          FROM customer),
+        dirty AS (
+          SELECT c_custkey AS src_key,
+            concat(substr(c_name, 1, 9), 'X', substr(c_name, 11)) AS d_name,
+            c_nationkey AS d_nation, right(c_name, 3) AS blk
+          FROM customer),
+        cands AS (
+          SELECT d.src_key, d.d_nation, c.c_custkey,
+            levenshtein(d.d_name, c.c_name) AS lev
+          FROM dirty d JOIN clean c
+            ON d.d_nation = c.c_nationkey AND d.blk = c.blk),
+        best AS (
+          SELECT src_key, d_nation, n_cands, c_custkey FROM (
+            SELECT src_key, d_nation, c_custkey,
+              COUNT(*) OVER (PARTITION BY src_key) AS n_cands,
+              ROW_NUMBER() OVER (PARTITION BY src_key
+                ORDER BY lev ASC, c_custkey ASC) AS rn
+            FROM cands) WHERE rn = 1)
+        SELECT d_nation AS nation, COUNT(*) AS n_dirty,
+          CAST(SUM(n_cands) AS BIGINT) AS n_candidate_pairs,
+          CAST(SUM(CASE WHEN c_custkey = src_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+        FROM best GROUP BY 1""")),
+
     // ---- incremental dedup: new batch vs existing corpus ----------------
     //      the production shape — dedup never reruns over the whole
     //      corpus; each arriving batch anti-joins its content hashes
