@@ -137,6 +137,51 @@ object Multimodal {
           CAST(SUM(n_copies) AS BIGINT) AS n_assets,
           COUNT(CASE WHEN n_copies >= 2 THEN 1 END) AS n_dup_groups,
           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant_copies
-        FROM g"""))
+        FROM g""")),
+
+    // ---- byte-budgeted shard packing per modality ------------------------
+    //      the multimodal twin of t14's token packing: assets are
+    //      assigned (in deterministic doc_id order) to ~100 KB training
+    //      shards within their modality via a keyed running byte sum —
+    //      shard_id = (cumsum - own_len) / budget, one window shuffle
+    //      keyed by modality, no global sort. The modality split is a
+    //      deterministic stand-in (doc_id % 3) for the format column a
+    //      real asset table carries.
+    Q("m07_shard_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 100000L
+        val assets = Tables.documents(s, d)
+          .select(col("doc_id"),
+            element_at(array(lit("image"), lit("audio"), lit("video")),
+              (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+            octet_length(col("text").cast("binary")).cast("long")
+              .as("byte_len"))
+        val w = Window.partitionBy(col("modality")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        assets
+          .withColumn("shard_id",
+            ((sum(col("byte_len")).over(w) - col("byte_len")) / budget)
+              .cast("long"))
+          .groupBy(col("modality"), col("shard_id"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("byte_len")).as("shard_bytes"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id,
+            (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)]
+              AS modality,
+            CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len
+          FROM documents),
+        sh AS (
+          SELECT modality, byte_len,
+            CAST((SUM(byte_len) OVER (PARTITION BY modality
+                ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - byte_len)
+              // 100000 AS BIGINT) AS shard_id
+          FROM a)
+        SELECT modality, shard_id, COUNT(*) AS n_assets,
+          CAST(SUM(byte_len) AS BIGINT) AS shard_bytes
+        FROM sh GROUP BY 1, 2"""))
   )
 }
