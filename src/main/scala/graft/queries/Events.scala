@@ -653,6 +653,37 @@ object Events {
           CAST(SUM(fp_ts - su_ts) AS DOUBLE) / COUNT(*) AS mean_secs,
           CAST(MIN(fp_ts - su_ts) AS BIGINT) AS min_secs,
           CAST(MAX(fp_ts - su_ts) AS BIGINT) AS max_secs
-        FROM fp GROUP BY 1"""))
+        FROM fp GROUP BY 1""")),
+
+    // ---- burst detection (abuse-rate heuristic) -------------------------
+    //      events arriving as part of a >= 3-in-one-hour burst from one
+    //      user — the rate signal a curation pipeline uses to flag
+    //      scripted traffic (the window is sized to this fixture's
+    //      organic event density; an abuse filter would run seconds).
+    //      One keyed range-frame count over floored epoch seconds (the
+    //      e16 window discipline), then a per-type rollup of how many
+    //      events and distinct users burst.
+    Q("e20_burst_detection",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3599L, 0L)
+        Tables.events(s, d)
+          .withColumn("in_window", count(lit(1)).over(w))
+          .filter(col("in_window") >= 3)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_bursty_events"),
+            countDistinct(col("user_id")).as("n_bursty_users"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type, user_id,
+            COUNT(*) OVER (PARTITION BY user_id
+              ORDER BY epoch(date_trunc('second', ts))
+              RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS in_window
+          FROM events)
+        SELECT event_type, COUNT(*) AS n_bursty_events,
+          COUNT(DISTINCT user_id) AS n_bursty_users
+        FROM t WHERE in_window >= 3 GROUP BY 1"""))
   )
 }
