@@ -201,6 +201,58 @@ object Clustering {
             AS sse
         FROM best GROUP BY cell""")),
 
+    // ---- minibatch k-means: train on a sample, assign the corpus --------
+    //      the 100 TB k-means practice: the Lloyd refresh runs over a
+    //      deterministic 25% hash sample (the q34 portable md5 cut — any
+    //      engine draws the identical sample), then the refreshed
+    //      centroids assign the FULL corpus. Training cost scales with
+    //      the sample, assignment stays one broadcast-join scan; the
+    //      report is the full-corpus member counts + quantized SSE
+    //      (the c04 floor(d2*1e9) discipline).
+    Q("c06_minibatch_kmeans",
+      (s, d) => {
+        val e = corpus(s, d)
+        val smp = e.filter(
+          md5(col("vec_id").cast("string").cast("binary"))
+            < lit("4" + "0" * 31))
+        val a1 = assignTo(e, refreshCentroids(assignTo(smp, seeds(e, 8))))
+        a1.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            (sum(floor(col("d2") * 1e9).cast("decimal(38,0)"))
+              .cast("double") / 1e9).as("sse"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        smp AS (SELECT * FROM e WHERE md5(CAST(vec_id AS VARCHAR))
+                < '40000000000000000000000000000000'),
+        c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        d0 AS (SELECT smp.vec_id, c0.cell,
+                 ${l2sqSql("smp.v", "c0.cv")} AS d2
+               FROM smp, c0),
+        a0 AS (SELECT vec_id, cell FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cell ASC) AS rk FROM d0)
+               WHERE rk = 1),
+        c1 AS (SELECT cell, list(m ORDER BY dim) AS cv FROM (
+                 SELECT a.cell, t.dim AS dim,
+                   CAST(SUM(CAST(e.v[t.dim] AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*) AS m
+                 FROM a0 a JOIN e USING (vec_id)
+                 CROSS JOIN UNNEST(range(1, len(e.v) + 1)) AS t(dim)
+                 GROUP BY a.cell, t.dim) GROUP BY cell),
+        d1 AS (SELECT e.vec_id, c1.cell,
+                 ${l2sqSql("e.v", "c1.cv")} AS d2
+               FROM e, c1),
+        a1 AS (SELECT vec_id, cell, d2 FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d2 ASC, cell ASC) AS rk FROM d1)
+               WHERE rk = 1)
+        SELECT cell, COUNT(*) AS n_members,
+          CAST(SUM(CAST(FLOOR(d2 * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+            AS sse
+        FROM a1 GROUP BY cell""")),
+
     // ---- farthest-point seeding (deterministic k-means++ skeleton) ------
     //      the init step the Lloyd queries' first-k seeds stand in for:
     //      start from vec 0, then 3x pick the vector farthest from the
