@@ -627,6 +627,47 @@ object TextOps {
         FROM pr
         JOIN sz za ON pr.sa = za.source
         JOIN sz zb ON pr.sb = zb.source
-        WHERE CAST(common AS DOUBLE) / (za.sz + zb.sz - common) >= 0.3"""))
+        WHERE CAST(common AS DOUBLE) / (za.sz + zb.sz - common) >= 0.3""")),
+
+    // ---- per-source quality telemetry -----------------------------------
+    //      "which crawl sources are degrading": t03's composite quality
+    //      score rolled up by source. The mean goes through the c04
+    //      discipline — each row's score is quantized (floor q*1e9)
+    //      BEFORE the sum, because summing raw doubles is order-
+    //      sensitive and the oracle's aggregation order differs; the
+    //      quantized integers sum exactly in decimal. The low-quality
+    //      count compares each row's identical IEEE score, also
+    //      order-free.
+    Q("t20_source_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", tokens("text"))
+        .withColumn("q",
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4
+            + wordlistCount("toks", EnglishStopwords).cast("double")
+              / tokenCount("toks") * 0.2
+            + distinctTokenCount("toks").cast("double")
+              / tokenCount("toks") * 0.4)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(floor(col("q") * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9 / count(lit(1))).as("mean_quality"),
+          sum((col("q") < 0.5).cast("long")).as("n_low_quality")),
+      Some(s"""
+        WITH t AS (SELECT source, n_chars,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        q AS (SELECT source,
+                LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                  + CAST(len(list_filter(toks, x -> x IN ($stopSql)))
+                      AS DOUBLE) / len(toks) * 0.2
+                  + CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / len(toks) * 0.4 AS q
+              FROM t)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(FLOOR(q * 1e9) AS DECIMAL(38,0))) AS DOUBLE)
+            / 1e9 / COUNT(*) AS mean_quality,
+          CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_low_quality
+        FROM q GROUP BY 1"""))
   )
 }
