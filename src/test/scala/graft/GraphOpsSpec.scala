@@ -129,6 +129,38 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation matches a reference simulation on random graphs") {
+    // same discipline as the components property check: the distributed
+    // rounds must equal a straightforward in-memory simulation with the
+    // identical (count desc, label asc) tiebreak
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 12 + rng.nextInt(20)
+      val m = n + rng.nextInt(2 * n)
+      val pairs = (0 until m).map { _ =>
+        val a = rng.nextInt(n); var b = rng.nextInt(n)
+        while (b == a) b = rng.nextInt(n)
+        (a.toLong, b.toLong)
+      }.distinct
+      val edges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      val rounds = 1 + rng.nextInt(3)
+
+      var want = edges.map(_._1).distinct.map(i => i -> i).toMap
+      for (_ <- 0 until rounds) {
+        want = edges.groupBy(_._2).map { case (dst, es) =>
+          val freq = es.map(e => want(e._1))
+            .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+          dst -> freq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want,
+        s"(trial $trial n=$n m=${edges.size} rounds=$rounds) " +
+          s"diff: ${(got.toSet diff want.toSet).take(5)}")
+    }
+  }
+
   test("labelPropagation: known answers on triangle and path") {
     def undirected(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
