@@ -51,6 +51,36 @@ object IoQueries {
           COUNT(DISTINCT doc_id) AS n_distinct
         FROM documents WHERE lang = 'en' GROUP BY lang""")),
 
+    // ---- date-partitioned layout + incremental window read --------------
+    //      the daily-incremental processing shape: events land
+    //      partitioned by day, and the nightly job reads ONLY its date
+    //      window — a range predicate on the partition column prunes at
+    //      the directory listing, so the scan cost tracks the window,
+    //      not the table (the io01 equality-prune generalized to the
+    //      range form). The partition value is kept as a yyyy-MM-dd
+    //      string on both sides (partition-type inference would
+    //      otherwise resurrect it as DATE and change the output dtype).
+    Q("io13_incremental_partitions",
+      (s, d) => {
+        val out = scratch("io13")
+        Tables.events(s, d)
+          .withColumn("day", to_date(col("ts")).cast("string"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        s.read.parquet(out)
+          .filter(col("day").cast("string").between("2024-01-10", "2024-01-12"))
+          .groupBy(col("day").cast("string").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+      },
+      Some("""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE)
+          BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        GROUP BY 1, 2""")),
+
     // ---- row-range splitting on write (reference S3 parity) -------------
     //      one writer task + maxRecordsPerFile=200 chunks the table into
     //      ceil(n/200) files of bounded size — Spark's form of the

@@ -36,4 +36,27 @@ class PartitionPruningSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount == 1,
       s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("range predicate on a string day partition prunes to the window") {
+    // the io13 incremental-processing shape: BETWEEN on the partition
+    // column must list only the in-window day directories
+    val dir = Files.createTempDirectory("part_events").toString
+    Tables.events(spark, sfTiny)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+
+    val read = spark.read.parquet(dir)
+    val filtered = read.filter(
+      col("day").cast("string").between("2024-01-10", "2024-01-12"))
+    filtered.count() // force planning against real listings
+
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+    val total = read.select("day").distinct().count()
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned == 3 && total > 3,
+      s"expected 3 of $total day partitions, scanned $scanned")
+  }
 }
