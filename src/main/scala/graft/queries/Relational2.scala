@@ -898,6 +898,28 @@ object Relational2 {
         SELECT o_orderpriority, CAST(decile AS INT) AS decile,
           COUNT(*) AS n_orders, MIN(o_totalprice) AS lo,
           MAX(o_totalprice) AS hi
-        FROM t GROUP BY 1, 2"""))
+        FROM t GROUP BY 1, 2""")),
+
+    // ---- SQL-frontend aggregate FILTER clauses ---------------------------
+    //      the ANSI FILTER (WHERE ...) aggregate modifier through
+    //      Spark's parser — one pass computes every conditional
+    //      aggregate (the idiom that replaces N self-joins for "count
+    //      the subsets"); the body below runs VERBATIM on both engines.
+    Q("q57_filtered_agg",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q57_orders")
+        s.sql(filteredAggSql("q57_orders"))
+      },
+      Some(filteredAggSql("orders")))
   )
+
+  /** dialect-shared FILTER-clause aggregation (see q57) */
+  private def filteredAggSql(orders: String): String = s"""
+    SELECT o_orderpriority,
+      COUNT(*) AS n_all,
+      COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_finished
+    FROM $orders GROUP BY o_orderpriority"""
 }
