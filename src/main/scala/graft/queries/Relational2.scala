@@ -910,7 +910,18 @@ object Relational2 {
         Tables.orders(s, d).createOrReplaceTempView("q57_orders")
         s.sql(filteredAggSql("q57_orders"))
       },
-      Some(filteredAggSql("orders")))
+      Some(filteredAggSql("orders"))),
+
+    // ---- multiset INTERSECT ALL / EXCEPT ALL -----------------------------
+    //      bag semantics through both engines' parsers, body VERBATIM on
+    //      both; Spark plans these as counted-replication joins — no
+    //      row-by-row dedup, stays a keyed shuffle at any scale.
+    Q("q58_multiset_setops",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("q58_lineitem")
+        s.sql(multisetSql("q58_lineitem"))
+      },
+      Some(multisetSql("lineitem")))
   )
 
   /** dialect-shared FILTER-clause aggregation (see q57) */
@@ -922,4 +933,22 @@ object Relational2 {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_finished
     FROM $orders GROUP BY o_orderpriority"""
+
+  /** dialect-shared multiset set-ops body (see q58): INTERSECT ALL keeps
+    * min(multiplicity), EXCEPT ALL subtracts it — the bag semantics the
+    * DISTINCT forms in q10 erase. Lineitem supplier/part key streams
+    * have real multiplicity, so the ALL and DISTINCT answers differ. */
+  private def multisetSql(lineitem: String): String = s"""
+    SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+      COUNT(DISTINCT k) AS n_keys
+    FROM (
+      SELECT l_suppkey AS k FROM $lineitem WHERE l_quantity < 10
+      INTERSECT ALL
+      SELECT l_suppkey FROM $lineitem WHERE l_discount > 0.05)
+    UNION ALL
+    SELECT 'except_all', COUNT(*), COUNT(DISTINCT k)
+    FROM (
+      SELECT l_suppkey AS k FROM $lineitem WHERE l_quantity < 10
+      EXCEPT ALL
+      SELECT l_suppkey FROM $lineitem WHERE l_discount > 0.05)"""
 }
