@@ -921,8 +921,24 @@ object Relational2 {
         Tables.lineitem(s, d).createOrReplaceTempView("q58_lineitem")
         s.sql(multisetSql("q58_lineitem"))
       },
-      Some(multisetSql("lineitem")))
+      Some(multisetSql("lineitem"))),
+
+    // ---- GROUP BY ALL shorthand ------------------------------------------
+    //      every non-aggregate select item becomes a grouping key — the
+    //      Spark 4 / DuckDB shared dialect feature, body verbatim.
+    Q("q59_group_by_all",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q59_orders")
+        s.sql(groupByAllSql("q59_orders"))
+      },
+      Some(groupByAllSql("orders")))
   )
+
+  /** dialect-shared GROUP BY ALL body (see q59) */
+  private def groupByAllSql(orders: String): String = s"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM $orders GROUP BY ALL"""
 
   /** dialect-shared FILTER-clause aggregation (see q57) */
   private def filteredAggSql(orders: String): String = s"""
