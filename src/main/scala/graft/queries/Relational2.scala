@@ -931,8 +931,33 @@ object Relational2 {
         Tables.orders(s, d).createOrReplaceTempView("q59_orders")
         s.sql(groupByAllSql("q59_orders"))
       },
-      Some(groupByAllSql("orders")))
+      Some(groupByAllSql("orders"))),
+
+    // ---- VALUES inline table as a banding dimension ----------------------
+    //      config-as-data: the band edges live in a literal VALUES table
+    //      that the planner broadcasts against the fact side (a 3-row
+    //      nested-loop probe, not a CASE expression someone has to edit
+    //      in every query). Body verbatim on both engines.
+    Q("q60_inline_bands",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("q60_orders")
+        s.sql(inlineBandsSql("q60_orders"))
+      },
+      Some(inlineBandsSql("orders")))
   )
+
+  /** dialect-shared VALUES-banding body (see q60) */
+  private def inlineBandsSql(orders: String): String = s"""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('small', 0, 150000),
+        ('mid', 150000, 300000),
+        ('big', 300000, 1000000)) AS t(band, lo, hi))
+    SELECT b.band, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM $orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band"""
 
   /** dialect-shared GROUP BY ALL body (see q59) */
   private def groupByAllSql(orders: String): String = s"""
