@@ -684,6 +684,45 @@ object Events {
           FROM events)
         SELECT event_type, COUNT(*) AS n_bursty_events,
           COUNT(DISTINCT user_id) AS n_bursty_users
-        FROM t WHERE in_window >= 3 GROUP BY 1"""))
+        FROM t WHERE in_window >= 3 GROUP BY 1""")),
+
+    // ---- DAU / WAU engagement with integer stickiness -------------------
+    //      the daily/weekly active-user grid: distinct (user, day) pairs
+    //      once, then WAU as a 7-day spine join over that deduped frame
+    //      (|days| x |user-days| — the spine side is tiny and broadcast;
+    //      at 100 TB the mergeable path is ds01's HLL union over daily
+    //      sketches instead of the exact re-count). Stickiness DAU/WAU
+    //      is emitted as integer parts-per-1e9; days travel as strings
+    //      so both engines agree on the output dtype.
+    Q("e21_dau_wau",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = days.as("d")
+          .join(ud.as("u"), col("u.day")
+            .between(date_sub(col("d.day"), 6), col("d.day")))
+          .groupBy(col("d.day").as("day"))
+          .agg(countDistinct(col("u.user_id")).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day").cast("string").as("day"),
+            col("dau"), col("wau"),
+            expr("CAST(dau * CAST(1000000000 AS BIGINT) div wau AS BIGINT)")
+              .as("stickiness_e9"))
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM ud),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        wau AS (
+          SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+          FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1)
+        SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+          CAST(dau.dau * 1000000000 // wau.wau AS BIGINT) AS stickiness_e9
+        FROM dau JOIN wau ON dau.day = wau.day"""))
   )
 }
