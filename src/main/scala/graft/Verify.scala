@@ -11,6 +11,14 @@ object Verify {
     // SPARK_GRAFT_ONLY=name,name — dev-loop subset; unset runs everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a misspelled name would otherwise run zero queries and look like a
+    // passing dump (same guard as Bench)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1)))
       .foreach { case (name, fn) =>
       // coalesce(1) is oracle-dump-only convenience at sf0.01 — real sinks
