@@ -396,6 +396,36 @@ object Warehouse {
         FROM lineitem GROUP BY l_partkey
         ORDER BY n_rows DESC, l_partkey ASC LIMIT 20""")),
 
+    // ---- order-independent table checksum (anti-entropy) -----------------
+    //      the replica-comparison fingerprint: md5 each canonicalized row
+    //      ('|'-joined key columns), take 60 bits as an integer, SUM
+    //      commutatively inside DECIMAL(38,0) — partition order, task
+    //      count, and insertion order cannot change the result, so two
+    //      sites (or two engines, as the oracle proves) can compare one
+    //      row instead of shipping tables. Emitted as a digit string;
+    //      count travels alongside so an empty-vs-empty match can't hide
+    //      row loss.
+    Q("w11_table_checksum",
+      (s, d) => Tables.orders(s, d)
+        .select(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")).as("r"))
+        .select(expr(
+          "CAST(conv(substring(md5(CAST(r AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("checksum")),
+      Some("""
+        WITH r AS (
+          SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+            o_orderpriority) AS r
+          FROM orders),
+        h AS (
+          SELECT CAST(concat('0x', substr(md5(r), 1, 15)) AS BIGINT) AS h
+          FROM r)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h""")),
+
     // ---- temporal (AS OF event time) join to SCD2 versions ---------------
     //      the lookup every SCD2 table exists for: each order joins the
     //      customer version whose validity interval covers o_orderdate.
