@@ -326,6 +326,34 @@ object StreamingQueries {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
           event_type, COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- incremental anti-entropy checksum ------------------------------
+    //      w11's order-independent table fingerprint maintained by the
+    //      micro-batch planner: the commutative 60-bit md5 sum is
+    //      exactly the shape streaming aggregation state wants (one
+    //      decimal + one count, merged per batch), so a live table can
+    //      carry its own replica-comparison checksum without rescans.
+    //      Complete mode, global aggregate — no watermark needed.
+    Q("st10_stream_checksum",
+      (s, d) => replay(s, "st10", mode = "complete")(c =>
+        eventsStream(c, d)
+          .select(concat_ws("|", col("event_id"), col("user_id"),
+            col("event_type")).as("r"))
+          .select(expr("CAST(conv(substring(md5(CAST(r AS BINARY)), 1, 15)" +
+            ", 16, 10) AS BIGINT)").as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h").cast("decimal(38,0)")).cast("string")
+              .as("checksum"))),
+      Some("""
+        WITH r AS (
+          SELECT concat_ws('|', event_id, user_id, event_type) AS r
+          FROM events),
+        h AS (
+          SELECT CAST(concat('0x', substr(md5(r), 1, 15)) AS BIGINT) AS h
+          FROM r)
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        FROM h"""))
   )
 }
