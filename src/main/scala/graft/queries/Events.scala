@@ -723,6 +723,67 @@ object Events {
           GROUP BY 1)
         SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
           CAST(dau.dau * 1000000000 // wau.wau AS BIGINT) AS stickiness_e9
-        FROM dau JOIN wau ON dau.day = wau.day"""))
+        FROM dau JOIN wau ON dau.day = wau.day""")),
+
+    // ---- linear multi-touch attribution, exact cent allocation ----------
+    //      e16 gives the last touch everything; the linear model splits
+    //      each purchase's value EQUALLY across its 24h touches — in
+    //      integer cents with the division remainder credited to the
+    //      latest touch (the accountants' largest-remainder rule), so
+    //      credited cents sum EXACTLY to purchase cents: no float
+    //      splitting, no lost pennies, engine-portable by construction.
+    //      The purchase x touch pair join is keyed by user_id (per-user
+    //      density is bounded), never a global time join.
+    Q("e22_linear_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id"),
+            unix_timestamp(col("ts")).as("p_tse"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("cents"))
+        val t = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), unix_timestamp(col("ts")).as("t_tse"),
+            col("event_id").as("tid"), col("event_type").as("touch_type"))
+        val j = p.join(t, Seq("user_id"))
+          .filter(col("t_tse").between(col("p_tse") - 86400,
+            col("p_tse") - 1))
+        val w = Window.partitionBy(col("pid"))
+        val wRank = Window.partitionBy(col("pid"))
+          .orderBy(col("t_tse").desc, col("tid").desc)
+        j.withColumn("n", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("credit",
+            (col("cents") / col("n")).cast("long") +
+              when(col("rn") === 1,
+                col("cents") - (col("cents") / col("n")).cast("long")
+                  * col("n")).otherwise(0L))
+          .groupBy(col("touch_type"))
+          .agg(countDistinct(col("pid")).as("n_purchases"),
+            sum(col("credit")).as("credited_cents"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT event_id AS pid, user_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS p_tse,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        t AS (
+          SELECT user_id,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t_tse,
+            event_id AS tid, event_type AS touch_type
+          FROM events WHERE event_type IN ('click', 'view')),
+        j AS (
+          SELECT p.pid, p.cents, t.t_tse, t.tid, t.touch_type,
+            COUNT(*) OVER (PARTITION BY p.pid) AS n,
+            ROW_NUMBER() OVER (PARTITION BY p.pid
+              ORDER BY t.t_tse DESC, t.tid DESC) AS rn
+          FROM p JOIN t ON p.user_id = t.user_id
+            AND t.t_tse BETWEEN p.p_tse - 86400 AND p.p_tse - 1)
+        SELECT touch_type, COUNT(DISTINCT pid) AS n_purchases,
+          CAST(SUM(cents // n + CASE WHEN rn = 1
+            THEN cents - (cents // n) * n ELSE 0 END) AS BIGINT)
+            AS credited_cents
+        FROM j GROUP BY 1"""))
   )
 }
