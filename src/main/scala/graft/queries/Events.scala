@@ -22,10 +22,15 @@ object Events {
     * (user_id, session_seq) with its event count and [start, end] span.
     * Per-user keyed window — state bounded by a user's events at any
     * scale. Shared by e03 (the report) and e14 (the overlap join). */
-  private def sessions(s: SparkSession, d: String): DataFrame = {
+  private def sessions(s: SparkSession, d: String): DataFrame =
+    sessionsWhere(s, d, lit(true))
+
+  /** sessions() over one half of the table (see e23) */
+  private def sessionsWhere(s: SparkSession, d: String,
+                            cond: org.apache.spark.sql.Column): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(s, d)
+    Tables.events(s, d).filter(cond)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         (col("prev_ts").isNull ||
@@ -784,6 +789,78 @@ object Events {
           CAST(SUM(cents // n + CASE WHEN rn = 1
             THEN cents - (cents // n) * n ELSE 0 END) AS BIGINT)
             AS credited_cents
-        FROM j GROUP BY 1"""))
+        FROM j GROUP BY 1""")),
+
+    // ---- incremental sessionization across a batch boundary -------------
+    //      the stateful-reprocessing claim made checkable: sessionize
+    //      each half of the month INDEPENDENTLY (as two daily loads
+    //      would), then merge boundary sessions — a user's last part-1
+    //      session joins their first part-2 session when the cross-cut
+    //      gap is within the 30-min threshold, and part-2 sequence
+    //      numbers shift accordingly. The oracle runs plain FULL-table
+    //      sessionization: the gate passing means split-process-merge
+    //      is EXACTLY batch-equivalent, so daily loads never need to
+    //      re-sessionize history.
+    Q("e23_incremental_sessions",
+      (s, d) => {
+        val cut = lit("2024-01-15").cast("timestamp")
+        val s1 = sessionsWhere(s, d, col("ts") < cut)
+        val s2 = sessionsWhere(s, d, col("ts") >= cut)
+        val m1 = s1.groupBy(col("user_id"))
+          .agg(max(col("session_seq")).as("max1"))
+        val l1 = s1.join(m1, "user_id")
+          .filter(col("session_seq") === col("max1"))
+          .select(col("user_id"), col("session_seq").as("l1_seq"),
+            col("n_events").as("l1_n"),
+            col("session_start").as("l1_start"),
+            col("session_end").as("l1_end"))
+        val f2 = s2.filter(col("session_seq") === 1)
+          .select(col("user_id"), col("n_events").as("f2_n"),
+            col("session_start").as("f2_start"),
+            col("session_end").as("f2_end"))
+        val bridge = l1.join(f2, "user_id")
+          .filter(unix_timestamp(col("f2_start"))
+            - unix_timestamp(col("l1_end")) <= 1800)
+        val merged = bridge.select(col("user_id"),
+          col("l1_seq").as("session_seq"),
+          (col("l1_n") + col("f2_n")).as("n_events"),
+          col("l1_start").as("session_start"),
+          col("f2_end").as("session_end"))
+        val bUsers = bridge.select(col("user_id"), lit(1).as("bridged"))
+        val keep1 = s1.join(m1, "user_id")
+          .join(bUsers, Seq("user_id"), "left")
+          .filter(col("bridged").isNull ||
+            col("session_seq") =!= col("max1"))
+          .select(col("user_id"), col("session_seq"), col("n_events"),
+            col("session_start"), col("session_end"))
+        val adj2 = s2.join(m1, Seq("user_id"), "left")
+          .join(bUsers, Seq("user_id"), "left")
+          .filter(col("bridged").isNull || col("session_seq") =!= 1)
+          .select(col("user_id"),
+            (col("session_seq") + coalesce(col("max1"), lit(0L))
+              - when(col("bridged").isNotNull, 1L).otherwise(0L))
+              .as("session_seq"),
+            col("n_events"), col("session_start"), col("session_end"))
+        keep1.unionByName(merged).unionByName(adj2)
+      },
+      // the ORACLE is plain full-table sessionization — identical to e03
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts,
+            CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(date_trunc('second', ts))
+                    - epoch(date_trunc('second', LAG(ts) OVER w)) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        s AS (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          FROM g)
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+          COUNT(*) AS n_events,
+          MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_seq"""))
   )
 }
