@@ -92,11 +92,15 @@ object Bench {
     // that tail (BENCH_r02 proved a full 68-query line gets its head
     // truncated there), so the printed line must stay well under 2000
     // chars; the full per-query map still lands in bench.json.
+    // g04/st09 are the two slowest families — without them the
+    // driver-visible tail couldn't see a regression in exactly the
+    // queries where one costs the most
     val headline = Set("q01_agg", "q04_join_factfact", "q07_window_rank",
       "q12_rollup", "q16_countdistinct", "q20_star_join", "q31_sql_frontend",
       "p01_tripmetrics_core", "t05_ngram_profile", "t09_curation_pipeline",
       "d03_minhash_lsh", "s01_cosine_topk", "e03_sessionize",
-      "m01_struct_join", "h01_pricing_summary", "st01_stream_tumbling")
+      "m01_struct_join", "h01_pricing_summary", "st01_stream_tumbling",
+      "g04_connected_components", "st09_multibatch_replay")
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum}"""
     Files.writeString(Paths.get("bench.json"), line(results) + "\n")
@@ -105,10 +109,30 @@ object Bench {
     // regression tracking: diff per-query times against bench_baseline
     // .json (a committed FULL per-query map, refreshed manually from a
     // quiet-host run) falling back to the most recent round's
-    // BENCH_r*.json — the driver file only carries the 16-query headline
-    // map, which is how a 2x d03 move slipped past the tracker in r7.
+    // BENCH_r*.json — the driver file only carries the headline map.
     // Printed to stderr — the driver parses the LAST stdout line as JSON.
-    for (prev <- baselineFile().orElse(latestRoundFile())) {
+    //
+    // Coverage guard (round-7 lesson: a committed SPARK_GRAFT_ONLY
+    // dev-run artifact shrank the baseline to 2 queries and the "0
+    // regression(s)" line silently checked 2 of 214): if the baseline
+    // covers < 90% of this run's queries, warn loudly and diff against
+    // the latest round file AS WELL, so a subset baseline can never
+    // blind the tracker again.
+    val comparisons: Seq[java.nio.file.Path] = baselineFile() match {
+      case None => latestRoundFile().toSeq
+      case Some(b) =>
+        val covered = parseQueryTimes(Files.readString(b))
+          .keySet.count(n => results.exists(_._1 == n))
+        if (covered >= results.size * 0.9) Seq(b)
+        else {
+          System.err.println(s"[bench] WARNING: bench_baseline.json covers " +
+            s"only $covered of ${results.size} queries in this run — it " +
+            "looks like a committed dev-run artifact; regenerate it from a " +
+            "full quiet-host Bench run. Also diffing the latest BENCH_r*.json.")
+          Seq(b) ++ latestRoundFile()
+        }
+    }
+    for (prev <- comparisons) {
       val prevJson = Files.readString(prev)
       // only compare like against like: the committed rounds run at
       // sf0.1, a dev loop at sf0.001 would diff meaninglessly

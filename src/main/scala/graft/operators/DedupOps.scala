@@ -145,7 +145,13 @@ object DedupOps {
     * (common·den >= size·num), and the reported ratio is integer
     * parts-per-1e9, so there is no float anywhere. Same all-pairs shape
     * as ngramJaccardPairs: the ground-truth verifier — at scale feed it
-    * LSH candidates instead of the full cross product. */
+    * LSH candidates instead of the full cross product.
+    *
+    * Cache contract: the shingle-postings frame is persisted here and,
+    * per the class doc, OWNED BY THE CALLER — run your action, then
+    * `spark.catalog.clearCache()` (Bench/Verify do) or unpersist via the
+    * frame's storage tab; repeated library calls without either will
+    * accumulate pinned postings. */
   def containmentPairs(docs: DataFrame, n: Int,
                        num: Int, den: Int): DataFrame = {
     val posts = shinglePostings(docs, n).select("doc_id", "gram_id")

@@ -35,12 +35,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Rank-frame lineage truncation period: each PageRank iteration
+    * chains one join + one aggregation onto the previous plan, so at
+    * high iteration counts Catalyst re-analysis compounds (the trap the
+    * CC scaladoc below documents). Every CkptEvery rounds the rank
+    * frame is localCheckpoint'ed — a no-op below 8 iterations, O(1)
+    * plan size above. Checkpoint materializes the same values, so gate
+    * numbers are unchanged at any iteration count. */
+  private val CkptEvery = 8
+
+  private def truncateEvery(i: Int, iters: Int, df: DataFrame): DataFrame =
+    if (i % CkptEvery == 0 && i < iters) df.localCheckpoint(true) else df
+
   /** Fixed-iteration PageRank over a directed edge list (src, dst).
     *
     * Callers must pass a graph where every node has at least one
     * out-edge (e.g. a bidirectionalized undirected graph) — dangling
     * mass is then zero and the per-iteration update is exactly
     *   r'(n) = teleport/N + damping * sum_{m->n} r(m)/outdeg(m).
+    * For general directed graphs with sinks/sources use
+    * [[pageRankDangling]], which redistributes dangling mass.
     *
     * `teleport` is taken explicitly rather than computed as 1-damping:
     * 1.0 - 0.85 is 0.15000000000000002 in IEEE double, which would
@@ -67,8 +81,8 @@ object GraphOps {
     // the oracle's CAST(x AS DOUBLE) / n
     val r0 = adj.select(col("src").as("id")).distinct()
       .select(col("id"), lit(1.0 / n).as("rank"))
-    (0 until iters).foldLeft(r0) { (r, _) =>
-      adj.join(r, col("src") === col("id"))
+    (1 to iters).foldLeft(r0) { (r, i) =>
+      val next = adj.join(r, col("src") === col("id"))
         // double division is deterministic (both operands exact on both
         // engines); the SUM goes through decimal so shuffle order can't
         // change the result. Ranks are < 1 and node degree is bounded by
@@ -80,6 +94,58 @@ object GraphOps {
         .agg(sum(col("contrib").cast("decimal(28,15)")).cast("double").as("m"))
         .select(col("dst").as("id"),
           (lit(teleport / n) + lit(damping) * col("m")).as("rank"))
+      truncateEvery(i, iters, next)
+    }
+  }
+
+  /** PageRank for GENERAL directed graphs — sinks (no out-edges) and
+    * sources (no in-edges) included. Per round the aggregate mass
+    * sitting on dangling nodes is redistributed uniformly:
+    *   r'(n) = teleport/N + damping * (sum_{m->n} r(m)/outdeg(m) + DM/N)
+    * with DM = sum of ranks of nodes without out-edges — the standard
+    * correction (Page et al. 1999); without it a graph with sinks leaks
+    * mass every round and ranks drift toward the teleport floor.
+    *
+    * Shape per round: the same ONE shuffle join + ONE keyed decimal
+    * aggregation as [[pageRank]], plus (a) a one-row decimal-exact DM
+    * aggregate cross-joined in (broadcast of a scalar — the
+    * bloomPreFilter lifecycle, never a driver collect inside the loop)
+    * and (b) a left join from the persisted node set so in-edge-less
+    * nodes keep a rank row. All sums are decimal-exact and the double
+    * expression tree is written identically in the DuckDB oracle, so
+    * fixed-iteration runs replay bit-for-bit.
+    */
+  def pageRankDangling(edges: DataFrame, iters: Int,
+                       damping: Double = 0.85,
+                       teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src"), col("dst"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes
+      .join(adj.select(col("src").as("id")), Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val r0 = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    (1 to iters).foldLeft(r0) { (r, i) =>
+      val contrib = adj.join(r, col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib").cast("decimal(28,15)")).cast("double").as("m"))
+      val dm = r.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank").cast("decimal(28,15)")).cast("double"),
+          lit(0.0)).as("dm"))
+      val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(dm)
+        .select(nodes("id"),
+          (lit(teleport / n) + lit(damping) *
+            (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n))).as("rank"))
+      truncateEvery(i, iters, next)
     }
   }
 
@@ -221,26 +287,92 @@ object GraphOps {
     (labels, rounds)
   }
 
+  /** Incremental connected components — the d13 incremental-dedup story
+    * for graphs: given the labels of an already-contracted base graph
+    * and a NEW batch of undirected edges, recompute labels touching
+    * only the components the batch connects, never re-contracting the
+    * base graph.
+    *
+    * Each new edge (u, v) is projected to the COMPONENT level
+    * (label(u), label(v)) — endpoints unseen by the base labeling stand
+    * for themselves — and star contraction runs on that component graph
+    * alone: O(|batch|) nodes however large the base graph is. The
+    * resulting super-labels map each touched base component to the
+    * minimum id across its merged group, and since base labels are
+    * already component minima, min-of-mins = the global minimum — the
+    * same deterministic label a full recompute produces (the property
+    * the g08 gate checks oracle-side).
+    *
+    * Cost shape at 100 TB: one broadcast-or-shuffle join of the batch
+    * against the base label map, a star contraction over the tiny
+    * component graph, and one join of the base labels against the
+    * (small) super-label map — versus a full log-round contraction over
+    * the entire edge set. Edge DELETION is out of scope (it can split
+    * components, which needs re-contraction of the affected component's
+    * full edge set). */
+  def incrementalComponents(baseLabels: DataFrame,
+                            newEdges: DataFrame): DataFrame = {
+    val base = baseLabels.select(col("id"), col("component"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ends = newEdges.select(col("u"), col("v"))
+    val lu = base.select(col("id").as("u"), col("component").as("cu"))
+    val lv = base.select(col("id").as("v"), col("component").as("cv"))
+    val compEdges = ends
+      .join(lu, Seq("u"), "left")
+      .join(lv, Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("u"),
+        coalesce(col("cv"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val supers = connectedComponents(compEdges)
+      .select(col("id").as("comp"), col("component").as("super"))
+    // batch endpoints the base labeling never saw are their own
+    // components until the super-label join relabels them
+    val fresh = ends.select(col("u").as("id"))
+      .union(ends.select(col("v").as("id"))).distinct()
+      .join(base.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    base.unionByName(fresh)
+      .join(supers, col("component") === col("comp"), "left")
+      .select(col("id"),
+        coalesce(col("super"), col("component")).as("component"))
+  }
+
   /** Min-hop BFS from `start` over a directed edge list, bounded at
     * `maxHops`. Returns (id, hop) with hop = first-discovery distance.
     * Each round joins only the new frontier against adjacency and
-    * anti-joins the visited set — never re-expands settled nodes. */
+    * anti-joins the visited set — never re-expands settled nodes.
+    *
+    * Cache/lineage hygiene (the labelPropagation rotation, per round):
+    * frontier and visited advance through EAGER localCheckpoints, so
+    * the live frame set is O(1) regardless of depth (superseded
+    * checkpoint RDD blocks are reclaimed by the ContextCleaner, the
+    * same lifecycle as connectedComponents' rounds) and the returned
+    * frame's plan is a single RDD scan — not the H-deep union chain the
+    * old persist-only loop accumulated (~2H pinned frames at hop H,
+    * re-analyzed every round). An empty frontier exits early: a
+    * diameter-d component costs d rounds even when maxHops is large. */
   def bfsHops(edges: DataFrame, start: Long, maxHops: Int): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
-    var visited = Seq((start, 0L)).toDF("id", "hop")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = Seq((start, 0L)).toDF("id", "hop").localCheckpoint(true)
     var frontier = visited.select("id")
-    for (hop <- 1 to maxHops) {
+    var hop = 1
+    var exhausted = false
+    while (hop <= maxHops && !exhausted) {
       val next = frontier.join(e, col("id") === col("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .select(col("id"), lit(hop.toLong).as("hop"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      visited = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)
-      frontier = next.select("id")
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select("id")
+      }
+      hop += 1
     }
+    e.unpersist()
     visited
   }
 

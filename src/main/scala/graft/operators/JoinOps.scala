@@ -125,7 +125,12 @@ object JoinOps {
     * intervals provably cover when they overlap.
     *
     * Choose binSec near the typical interval length: duplication factor
-    * is ceil(len/binSec)+1 per row. Column names must be disjoint. */
+    * is ceil(len/binSec)+1 per row. Column names must be disjoint.
+    *
+    * Binning uses exact FLOOR division (not `div`'s toward-zero
+    * truncation), so pre-1970 timestamps get uniform binSec-wide bins
+    * too — with `div`, bin 0 would span (-binSec, +binSec) and the
+    * duplication-factor bound would silently degrade around the epoch. */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           lStart: String, lEnd: String,
                           rStart: String, rEnd: String,
@@ -134,14 +139,20 @@ object JoinOps {
       "left/right column names must be disjoint")
     require(binSec > 0, "binSec must be positive")
     val binMicros = binSec * 1000000L
+    // exact long floor-division: `div` truncates toward zero, so shift
+    // the quotient down by one whenever a negative dividend leaves a
+    // remainder (no IEEE double in the path — micros exceed 2^53 range)
+    def floorBin(tsExpr: String) =
+      s"((unix_micros($tsExpr) div $binMicros) - " +
+        s"(CASE WHEN unix_micros($tsExpr) % $binMicros < 0 THEN 1 ELSE 0 END))"
     def spannedBins(st: String, en: String) =
-      expr(s"sequence(unix_micros($st) div $binMicros, unix_micros($en) div $binMicros)")
+      expr(s"sequence(${floorBin(st)}, ${floorBin(en)})")
     val l = left.withColumn("_bin", explode(spannedBins(lStart, lEnd)))
     val r = right.withColumn("_bin", explode(spannedBins(rStart, rEnd)))
     l.join(r, "_bin")
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
       .filter(col("_bin") ===
-        expr(s"unix_micros(greatest($lStart, $rStart)) div $binMicros"))
+        expr(floorBin(s"greatest($lStart, $rStart)")))
       .drop("_bin")
   }
 

@@ -176,22 +176,41 @@ object SimilarityOps {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** All XOR masks of Hamming weight < `probes` over `planes` bits, in
+    * (weight, numeric) order — mask 0 (the query's own bucket) first.
+    * Driver-side enumeration: the mask COUNT (sum of C(planes, w)) is
+    * what bounds per-query candidate work, so it is capped explicitly
+    * rather than letting a generous probes value silently expand the
+    * probe set toward 2^planes. */
+  private[graft] def probeMasks(planes: Int, probes: Int): Seq[Long] = {
+    require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+    require(probes >= 1, "probes must be >= 1")
+    val masks = (0 until math.min(probes, planes + 1)).flatMap { w =>
+      (0 until planes).combinations(w)
+        .map(_.map(j => 1L << j).sum).toSeq.sorted
+    }
+    require(masks.size <= 4096,
+      s"probe set too large: ${masks.size} buckets/query " +
+        s"(planes=$planes, probes=$probes) — raise planes or lower probes")
+    masks
+  }
+
   /** ANN: exact cosine top-k restricted to the query's LSH bucket.
-    * `probes = 1` searches only the query's own bucket; `probes > 1`
-    * additionally probes every bucket within hamming probes-1 of the
-    * query signature (multiprobe LSH: recall recovered by probing near
-    * buckets instead of shrinking the index) — with probes = 2, the
-    * planes+1 buckets at hamming <= 1. */
+    * `probes = 1` searches only the query's own bucket; `probes = p`
+    * additionally probes every bucket within Hamming distance p-1 of
+    * the query signature (multiprobe LSH, Lv et al. VLDB 2007: recall
+    * recovered by probing near buckets instead of shrinking the index).
+    * Probe-set size is sum of C(planes, w) for w < p — the recall dial
+    * at corpus scale, now open to any depth under the 4096-bucket
+    * candidate-work cap. */
   def lshTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
               planes: Int, probes: Int = 1): DataFrame = {
-    require(probes == 1 || probes == 2, "probes > 2 not implemented")
     val corpus = prepared(embeddings)
       .withColumn("bucket", signBucket(col("v"), planes))
     val qBucket = signBucket(col("v"), planes)
     val probeCols =
-      if (probes == 1) array(qBucket)
-      else array(qBucket +: (0 until planes).map(j =>
-        qBucket.bitwiseXOR(lit(1L << j))): _*)
+      array(probeMasks(planes, probes).map(m =>
+        if (m == 0L) qBucket else qBucket.bitwiseXOR(lit(m))): _*)
     val qs = prepared(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), explode(probeCols).as("bucket"))

@@ -758,11 +758,14 @@ object Events {
           .orderBy(col("t_tse").desc, col("tid").desc)
         j.withColumn("n", count(lit(1)).over(w))
           .withColumn("rn", row_number().over(wRank))
+          // `div` is exact integral division (matching the oracle's `//`);
+          // double-division-then-cast would round through IEEE and could
+          // cross an integer at large cent values
           .withColumn("credit",
-            (col("cents") / col("n")).cast("long") +
+            expr("cents div n") +
               when(col("rn") === 1,
-                col("cents") - (col("cents") / col("n")).cast("long")
-                  * col("n")).otherwise(0L))
+                col("cents") - expr("cents div n") * col("n"))
+                .otherwise(0L))
           .groupBy(col("touch_type"))
           .agg(countDistinct(col("pid")).as("n_purchases"),
             sum(col("credit")).as("credited_cents"))

@@ -74,6 +74,53 @@ object Graph {
     sb.toString
   }
 
+  /** the DIRECTED trade graph (customer -> supplier, no reverse
+    * edges): suppliers are sinks and customers are sources — the graph
+    * shape g07's dangling-mass PageRank exists for */
+  private val directedSql = """
+    und AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT a AS src, b AS dst FROM und)"""
+
+  /** CTE chain replaying `iters` dangling-mass PageRank rounds with the
+    * same decimal-exact sums and the identical double expression tree
+    * as GraphOps.pageRankDangling:
+    *   rank' = 0.15/N + 0.85 * (COALESCE(m, 0) + dm/N)
+    * with m the per-node decimal contribution sum and dm the decimal
+    * sum of ranks on sink nodes. */
+  private def pageRankDanglingSql(iters: Int): String = {
+    val sb = new StringBuilder("WITH" + directedSql + """,
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    dang AS (SELECT id FROM nodes
+             WHERE id NOT IN (SELECT src FROM edges)),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)""")
+    for (i <- 0 until iters) sb ++= s""",
+    dm$i AS (
+      SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(28,15))) AS DOUBLE),
+        CAST(0 AS DOUBLE)) AS dm
+      FROM r$i WHERE id IN (SELECT id FROM dang)),
+    r${i + 1} AS (
+      SELECT nd.id,
+        CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+          + CAST(0.85 AS DOUBLE) * (COALESCE(c.m, CAST(0 AS DOUBLE))
+              + (SELECT dm FROM dm$i) / (SELECT n FROM nn)) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS id,
+          CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15))) AS DOUBLE)
+            AS m
+        FROM edges e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) c ON nd.id = c.id)"""
+    sb ++= s"""
+    SELECT id,
+      CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      rank
+    FROM r$iters"""
+    sb.toString
+  }
+
   /** co-purchase part graph: canonical (u < v) pairs co-ordered >= 2
     * times — shared by g02 (triangles) and g04 (components) */
   private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
@@ -231,6 +278,51 @@ object Graph {
                   FROM r2 GROUP BY 1)
         SELECT community_size, COUNT(*) AS n_communities
         FROM sizes GROUP BY 1""")),
+
+    // ---- dangling-mass PageRank over the DIRECTED trade graph -----------
+    //      customer -> supplier only: every supplier is a sink (no
+    //      out-edges) and every customer a source (no in-edges) — the
+    //      graph g01's precondition excludes. Each round redistributes
+    //      the decimal-exact mass sitting on sinks uniformly (Page et
+    //      al. 1999), so total rank stays ~1 instead of leaking to the
+    //      teleport floor; sources keep rank rows via the node left
+    //      join. Oracle replays the identical arithmetic per round.
+    Q("g07_pagerank_dangling",
+      (s, d) => GraphOps.pageRankDangling(
+        bipartitePairs(s, d).select(col("a").as("src"), col("b").as("dst")),
+        iters = 3)
+        .select(col("id"),
+          when(col("id") % 2 === 0, "customer").otherwise("supplier")
+            .as("kind"),
+          col("rank")),
+      Some(pageRankDanglingSql(3))),
+
+    // ---- incremental connected components -------------------------------
+    //      the d13 story for graphs: base graph = 90% of co-purchase
+    //      edges (deterministic (u+v)%10 split), labeled by full star
+    //      contraction; the remaining 10% arrive as a NEW edge batch and
+    //      only the component-level graph they touch is re-contracted —
+    //      O(|batch|) work however large the base. The oracle computes
+    //      components over ALL edges at once, so the gate proves
+    //      incremental == full recompute, label for label.
+    Q("g08_incremental_components",
+      (s, d) => {
+        val p = coPurchasePairs(s, d)
+        val baseE = p.filter((col("u") + col("v")) % 10 =!= 0)
+        val batch = p.filter((col("u") + col("v")) % 10 === 0)
+        GraphOps.incrementalComponents(
+          GraphOps.connectedComponents(baseE), batch)
+      },
+      Some("WITH RECURSIVE " + coPurchaseSql + """,
+        e AS (SELECT u AS s, v AS t FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+        reach AS (
+          SELECT s, t FROM e
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s),
+        lab AS (SELECT s AS id, LEAST(s, MIN(t)) AS component
+                FROM reach GROUP BY s)
+        SELECT id, component FROM lab""")),
 
     // ---- recursive CTE through the SQL FRONTEND --------------------------
     //      the same bounded reachability as g03, but parsed, planned and

@@ -160,9 +160,11 @@ object Multimodal {
         val w = Window.partitionBy(col("modality")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         assets
-          .withColumn("shard_id",
-            ((sum(col("byte_len")).over(w) - col("byte_len")) / budget)
-              .cast("long"))
+          // exact integral `div` (matches the oracle's `//`): byte sums
+          // near 2^53 would round through IEEE double under `/ + cast`
+          .withColumn("prior_bytes",
+            sum(col("byte_len")).over(w) - col("byte_len"))
+          .withColumn("shard_id", expr(s"prior_bytes div $budget"))
           .groupBy(col("modality"), col("shard_id"))
           .agg(count(lit(1)).as("n_assets"),
             sum(col("byte_len")).as("shard_bytes"))

@@ -38,6 +38,59 @@ object Similarity {
          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
        (x, y) -> x + y)"""
 
+  /** s14 oracle: exact top-5 plus one ANN branch per probe depth, the
+    * probe-bucket lists generated from the SAME mask enumeration the
+    * Scala operator uses (SimilarityOps.probeMasks), unioned into one
+    * (probes, q_id, hits, recall) table. */
+  private def multiprobeRecallSql: String = {
+    val planes = 6
+    val bucket6 = (0 until planes).map(j =>
+      s"CASE WHEN v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("(", "\n                 + ", ")")
+    def annBranch(p: Int): String = {
+      val lst = graft.operators.SimilarityOps.probeMasks(planes, p)
+        .map(m => if (m == 0L) "bucket" else s"xor(bucket, $m)")
+        .mkString(", ")
+      s"""
+        qb$p AS (SELECT vec_id AS q_id, qv, qnrm, pb AS bucket
+               FROM (SELECT vec_id, v AS qv, nrm AS qnrm, bucket FROM bkt6
+                     WHERE vec_id < 5)
+               CROSS JOIN LATERAL unnest([$lst]) t(pb)),
+        pann$p AS (SELECT qb$p.q_id, c.vec_id,
+                     ${dotSql("c.v", s"qb$p.qv")} / (c.nrm * qb$p.qnrm)
+                       AS cosine
+                   FROM bkt6 c JOIN qb$p USING (bucket)
+                   WHERE c.vec_id <> qb$p.q_id),
+        ann$p AS (SELECT q_id, vec_id FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id ASC) AS rk FROM pann$p)
+                  WHERE rk <= 5),
+        rec$p AS (SELECT CAST($p AS BIGINT) AS probes, ex.q_id,
+                    COUNT(ann$p.vec_id) AS hits,
+                    CAST(COUNT(ann$p.vec_id) AS DOUBLE) / 5 AS recall
+                  FROM ex LEFT JOIN ann$p
+                    ON ex.q_id = ann$p.q_id AND ex.vec_id = ann$p.vec_id
+                  GROUP BY ex.q_id)"""
+    }
+    normCte + s"""
+        , q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+                WHERE vec_id < 5),
+        pex AS (SELECT q.q_id, c.vec_id,
+                  ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+                FROM n c, q WHERE c.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rk FROM pex)
+               WHERE rk <= 5),
+        bkt6 AS (SELECT vec_id, v, nrm,
+                  $bucket6 AS bucket
+                FROM n),""" +
+      Seq(1, 2, 3).map(annBranch).mkString(",") + """
+        SELECT * FROM rec1
+        UNION ALL SELECT * FROM rec2
+        UNION ALL SELECT * FROM rec3"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact brute-force cosine top-10 --------------------------------
@@ -287,6 +340,37 @@ object Similarity {
         FROM ex LEFT JOIN ann
           ON ex.q_id = ann.q_id AND ex.vec_id = ann.vec_id
         GROUP BY ex.q_id""")),
+
+    // ---- recall@5 vs multiprobe depth -----------------------------------
+    //      the dial an ANN deployment tunes at corpus scale: the SAME
+    //      6-plane index probed at Hamming radius 0 / 1 / 2 (probe sets
+    //      of 1, 7 and 22 buckets from SimilarityOps.probeMasks — the
+    //      Scala side and this oracle enumerate the identical masks),
+    //      each depth scored as recall@5 against the exact top-5.
+    //      Candidate sets are supersets as depth grows, and the rank
+    //      order is total, so recall is provably nondecreasing — the
+    //      SimilaritySpec asserts it; this gate pins the exact values.
+    Q("s14_multiprobe_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = SimilarityOps.bruteForceTopK(emb, queries, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        Seq(1, 2, 3).map { p =>
+          val ann = SimilarityOps
+            .lshTopK(emb, queries, k = 5, planes = 6, probes = p)
+            .select(col("q_id").as("aq"), col("vec_id").as("av"))
+          exact.join(ann,
+              exact("q_id") === ann("aq") && exact("vec_id") === ann("av"),
+              "left")
+            .groupBy(col("q_id"))
+            .agg(count(col("aq")).as("hits"),
+              (count(col("aq")).cast("double") / lit(5)).as("recall"))
+            .withColumn("probes", lit(p.toLong))
+            .select(col("probes"), col("q_id"), col("hits"), col("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some(multiprobeRecallSql)),
 
     // ---- per-dimension embedding statistics ------------------------------
     //      the embedding-space health check every corpus pipeline runs

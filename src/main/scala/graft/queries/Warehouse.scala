@@ -542,6 +542,81 @@ object Warehouse {
         SELECT n_rows, 'l_suppkey', sk_nulls, sk_ndv, sk_lo, sk_hi FROM a
         UNION ALL
         SELECT n_rows, 'l_quantity', qt_nulls, qt_ndv, qt_lo, qt_hi
-        FROM a"""))
+        FROM a""")),
+
+    // ---- sketch-based ANALYZE: one-pass HLL NDVs ------------------------
+    //      w09's production twin. Three exact countDistincts in one
+    //      aggregate compile to a 4x Expand — every lineitem row is
+    //      quadruplicated through the shuffle, the dominant cost at any
+    //      scale. approx_count_distinct (HLL++, rsd 2%) is a PLAIN
+    //      aggregate: nulls/min/max/3 NDVs all come out of ONE
+    //      expand-free pass, the shape a 100 TB ANALYZE actually runs.
+    //      The gate cross-checks each sketch against the exact NDV
+    //      (computed Expand-free as three per-column distinct
+    //      aggregates) and emits the agreement flag; the oracle asserts
+    //      it TRUE, so >5% HLL drift turns the row red. HLL is
+    //      deterministic for a given column, so the flag is stable.
+    //      In production you'd drop the exact branch and keep only the
+    //      `a`-aggregate — this query carries it as its own verifier.
+    Q("w12_analyze_stats_sketch",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def nulls(c: String) = sum(col(c).isNull.cast("long"))
+        val a = li.agg(
+          count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ok_hll"),
+          nulls("l_orderkey").as("ok_nulls"),
+          min(col("l_orderkey")).as("ok_lo"),
+          max(col("l_orderkey")).as("ok_hi"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("sk_hll"),
+          nulls("l_suppkey").as("sk_nulls"),
+          min(col("l_suppkey")).as("sk_lo"),
+          max(col("l_suppkey")).as("sk_hi"),
+          approx_count_distinct(col("l_quantity"), 0.02).as("qt_hll"),
+          nulls("l_quantity").as("qt_nulls"),
+          floor(min(col("l_quantity")) * 100).as("qt_lo"),
+          floor(max(col("l_quantity")) * 100).as("qt_hi"))
+        def ndv(c: String, as: String) =
+          li.select(col(c)).distinct().agg(count(lit(1)).as(as))
+        val exact = ndv("l_orderkey", "ok_ndv")
+          .crossJoin(ndv("l_suppkey", "sk_ndv"))
+          .crossJoin(ndv("l_quantity", "qt_ndv"))
+        a.crossJoin(exact)
+          .select(col("n_rows"), expr("""stack(3,
+              'l_orderkey', ok_nulls, ok_ndv, ok_lo, ok_hi, ok_hll,
+              'l_suppkey',  sk_nulls, sk_ndv, sk_lo, sk_hi, sk_hll,
+              'l_quantity', qt_nulls, qt_ndv, qt_lo, qt_hi, qt_hll)
+            AS (column_name, n_nulls, ndv, lo_i, hi_i, hll)"""))
+          .select(col("n_rows"), col("column_name"), col("n_nulls"),
+            col("ndv"), col("lo_i"), col("hi_i"),
+            (abs(col("hll") - col("ndv")) <= col("ndv") * 0.05)
+              .as("hll_within_5pct"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT COUNT(*) AS n_rows,
+            COUNT(DISTINCT l_orderkey) AS ok_ndv,
+            CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS ok_nulls,
+            MIN(l_orderkey) AS ok_lo, MAX(l_orderkey) AS ok_hi,
+            COUNT(DISTINCT l_suppkey) AS sk_ndv,
+            CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS sk_nulls,
+            MIN(l_suppkey) AS sk_lo, MAX(l_suppkey) AS sk_hi,
+            COUNT(DISTINCT l_quantity) AS qt_ndv,
+            CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS qt_nulls,
+            CAST(FLOOR(MIN(l_quantity) * 100) AS BIGINT) AS qt_lo,
+            CAST(FLOOR(MAX(l_quantity) * 100) AS BIGINT) AS qt_hi
+          FROM lineitem)
+        SELECT n_rows, 'l_orderkey' AS column_name, ok_nulls AS n_nulls,
+          ok_ndv AS ndv, ok_lo AS lo_i, ok_hi AS hi_i,
+          TRUE AS hll_within_5pct FROM a
+        UNION ALL
+        SELECT n_rows, 'l_suppkey', sk_nulls, sk_ndv, sk_lo, sk_hi,
+          TRUE FROM a
+        UNION ALL
+        SELECT n_rows, 'l_quantity', qt_nulls, qt_ndv, qt_lo, qt_hi,
+          TRUE FROM a"""))
   )
 }
