@@ -25,15 +25,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet footer — Spark has no
-    * nanosecond timestamp type, so the session reads it as raw int64
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and we truncate to
-    * microseconds here (integer div — the value exceeds double's 2^53
-    * mantissa, so float division would corrupt it). DuckDB performs the
-    * same ns→us truncation, keeping the oracle aligned. */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** events.ts normalized to the session timestamp type (LTZ, session tz
+    * pinned to UTC), adapting to the footer's physical type — generator
+    * versions have shipped both:
+    *  - TIMESTAMP(NANOS): Spark has no nanosecond timestamp, so the
+    *    session reads it as raw int64 (`spark.sql.legacy.parquet
+    *    .nanosAsLong`) and we truncate to microseconds (integer div —
+    *    the value exceeds double's 2^53 mantissa, so float division
+    *    would corrupt it). DuckDB performs the same ns→us truncation.
+    *  - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ; with the
+    *    session tz at UTC the cast to LTZ is a pure retag of the same
+    *    micros value, matching DuckDB's naive read wall-clock for
+    *    wall-clock.
+    * Downstream code (window(), unix_micros, the streaming watermarks)
+    * is written against the LTZ type, so normalizing here keeps every
+    * consumer oblivious to the generator's footer choice. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

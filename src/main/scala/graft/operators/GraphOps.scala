@@ -111,9 +111,10 @@ object GraphOps {
     * aggregate cross-joined in (broadcast of a scalar — the
     * bloomPreFilter lifecycle, never a driver collect inside the loop)
     * and (b) a left join from the persisted node set so in-edge-less
-    * nodes keep a rank row. All sums are decimal-exact and the double
-    * expression tree is written identically in the DuckDB oracle, so
-    * fixed-iteration runs replay bit-for-bit.
+    * nodes keep a rank row. Sums quantize to 1e-15 fixed-point BIGINT
+    * (see the loop comment) so they are shuffle-order-independent AND
+    * portable: the oracle replays the identical IEEE/integer expression
+    * tree and fixed-iteration runs match bit-for-bit.
     */
   def pageRankDangling(edges: DataFrame, iters: Int,
                        damping: Double = 0.85,
@@ -133,12 +134,22 @@ object GraphOps {
     val n = nodes.count()
     val r0 = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     (1 to iters).foldLeft(r0) { (r, i) =>
+      // per-round quantization to 1e-15 via floor(x*1e15 + 0.5) into
+      // BIGINT: (a) the long sum is shuffle-order-independent, (b) every
+      // op in the quantizer is IEEE double or integer arithmetic, which
+      // independent engines reproduce bit-for-bit. A double→DECIMAL cast
+      // here would NOT be portable: the JVM rounds the double's shortest
+      // decimal rendering (BigDecimal.valueOf) while DuckDB rounds the
+      // full binary expansion, and the per-round disagreement compounds
+      // (observed as a 7e-13 relative drift by iteration 3 on g07).
       val contrib = adj.join(r, col("src") === col("id"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        .select(col("dst"),
+          floor(col("rank") / col("outdeg") * lit(1e15) + lit(0.5)).as("c"))
         .groupBy(col("dst"))
-        .agg(sum(col("contrib").cast("decimal(28,15)")).cast("double").as("m"))
+        .agg((sum(col("c")) / lit(1e15)).as("m"))
       val dm = r.join(dangling, Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("rank").cast("decimal(28,15)")).cast("double"),
+        .agg(coalesce(
+          sum(floor(col("rank") * lit(1e15) + lit(0.5))) / lit(1e15),
           lit(0.0)).as("dm"))
       val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .crossJoin(dm)

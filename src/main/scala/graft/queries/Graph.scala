@@ -97,9 +97,15 @@ object Graph {
     dang AS (SELECT id FROM nodes
              WHERE id NOT IN (SELECT src FROM edges)),
     r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS rank FROM nodes, nn)""")
+    // fixed-point quantization mirrors GraphOps.pageRankDangling exactly:
+    // floor(x*1e15 + 0.5) into BIGINT is pure IEEE-double + integer
+    // arithmetic, identical on both engines (a double->DECIMAL cast is
+    // not: JVM rounds the shortest decimal rendering, DuckDB the binary
+    // expansion)
     for (i <- 0 until iters) sb ++= s""",
     dm$i AS (
-      SELECT COALESCE(CAST(SUM(CAST(rank AS DECIMAL(28,15))) AS DOUBLE),
+      SELECT COALESCE(
+        SUM(CAST(FLOOR(rank * 1e15 + 0.5) AS BIGINT)) / 1e15,
         CAST(0 AS DOUBLE)) AS dm
       FROM r$i WHERE id IN (SELECT id FROM dang)),
     r${i + 1} AS (
@@ -109,7 +115,7 @@ object Graph {
               + (SELECT dm FROM dm$i) / (SELECT n FROM nn)) AS rank
       FROM nodes nd LEFT JOIN (
         SELECT e.dst AS id,
-          CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15))) AS DOUBLE)
+          SUM(CAST(FLOOR(r.rank / d.outdeg * 1e15 + 0.5) AS BIGINT)) / 1e15
             AS m
         FROM edges e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
         GROUP BY e.dst) c ON nd.id = c.id)"""

@@ -15,7 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
   name: String,
   run: (SparkSession, String) => DataFrame,
-  oracle: Option[String] = None)
+  oracle: Option[String] = None,
+  /** One-time input staging (e.g. st09's 8-file source split, io04's
+    * bucketed table writes) that `run` depends on but that is a
+    * pipeline-setup cost, not the query's steady-state cost. The driver
+    * contract stays self-contained — [[Registry.queries]] composes
+    * setup before run — while Bench runs setup UNTIMED once per query
+    * so the reported number is the repeated-execution cost (the
+    * round-7 verdict: st09/io04 were billing their source writes to
+    * every timed rep). Must be idempotent (mode=overwrite). */
+  setup: Option[(SparkSession, String) => Unit] = None)
 
 object Registry {
   def all: Seq[Q] =
@@ -25,7 +34,13 @@ object Registry {
       Clustering.qs ++ Warehouse.qs ++ Graph.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    all.map(q => q.name -> ((s: SparkSession, d: String) => {
+      q.setup.foreach(_(s, d)); q.run(s, d)
+    })).toMap
+
+  /** setup-only view for harnesses that time `run` separately (Bench) */
+  def setups: Map[String, (SparkSession, String) => Unit] =
+    all.flatMap(q => q.setup.map(q.name -> _)).toMap
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap

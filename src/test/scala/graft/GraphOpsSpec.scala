@@ -161,6 +161,91 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("bfsHops: deep run returns a truncated plan and exact hops") {
+    // the r7 verdict's cache-hygiene fix, pinned: a 40-deep path with a
+    // generous maxHops must (a) stay correct, (b) hand back a frame whose
+    // plan is a single checkpointed scan — NOT the H-deep union chain the
+    // old persist-only loop accumulated (which re-analyzed every round
+    // and pinned ~2H frames at hop H)
+    val n = 40L
+    val edges = undirected((0L until n).map(i => (i, i + 1)): _*)
+    val res = GraphOps.bfsHops(edges, start = 0L, maxHops = 100)
+    assert(res.queryExecution.logical.nodeName == "LogicalRDD",
+      s"expected a checkpoint-truncated plan, got:\n" +
+        res.queryExecution.logical.numberedTreeString)
+    val hops = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops.size == n + 1)
+    assert((0L to n).forall(i => hops(i) == i), s"wrong hops: $hops")
+  }
+
+  test("pageRank at 30 iterations keeps a bounded plan") {
+    // lineage is localCheckpoint-truncated every 8 rounds, so plan size
+    // is O(CkptEvery), not O(iters): without truncation a 30-round
+    // foldLeft chains ~30 join+agg blocks (hundreds of plan lines)
+    val n = 6L
+    val edges = undirected((0L until n).map(i => (i, (i + 1) % n)): _*)
+    val r = GraphOps.pageRank(edges, iters = 30)
+    val planLines = r.queryExecution.logical.numberedTreeString.linesIterator.size
+    assert(planLines < 120, s"plan grew with iterations: $planLines lines")
+    val ranks = r.collect().map(_.getDouble(1))
+    assert(ranks.length == n)
+    assert(ranks.forall(v => math.abs(v - 1.0 / n) < 1e-12))
+  }
+
+  test("pageRankDangling matches a driver-side simulation on a graph with sinks") {
+    // 1->2, 1->3, 2->3, 4->1: node 3 is a sink (no out-edges) — the case
+    // plain pageRank's precondition excludes. Replay the exact update
+    // r'(n) = t/N + d*(sum contrib + DM/N) in scala and compare.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val iters = 5
+    val got = GraphOps.pageRankDangling(edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 4L -> Seq(1L))
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val (d, t, n) = (0.85, 0.15, nodes.size)
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(out.contains).map(rank).sum
+      rank = nodes.map { v =>
+        val in = out.toSeq.flatMap { case (src, ds) =>
+          ds.filter(_ == v).map(_ => rank(src) / ds.size)
+        }.sum
+        v -> (t / n + d * (in + dm / n))
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    // decimal-exact spark sum vs double scala sum: allow float-level slack
+    rank.foreach { case (id, want) =>
+      assert(math.abs(got(id) - want) < 1e-12, s"node $id: ${got(id)} vs $want")
+    }
+    // the redistribute term conserves total mass at 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass=${got.values.sum}")
+  }
+
+  test("incrementalComponents equals full recompute on random edge batches") {
+    // the g08 gate's property, exercised across regimes: label the base
+    // 80% of edges, feed the rest as the new batch (including edges that
+    // bridge components and edges with brand-new endpoints), and the
+    // incremental labels must equal a full contraction over ALL edges
+    val rng = new scala.util.Random(11)
+    for ((n, m) <- Seq((40, 25), (40, 60), (60, 30))) {
+      val pairs = Seq.fill(m)(
+        (rng.nextInt(n).toLong, rng.nextInt(n + 10).toLong))
+        .filter(p => p._1 != p._2)
+      val (batch, base) = pairs.partition(p => (p._1 + p._2) % 5 == 0)
+      if (base.nonEmpty && batch.nonEmpty) {
+        val baseLabels = GraphOps.connectedComponents(base.toDF("u", "v"))
+        val got = GraphOps.incrementalComponents(baseLabels, batch.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = GraphOps.connectedComponents(pairs.toDF("u", "v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want,
+          s"(n=$n m=$m) diff: ${(got.toSet diff want.toSet).take(5)}")
+      }
+    }
+  }
+
   test("labelPropagation: known answers on triangle and path") {
     def undirected(pairs: (Long, Long)*) =
       (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")

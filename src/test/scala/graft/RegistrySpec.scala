@@ -19,6 +19,8 @@ class RegistrySpec extends SparkSpec {
 
   for (q <- Registry.all) {
     test(s"${q.name} runs on sf0.001") {
+      // setup + run, exactly as the driver-contract closure composes them
+      q.setup.foreach(_(spark, sfTiny))
       val df = q.run(spark, sfTiny)
       assert(df.columns.nonEmpty)
       // every declared query must be non-empty on sf0.001 — a zero-row
