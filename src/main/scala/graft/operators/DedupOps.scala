@@ -384,9 +384,16 @@ object DedupOps {
     while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
+      // EAGER localCheckpoint, not persist: persist bounds memory but the
+      // logical plan still chains round over round, and consumers that
+      // re-run the closure (d10 stacks a join+agg on top) were printing
+      // 450+-exchange plans whose Catalyst re-analysis grows with every
+      // fixpoint round. Checkpointing pins each round to a single RDD
+      // scan (the connectedComponents rotation); superseded rounds are
+      // reclaimed by the ContextCleaner.
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // labels only ever decrease, so the label sum is strictly monotone:
       // equal sums == fixpoint — a one-column agg over the cached frame
       // instead of a join-and-diff per round

@@ -17,6 +17,14 @@ class RegistrySpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  test("driver-contract closures are self-contained (setup composed in)") {
+    // the driver only sees SparkEntry.queries — a query whose inputs need
+    // staging must work through that closure alone, from a cold catalog
+    spark.sql("DROP TABLE IF EXISTS graft_io04_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_io04_lineitem")
+    assert(Registry.queries("io04_bucketed_join")(spark, sfTiny).count() > 0)
+  }
+
   for (q <- Registry.all) {
     test(s"${q.name} runs on sf0.001") {
       // setup + run, exactly as the driver-contract closure composes them
