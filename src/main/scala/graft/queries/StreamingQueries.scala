@@ -69,10 +69,12 @@ object StreamingQueries {
     * replays can't clobber each other's conf (builder-level configs like
     * nanosAsLong live in the shared SparkConf, so the child inherits
     * them). */
-  private def replay(s: SparkSession, name: String, mode: String)
+  private def replay(s: SparkSession, name: String, mode: String,
+                     confs: Map[String, String] = Map.empty)
                     (build: SparkSession => DataFrame): DataFrame = {
     val child = s.newSession()
     child.conf.set("spark.sql.shuffle.partitions", "8")
+    confs.foreach { case (k, v) => child.conf.set(k, v) }
     val q = build(child).writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
@@ -363,6 +365,28 @@ object StreamingQueries {
           FROM r)
         SELECT COUNT(*) AS n_rows,
           CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
-        FROM h"""))
+        FROM h""")),
+
+    // ---- RocksDB state store backend ------------------------------------
+    //      the state backend a production stream actually runs at scale:
+    //      the default HDFS-backed provider keeps every key in executor
+    //      heap (state size is a hard memory ceiling), RocksDB spills
+    //      state to local disk with bounded memtables — unbounded key
+    //      cardinality at fixed executor memory. The operator code is
+    //      UNCHANGED (same windowedCounts as st01); only the per-query
+    //      child-session conf flips the provider, and the replay must
+    //      produce the identical batch answer — proving state semantics
+    //      don't depend on the backend and the engine can switch per job.
+    Q("st11_rocksdb_state",
+      (s, d) => replay(s, "st11", mode = "complete", confs = Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))(
+        c => EventStreams.windowedCounts(eventsStream(c, d),
+          watermarkDelay = unbounded)),
+      Some("""
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2"""))
   )
 }

@@ -54,6 +54,32 @@ class JoinOpsSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("intervalOverlapJoin is exact across the 1970 epoch (floor binning)") {
+    // the ADVICE r7 fix, pinned: `div` truncates toward zero, which would
+    // make bin 0 span (-binSec, +binSec) and break the one-bin-per-pair
+    // dedup filter for intervals straddling the epoch; floor division
+    // keeps every bin uniformly binSec wide. Random intervals centered
+    // on 1970-01-01 exercise negative, positive, and straddling spans.
+    val rnd = new scala.util.Random(9)
+    def mk(n: Int, p: String) = (1 to n).map { i =>
+      val st = (rnd.nextInt(7200) - 3600) * 1000L // ±1h around the epoch
+      val en = st + rnd.nextInt(300) * 1000L
+      (i.toLong, new Timestamp(st), new Timestamp(en))
+    }.toDF(s"${p}_id", s"${p}_st", s"${p}_en")
+    val l = mk(120, "l")
+    val r = mk(90, "r")
+    val binned = JoinOps.intervalOverlapJoin(l, r,
+        "l_st", "l_en", "r_st", "r_en", binSec = 60L)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val naive = l.join(r,
+        col("l_st") <= col("r_en") && col("r_st") <= col("l_en"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(binned.length == binned.toSet.size,
+      "pair emitted more than once around the epoch")
+    assert(binned.toSet == naive.toSet)
+    assert(naive.nonEmpty)
+  }
+
   test("intervalOverlapJoin keeps endpoint-touching pairs (closed intervals)") {
     val l = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")))
       .toDF("l_id", "l_st", "l_en")
