@@ -200,6 +200,44 @@ object Sketches {
       Some("""
         SELECT COUNT(DISTINCT o_custkey) AS n_exact,
           TRUE AS roundtrip_lossless
-        FROM orders"""))
+        FROM orders""")),
+
+    // ---- approximate quantiles: the rank-error CONTRACT, gated ----------
+    //      percentile_approx (GK sketch) is the telemetry quantile at any
+    //      scale, but its merged result is only guaranteed within rank
+    //      error N/accuracy — the exact VALUE can differ run to run with
+    //      shuffle merge order, so the gate checks the guarantee itself:
+    //      for each p, the count of rows <= the reported quantile must
+    //      sit within p*N ± (N/accuracy + 1). One pass for the sketch,
+    //      one conditional-aggregate pass for the ranks (the 3-row
+    //      quantile frame cross-joins in as a broadcast scalar table,
+    //      never a driver collect). The oracle recomputes N exactly and
+    //      asserts every flag TRUE — a sketch drifting past its
+    //      contract turns the row red.
+    Q("ds06_quantile_contract",
+      (s, d) => {
+        val acc = 10000
+        val x = Tables.lineitem(s, d)
+          .select(col("l_extendedprice").cast("double").as("x"))
+        val qs = x.agg(expr(
+          s"percentile_approx(x, array(0.5D, 0.9D, 0.99D), $acc)").as("q"))
+          .select(posexplode(col("q")).as(Seq("i", "v")))
+          .select(
+            element_at(array(lit(0.5), lit(0.9), lit(0.99)),
+              col("i").cast("int") + 1).as("p"),
+            col("v"))
+        x.crossJoin(qs)
+          .groupBy(col("p"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("rank_le"))
+          .select(col("p"), col("n_rows"),
+            (abs(col("rank_le") - col("p") * col("n_rows")) <=
+              col("n_rows").cast("double") / acc + 1).as("within_rank_err"))
+      },
+      Some("""
+        SELECT CAST(p AS DOUBLE) AS p,
+          (SELECT COUNT(*) FROM lineitem) AS n_rows,
+          TRUE AS within_rank_err
+        FROM (VALUES (0.5), (0.9), (0.99)) t(p)"""))
   )
 }
