@@ -84,14 +84,18 @@ object GraphOps {
     (1 to iters).foldLeft(r0) { (r, i) =>
       val next = adj.join(r, col("src") === col("id"))
         // double division is deterministic (both operands exact on both
-        // engines); the SUM goes through decimal so shuffle order can't
-        // change the result. Ranks are < 1 and node degree is bounded by
-        // |V|, so the decimal(28,15) units stay far under 2^53 and the
-        // final decimal->double conversion is exactly the same correctly
-        // rounded value on Spark (BigDecimal) and DuckDB (int/1e15).
-        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+        // engines); the SUM quantizes to 1e-15 fixed-point BIGINT via
+        // floor(x*1e15 + 0.5) so it is shuffle-order-independent AND
+        // cross-engine portable — a double->DECIMAL cast here would rest
+        // on the JVM (shortest-rendering) and DuckDB (binary-expansion)
+        // rounding the same way for every value the fixture ever
+        // produces, the assumption that broke g07 (see pageRankDangling).
+        // Ranks are < 1 and degree <= |V|, so the scaled units stay far
+        // under 2^53 and the final /1e15 is exact on both engines.
+        .select(col("dst"),
+          floor(col("rank") / col("outdeg") * lit(1e15) + lit(0.5)).as("c"))
         .groupBy(col("dst"))
-        .agg(sum(col("contrib").cast("decimal(28,15)")).cast("double").as("m"))
+        .agg((sum(col("c")) / lit(1e15)).as("m"))
         .select(col("dst").as("id"),
           (lit(teleport / n) + lit(damping) * col("m")).as("rank"))
       truncateEvery(i, iters, next)

@@ -57,13 +57,18 @@ object Graph {
     nn AS (SELECT COUNT(*) AS n FROM deg),
     r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / nn.n AS rank
            FROM deg, nn)""")
+    // 1e-15 fixed-point quantization, mirrored from GraphOps.pageRank:
+    // floor(x*1e15+0.5) into BIGINT is pure IEEE + integer arithmetic,
+    // identical on both engines (double->DECIMAL casts round differently
+    // on the JVM vs DuckDB — the g07 lesson)
     for (i <- 0 until iters) sb ++= s""",
     r${i + 1} AS (
       SELECT id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
                + CAST(0.85 AS DOUBLE) * m AS rank
       FROM (
         SELECT e.dst AS id,
-          CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15))) AS DOUBLE) AS m
+          SUM(CAST(FLOOR(r.rank / d.outdeg * 1e15 + 0.5) AS BIGINT)) / 1e15
+            AS m
         FROM edges e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
         GROUP BY e.dst))"""
     sb ++= s"""
