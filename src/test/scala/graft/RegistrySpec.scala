@@ -17,6 +17,11 @@ class RegistrySpec extends SparkSpec {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  test("query names are unique (toMap would silently drop a duplicate)") {
+    val dups = Registry.all.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
   test("driver-contract closures are self-contained (setup composed in)") {
     // the driver only sees SparkEntry.queries — a query whose inputs need
     // staging must work through that closure alone, from a cold catalog
