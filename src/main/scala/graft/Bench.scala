@@ -34,6 +34,12 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // async listener summing shuffle bytes over EVERY query execution a
+    // rep triggers (noop-write plans its own QueryExecution; iterative/
+    // streaming queries run many) — the deterministic axis the tracker
+    // diffs alongside the noisy wall-clock (see PlanMetrics)
+    val tally = PlanMetrics.register(spark)
+
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Unit =
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -56,6 +62,7 @@ object Bench {
     // so the full-pipeline figure stays observable
     val setups = graft.queries.Registry.setups
     val setupSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
     // min of three timed runs per query: a single local[32] measurement
     // carries multi-second GC/page-cache noise (isolated reruns of the
     // same query measured 3-5x apart), and min-of-n is the standard way
@@ -77,6 +84,11 @@ object Bench {
       // used; here setup already ran above
       val runFn = graft.queries.Registry.all.find(_.name == name)
         .map(_.run).getOrElse(fn)
+      // bracket the 3-rep block: reps of one query shuffle identically
+      // at a fixed SF (AQE re-decides from the same stats), so bytes
+      // per rep = delta / successful reps; the drain runs OUTSIDE the
+      // timed region so listener latency never lands in the seconds
+      val bytesBefore = tally.snapshot()
       val timed = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -88,6 +100,9 @@ object Bench {
           }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      val okReps = timed.count(_._1)
+      if (okReps > 0)
+        shuffleBytes(name) = tally.drainAndRead(bytesBefore) / okReps
       // min over SUCCESSFUL runs only — a fast failure must not be
       // reported as the query's cost; if every run failed, report the
       // elapsed time anyway (the error field marks it invalid)
@@ -128,10 +143,15 @@ object Bench {
     // headline line omits it to stay under the driver's tail budget)
     val setupJson = setupSecs.toSeq.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // deterministic axis: shuffle MB per query (same plan + same data =>
+    // same bytes; wall-clock is the noisy axis)
+    val shuffleJson = shuffleBytes.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v / 1e6) }.mkString("{", ",", "}")
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum}"""
     Files.writeString(Paths.get("bench.json"),
-      line(results).dropRight(1) + s""","setup_sec":$setupJson}""" + "\n")
+      line(results).dropRight(1) +
+        s""","setup_sec":$setupJson,"shuffle_mb":$shuffleJson}""" + "\n")
     spark.stop()
 
     // regression tracking: diff per-query times against bench_baseline
@@ -182,6 +202,25 @@ object Bench {
         System.err.println(f"[bench]   $name%-26s ${fmt(p)} -> ${fmt(t)} " +
           f"(${(t / p - 1) * 100}%.0f%% slower)")
       }
+      // the noise-free axis: shuffle volume only moves when the PLAN
+      // moved (same data, same SF), so any growth past rounding is a
+      // structural regression — flagged at a tight 10% && 1 MB bar
+      val prevShuffle =
+        if (prevSf == sfNum) parseShuffleMb(prevJson)
+        else Map.empty[String, Double]
+      val planRegs = shuffleBytes.toSeq.flatMap { case (name, b) =>
+        val mb = b / 1e6
+        prevShuffle.get(name).collect {
+          case p if mb > p * 1.1 && mb - p > 1.0 => (name, p, mb)
+        }
+      }.sortBy { case (_, p, mb) => -(mb - p) }
+      if (prevShuffle.nonEmpty) {
+        System.err.println(s"[bench] vs ${prev.getFileName}: " +
+          s"${planRegs.size} shuffle-volume regression(s) (>10% and >1MB)")
+        planRegs.take(5).foreach { case (name, p, mb) =>
+          System.err.println(f"[bench]   $name%-26s $p%.1f -> $mb%.1f MB shuffled")
+        }
+      }
     }
 
     // printed LAST so it sits at the very end of the captured tail
@@ -215,8 +254,14 @@ object Bench {
   /** pull the flat {"name":sec,...} pairs out of a bench JSON line — the
     * format is machine-written with no nesting inside "queries", so a
     * regex parse is exact here */
-  private[graft] def parseQueryTimes(json: String): Map[String, Double] = {
-    val body = "\"queries\":\\{([^}]*)\\}".r
+  private[graft] def parseQueryTimes(json: String): Map[String, Double] =
+    parseNamedMap(json, "queries")
+
+  private[graft] def parseShuffleMb(json: String): Map[String, Double] =
+    parseNamedMap(json, "shuffle_mb")
+
+  private def parseNamedMap(json: String, key: String): Map[String, Double] = {
+    val body = ("\"" + key + "\":\\{([^}]*)\\}").r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     "\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
