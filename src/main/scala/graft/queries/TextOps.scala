@@ -668,6 +668,53 @@ object TextOps {
             / 1e9 / COUNT(*) AS mean_quality,
           CAST(SUM(CASE WHEN q < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_low_quality
-        FROM q GROUP BY 1"""))
+        FROM q GROUP BY 1""")),
+
+    // ---- overlapping chunk windows (RAG / context-length splitting) ----
+    //      every retrieval or fixed-context training pipeline splits
+    //      documents into overlapping windows with STABLE addresses:
+    //      chunk (doc_id, seq) covers chars [seq*stride, seq*stride+size)
+    //      — row-local sequence+explode+substring, no shuffle until the
+    //      final audit aggregate, so it scales as a pure map over any
+    //      corpus. The gate pins the addressing arithmetic per source —
+    //      chunk count, total covered chars, first-window count, and the
+    //      summed head-slice lengths: an off-by-one anywhere in the
+    //      window math moves chunk_chars/head_chars and the row goes
+    //      red. Chunks per doc = ceil(max(n-size,0)/stride)+1, the
+    //      standard "last window may be short, always >= 1" rule.
+    Q("t21_chunk_windows",
+      (s, d) => {
+        val size = 500
+        val stride = 400
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(expr(
+              s"""transform(
+                    sequence(0, int(ceil(greatest(length(text) - $size, 0)
+                                         / $stride.0D))),
+                    i -> substring(text, i * $stride + 1, $size))"""))
+              .as(Seq("seq", "chunk")))
+        chunks.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(length(col("chunk"))).as("chunk_chars"),
+            sum(when(col("seq") === 0, 1L).otherwise(0L)).as("n_first"),
+            sum(length(substring(col("chunk"), 1, 16))).as("head_chars"))
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT doc_id, source, i AS seq,
+            substring(text, CAST(i * 400 + 1 AS BIGINT), 500) AS chunk
+          FROM documents
+          CROSS JOIN LATERAL unnest(range(0,
+            CAST(ceil(greatest(length(text) - 500, 0) / 400.0)
+              AS BIGINT) + 1)) t(i))
+        SELECT source, COUNT(*) AS n_chunks,
+          COUNT(DISTINCT doc_id) AS n_docs,
+          CAST(SUM(length(chunk)) AS BIGINT) AS chunk_chars,
+          CAST(SUM(CASE WHEN seq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_first,
+          CAST(SUM(length(substring(chunk, 1, 16))) AS BIGINT) AS head_chars
+        FROM c GROUP BY 1"""))
   )
 }
