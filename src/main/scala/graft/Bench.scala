@@ -78,6 +78,10 @@ object Bench {
         setupSecs(name) = (System.nanoTime() - s0) / 1e9
         System.err.println(f"[bench] $name setup (untimed): " +
           f"${setupSecs(name)}%.3f s")
+        // quiesce the async listener before the rep bracket opens —
+        // otherwise the setup's own shuffle events can land inside the
+        // delta and inflate this query's reported volume
+        tally.drainAndRead(0)
       }
       // time the run function alone — `fn` (the driver-contract closure)
       // composes setup+run for self-containment, which is what warmup
