@@ -98,12 +98,20 @@ object Relational2 {
           ((col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double") / col("n"))
             / (col("n") - 1)).as("var_qty"),
-          ((col("n") * col("sxy").cast("double") -
+          // the correlation is quantized to 1e-12 by exact IEEE ops
+          // (floor/multiply — identical on both engines): its sxx/syy
+          // inputs are DECIMAL sums whose scaled integer exceeds 2^53,
+          // and DuckDB's int128->double conversion can double-round a
+          // value the JVM's BigDecimal rounds once — a 1-ulp input
+          // difference that surfaced at sf0.001. |corr| <= 1, so the
+          // scaled value is far under 2^53 and the quantizer is exact.
+          (floor(((col("n") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
             (sqrt(col("n") * col("sxx").cast("double") -
               col("sx").cast("double") * col("sx").cast("double")) *
               sqrt(col("n") * col("syy").cast("double") -
                 col("sy").cast("double") * col("sy").cast("double"))))
+            * lit(1e12) + lit(0.5)) / lit(1e12))
             .as("corr_qty_price")),
       Some("""
         WITH m AS (
@@ -117,9 +125,11 @@ object Relational2 {
         SELECT l_returnflag, n,
           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
             / (n - 1) AS var_qty,
-          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-            (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-             sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          CAST(FLOOR(
+            (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+            * 1e12 + 0.5) AS BIGINT) / 1e12
             AS corr_qty_price
         FROM m""")),
 
@@ -734,9 +744,14 @@ object Relational2 {
             sum((y * y).cast("decimal(30,4)")).cast("double").as("syy"),
             sum((x * y).cast("decimal(30,4)")).cast("double").as("sxy"))
           .select(col("l_returnflag"), col("n"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            // quantized to 1e-12 for the same reason as q25: the large
+            // sxx/syy decimal->double conversions can differ by 1 ulp
+            // cross-engine (int128 double-rounding), and only the
+            // corr path consumes them
+            (floor(((col("n") * col("sxy") - col("sx") * col("sy")) /
               sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
                 (col("n") * col("syy") - col("sy") * col("sy"))))
+              * lit(1e12) + lit(0.5)) / lit(1e12))
               .as("corr_qty_price"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) / col("n") / col("n"))
               .as("covar_pop"))
@@ -754,8 +769,10 @@ object Relational2 {
               CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, n,
-          (n * sxy - sx * sy) /
-            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+          CAST(FLOOR(
+            (n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            * 1e12 + 0.5) AS BIGINT) / 1e12 AS corr_qty_price,
           (n * sxy - sx * sy) / n / n AS covar_pop
         FROM m""")),
 
