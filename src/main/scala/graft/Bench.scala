@@ -1,21 +1,44 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
   * emits ONE machine-parseable JSON line (also written to bench.json).
   *
-  * Honesty rules learned from round 1:
+  * Honesty rules learned from rounds 1-8:
   *  - a warmup pass at sf0.001 runs first so JIT/session startup isn't
   *    billed to whichever query happens to run first;
   *  - the action is a noop-format write, not count() — count() lets Spark
   *    prune every projection, which would time a cheaper plan than the
   *    query declares;
   *  - failures are NOT swallowed: per-query error strings are reported in
-  *    the JSON and the process exits nonzero.
+  *    the JSON and the process exits nonzero;
+  *  - reps are INTERLEAVED: the suite runs as three full passes and each
+  *    query reports its min ACROSS passes. Round 8 proved why: its three
+  *    back-to-back reps per query all sat inside the same host-pressure
+  *    window, so one sustained contention stretch fabricated 56
+  *    "regressions" in one contiguous alphabetical span — every judge
+  *    A/B in isolation refuted them. Interleaving means a pressure
+  *    window hits each query once, not all reps;
+  *  - a CALIBRATION SENTINEL (fixed pure-CPU job, no I/O, no shuffle)
+  *    runs at each pass boundary and every 20 queries; its time series
+  *    lands in bench.json, so a contaminated window is visible from the
+  *    artifact itself, and wall-clock regressions whose reported min ran
+  *    inside a hot window are labeled pressure-suspect instead of being
+  *    reported as fact.
   */
 object Bench {
+  private val Passes = 3
+  private val SentinelEvery = 20
+  /** a sentinel firing above 2.5x the run's own floor marks its window
+    * contaminated — sized to clear CPU/GC jitter on a quiet host (the
+    * compute-bound probe below measured a 2.08x max/min spread on a
+    * host already carrying load 4-5) while catching the 3-38x inflation
+    * round 8's contention produced */
+  private val HotFactor = 2.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
@@ -34,10 +57,9 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // async listener summing shuffle bytes over EVERY query execution a
-    // rep triggers (noop-write plans its own QueryExecution; iterative/
-    // streaming queries run many) — the deterministic axis the tracker
-    // diffs alongside the noisy wall-clock (see PlanMetrics)
+    // deterministic axes (see PlanMetrics): stage-level shuffle bytes
+    // (covers streaming micro-batches + child sessions) and per-execution
+    // exchange/plan-node counts — the tracker's noise-free signal
     val tally = PlanMetrics.register(spark)
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -49,51 +71,79 @@ object Bench {
       // warmup pass's) evicts the frames the current query relies on
       finally spark.catalog.clearCache()
 
-    // warmup on the tiny SF: exercises every plan shape once
+    // fixed pure-CPU probe: 64M rows through a 16-deep xxhash64 chain on
+    // all 32 threads — no I/O, no shuffle, nothing data-dependent, so
+    // its only variable is how much of the host the bench actually has.
+    // The chain matters: single-hash probes at 8M/32M/96M rows all
+    // measured ~0.12 s dominated by fixed job overhead whose jitter
+    // spans 2x on its own; with compute dominating (~0.33 s quiet) the
+    // firing time tracks CPU availability, not scheduler luck.
+    def chain(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+      if (n == 0) c else chain(xxhash64(c), n - 1)
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      // summed as double: full-range longs overflow an ANSI bigint sum
+      spark.range(0L, 64000000L, 1L, 32)
+        .select(sum(chain(col("id"), 16).cast("double")).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup on the tiny SF: exercises every plan shape once (incl. the
+    // sentinel's, so pass-1 firings aren't billed JIT cost)
     val warmDir = "/root/testdata/sf0.001"
     queries.foreach { case (_, fn) =>
       try runOnce(fn, warmDir) catch { case _: Throwable => () }
     }
+    sentinelOnce()
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // input-staging steps (st09's source split, io04's bucketed layout)
-    // run ONCE, untimed, before the reps — the reported number is the
-    // steady-state query cost; the setup's own cost is printed to stderr
-    // so the full-pipeline figure stays observable
+    // run ONCE, untimed, in pass 1 before the query's first rep — the
+    // reported number is the steady-state query cost; the setup's own
+    // cost is recorded so the full-pipeline figure stays observable
     val setups = graft.queries.Registry.setups
     val setupSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     val shuffleBytes = scala.collection.mutable.LinkedHashMap[String, Long]()
-    // min of three timed runs per query: a single local[32] measurement
-    // carries multi-second GC/page-cache noise (isolated reruns of the
-    // same query measured 3-5x apart), and min-of-n is the standard way
-    // to report the query's actual cost
-    val results = queries.map { case (name, fn) =>
-      setups.get(name).foreach { su =>
-        val s0 = System.nanoTime()
-        try su(spark, sfDir) catch { case e: Throwable =>
-          errors(name) = ("setup: " + Option(e.getMessage)
-            .getOrElse(e.getClass.getName))
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    val exchangeCnt = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val nodeCnt = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // sentinel firings per pass; every rep remembers which window (pair
+    // of consecutive firings in its pass) it ran inside
+    val passSentinels = Array.fill(Passes)(
+      scala.collection.mutable.ArrayBuffer[Double]())
+    // per query: (sec, ok, pass, window) per pass, in pass order
+    val reps = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Boolean, Int, Int)]]()
+    queries.foreach { case (n, _) => reps(n) =
+      scala.collection.mutable.ArrayBuffer[(Double, Boolean, Int, Int)]() }
+
+    for (pass <- 0 until Passes) {
+      passSentinels(pass) += sentinelOnce()
+      queries.zipWithIndex.foreach { case ((name, fn), qi) =>
+        if (qi > 0 && qi % SentinelEvery == 0)
+          passSentinels(pass) += sentinelOnce()
+        if (pass == 0) setups.get(name).foreach { su =>
+          val s0 = System.nanoTime()
+          try su(spark, sfDir) catch { case e: Throwable =>
+            errors(name) = ("setup: " + Option(e.getMessage)
+              .getOrElse(e.getClass.getName))
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          }
+          setupSecs(name) = (System.nanoTime() - s0) / 1e9
+          System.err.println(f"[bench] $name setup (untimed): " +
+            f"${setupSecs(name)}%.3f s")
+          // quiesce the async listeners before the measured rep opens —
+          // otherwise the setup's own shuffle/stage events can land
+          // inside the delta and inflate this query's reported volume
+          tally.drainAndRead((0L, 0L, 0L))
         }
-        setupSecs(name) = (System.nanoTime() - s0) / 1e9
-        System.err.println(f"[bench] $name setup (untimed): " +
-          f"${setupSecs(name)}%.3f s")
-        // quiesce the async listener before the rep bracket opens —
-        // otherwise the setup's own shuffle events can land inside the
-        // delta and inflate this query's reported volume
-        tally.drainAndRead(0)
-      }
-      // time the run function alone — `fn` (the driver-contract closure)
-      // composes setup+run for self-containment, which is what warmup
-      // used; here setup already ran above
-      val runFn = graft.queries.Registry.all.find(_.name == name)
-        .map(_.run).getOrElse(fn)
-      // bracket the 3-rep block: reps of one query shuffle identically
-      // at a fixed SF (AQE re-decides from the same stats), so bytes
-      // per rep = delta / successful reps; the drain runs OUTSIDE the
-      // timed region so listener latency never lands in the seconds
-      val bytesBefore = tally.snapshot()
-      val timed = (1 to 3).map { _ =>
+        // time the run function alone — `fn` (the driver-contract
+        // closure) composes setup+run for self-containment, which is
+        // what warmup used; here setup already ran in pass 1
+        val runFn = graft.queries.Registry.all.find(_.name == name)
+          .map(_.run).getOrElse(fn)
+        val window = passSentinels(pass).size - 1
+        val before = if (pass == 0) tally.snapshot() else (0L, 0L, 0L)
         val t0 = System.nanoTime()
         val ok =
           try { runOnce(runFn, sfDir); true }
@@ -102,17 +152,51 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
             false
           }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        val sec = (System.nanoTime() - t0) / 1e9
+        reps(name) += ((sec, ok, pass, window))
+        if (pass == 0) {
+          // ALWAYS drain — a failed rep may have half-run and emitted
+          // events that would otherwise leak into the NEXT query's
+          // bracket; only a clean rep's deltas are recorded
+          val (b, ex, nd) = tally.drainAndRead(before)
+          if (ok) {
+            shuffleBytes(name) = b
+            // nd == 0 means no batch QueryExecution reached the exec
+            // listener (streaming micro-batches, child sessions) — omit
+            // the entry so the gap is visible, never a misleading 0
+            if (nd > 0) { exchangeCnt(name) = ex; nodeCnt(name) = nd }
+          }
+        }
       }
-      val okReps = timed.count(_._1)
-      if (okReps > 0)
-        shuffleBytes(name) = tally.drainAndRead(bytesBefore) / okReps
-      // min over SUCCESSFUL runs only — a fast failure must not be
-      // reported as the query's cost; if every run failed, report the
-      // elapsed time anyway (the error field marks it invalid)
-      val good = timed.filter(_._1).map(_._2)
-      name -> (if (good.nonEmpty) good.min else timed.map(_._2).min)
+      passSentinels(pass) += sentinelOnce() // close the pass's last window
     }
+
+    // ---- pressure analysis ------------------------------------------
+    val allSentinels = passSentinels.toSeq.flatMap(_.toSeq)
+    val sentinelMin = if (allSentinels.nonEmpty) allSentinels.min else 0.0
+    val hotBar = sentinelMin * HotFactor
+    def windowHot(pass: Int, w: Int): Boolean = {
+      val ps = passSentinels(pass)
+      ps(w) > hotBar || (w + 1 < ps.size && ps(w + 1) > hotBar)
+    }
+    // min over SUCCESSFUL runs only — a fast failure must not be
+    // reported as the query's cost; if every run failed, report the
+    // fastest elapsed anyway (the error field marks it invalid)
+    val results = queries.map { case (name, _) =>
+      val rs = reps(name)
+      val good = rs.filter(_._2)
+      val pick = (if (good.nonEmpty) good else rs).minBy(_._1)
+      name -> pick._1
+    }
+    // a query is pressure-suspect only if the rep that SUPPLIED its
+    // reported min ran in a hot window — mins from clean windows stand
+    // on their own regardless of what happened to the other passes
+    val suspect = queries.flatMap { case (name, _) =>
+      val rs = reps(name)
+      val good = rs.filter(_._2)
+      val pick = (if (good.nonEmpty) good else rs).minBy(_._1)
+      if (windowHot(pick._3, pick._4)) Some(name) else None
+    }.toSet
 
     def fmt(v: Double): String = f"$v%.3f"
     def qJson(rs: Seq[(String, Double)]): String =
@@ -147,15 +231,40 @@ object Bench {
     // headline line omits it to stay under the driver's tail budget)
     val setupJson = setupSecs.toSeq.map { case (k, v) =>
       "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // deterministic axis: shuffle MB per query (same plan + same data =>
-    // same bytes; wall-clock is the noisy axis)
+    // deterministic axes: shuffle MB, exchange count, plan node count
+    // per query (same plan + same data => same values; wall-clock is
+    // the noisy axis)
     val shuffleJson = shuffleBytes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + fmt(v / 1e6) }.mkString("{", ",", "}")
+    val exchangeJson = exchangeCnt.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val nodeJson = nodeCnt.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // the sentinel series, per pass, plus the derived verdict inputs —
+    // a reader of bench.json alone can see which stretch of the run was
+    // contaminated and which reported mins to distrust
+    val sentinelJson = passSentinels.map(
+      _.map(fmt).mkString("[", ",", "]")).mkString("[", ",", "]")
+    val suspectJson = suspect.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(rs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum}"""
     Files.writeString(Paths.get("bench.json"),
       line(results).dropRight(1) +
-        s""","setup_sec":$setupJson,"shuffle_mb":$shuffleJson}""" + "\n")
+        s""","setup_sec":$setupJson,"shuffle_mb":$shuffleJson,"exchanges":$exchangeJson,"plan_nodes":$nodeJson,"sentinel_sec":$sentinelJson,"sentinel_hot_bar":${fmt(hotBar)},"pressure_suspect":$suspectJson}""" + "\n")
+
+    // ---- pressure verdict (printed BEFORE the regression lists so a
+    // reader of the stderr log sees the run's credibility first) -------
+    val hotCount = allSentinels.count(_ > hotBar)
+    System.err.println(f"[bench] sentinel: $hotCount/${allSentinels.size} " +
+      f"firings hot (> ${HotFactor}%.1fx floor ${fmt(sentinelMin)} s)" + (
+        if (hotCount == 0) " — run clean, wall-clock regressions are real"
+        else s" — host pressure detected; ${suspect.size} quer" +
+          s"${if (suspect.size == 1) "y" else "ies"} report a min from a " +
+          "hot window (listed in pressure_suspect); trust the shuffle/" +
+          "plan axes and re-run suspects in isolation before believing " +
+          "a wall-clock regression"))
+
     spark.stop()
 
     // regression tracking: diff per-query times against bench_baseline
@@ -200,15 +309,18 @@ object Bench {
           case p if t > p * 1.3 && t - p > 0.1 => (name, p, t)
         }
       }.sortBy { case (_, p, t) => -(t - p) }
+      val (pressured, credible) = regressions.partition(r => suspect(r._1))
       System.err.println(s"[bench] vs ${prev.getFileName}: " +
-        s"${regressions.size} regression(s) (>30% and >0.1s)")
-      regressions.take(5).foreach { case (name, p, t) =>
+        s"${regressions.size} wall regression(s) (>30% and >0.1s), of " +
+        s"which ${credible.size} credible / ${pressured.size} pressure-suspect")
+      regressions.take(8).foreach { case (name, p, t) =>
+        val tag = if (suspect(name)) " [pressure-suspect]" else ""
         System.err.println(f"[bench]   $name%-26s ${fmt(p)} -> ${fmt(t)} " +
-          f"(${(t / p - 1) * 100}%.0f%% slower)")
+          f"(${(t / p - 1) * 100}%.0f%% slower)$tag")
       }
-      // the noise-free axis: shuffle volume only moves when the PLAN
-      // moved (same data, same SF), so any growth past rounding is a
-      // structural regression — flagged at a tight 10% && 1 MB bar
+      // the noise-free axes: these only move when the PLAN moved (same
+      // data, same SF), so any growth past rounding is structural —
+      // flagged at tight bars
       val prevShuffle =
         if (prevSf == sfNum) parseShuffleMb(prevJson)
         else Map.empty[String, Double]
@@ -223,6 +335,37 @@ object Bench {
           s"${planRegs.size} shuffle-volume regression(s) (>10% and >1MB)")
         planRegs.take(5).foreach { case (name, p, mb) =>
           System.err.println(f"[bench]   $name%-26s $p%.1f -> $mb%.1f MB shuffled")
+        }
+      }
+      // plan-SIZE axis: any exchange-count growth is a structural
+      // regression (integers — no noise allowance needed); node counts
+      // get a small allowance for AQE coalesce variance
+      val prevEx = if (prevSf == sfNum) parseExchanges(prevJson)
+                   else Map.empty[String, Double]
+      val exRegs = exchangeCnt.toSeq.flatMap { case (name, n) =>
+        prevEx.get(name).collect {
+          case p if n > p + 0.5 => (name, p.toLong, n)
+        }
+      }.sortBy { case (_, p, n) => -(n - p) }
+      if (prevEx.nonEmpty) {
+        System.err.println(s"[bench] vs ${prev.getFileName}: " +
+          s"${exRegs.size} exchange-count regression(s) (any increase)")
+        exRegs.take(5).foreach { case (name, p, n) =>
+          System.err.println(f"[bench]   $name%-26s $p -> $n exchanges")
+        }
+      }
+      val prevNodes = if (prevSf == sfNum) parsePlanNodes(prevJson)
+                      else Map.empty[String, Double]
+      val nodeRegs = nodeCnt.toSeq.flatMap { case (name, n) =>
+        prevNodes.get(name).collect {
+          case p if n > p * 1.25 && n - p > 5 => (name, p.toLong, n)
+        }
+      }.sortBy { case (_, p, n) => -(n - p) }
+      if (prevNodes.nonEmpty) {
+        System.err.println(s"[bench] vs ${prev.getFileName}: " +
+          s"${nodeRegs.size} plan-node-count regression(s) (>25% and >5)")
+        nodeRegs.take(5).foreach { case (name, p, n) =>
+          System.err.println(f"[bench]   $name%-26s $p -> $n plan nodes")
         }
       }
     }
@@ -256,13 +399,19 @@ object Bench {
   }
 
   /** pull the flat {"name":sec,...} pairs out of a bench JSON line — the
-    * format is machine-written with no nesting inside "queries", so a
-    * regex parse is exact here */
+    * format is machine-written with no nesting inside the named maps, so
+    * a regex parse is exact here */
   private[graft] def parseQueryTimes(json: String): Map[String, Double] =
     parseNamedMap(json, "queries")
 
   private[graft] def parseShuffleMb(json: String): Map[String, Double] =
     parseNamedMap(json, "shuffle_mb")
+
+  private[graft] def parseExchanges(json: String): Map[String, Double] =
+    parseNamedMap(json, "exchanges")
+
+  private[graft] def parsePlanNodes(json: String): Map[String, Double] =
+    parseNamedMap(json, "plan_nodes")
 
   private def parseNamedMap(json: String, key: String): Map[String, Double] = {
     val body = ("\"" + key + "\":\\{([^}]*)\\}").r

@@ -2,27 +2,43 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.Exchange
 import org.apache.spark.sql.util.QueryExecutionListener
 
-/** Post-execution SQLMetric extraction — the deterministic half of the
-  * bench signal. Wall-clock on a shared local[32] host swings ±20%
-  * run-to-run (three same-day full runs measured 137/172/145 s), but the
-  * bytes a plan shuffles are a pure function of plan + data: if shuffle
-  * volume moves between rounds at the same SF, the PLAN changed, full
-  * stop. Bench records it per query next to the seconds so the
-  * regression tracker has one noise-free axis.
+/** The deterministic half of the bench signal. Wall-clock on a shared
+  * local[32] host swings ±20% run-to-run (three same-day full runs
+  * measured 137/172/145 s; round 8's driver run carried a contiguous
+  * contention window that fabricated 56 "regressions"), but what a plan
+  * *does* is a pure function of plan + data. Bench records, per query:
   *
-  * Capture point: a QueryExecutionListener, NOT the benched frame's own
-  * `queryExecution` — an action like `df.write` plans and executes its
-  * own QueryExecution, leaving the frame's copy un-run (its accumulators
-  * read 0; the first cut of this file made exactly that mistake). The
-  * listener also gives the RIGHT total for multi-execution queries:
-  * streaming replays and iterative operators (PageRank rounds, k-means
-  * sweeps, star contraction) run many inner jobs, and their shuffle
-  * volume is the sum over every execution the query triggered.
+  *  - '''shuffle bytes''' — captured at STAGE level via a SparkListener
+  *    on the shared SparkContext, NOT a QueryExecutionListener: stage
+  *    events fire for every job in the JVM, which is what makes the
+  *    number right for streaming micro-batches (no QueryExecutionListener
+  *    callback fires for them, and child sessions created by
+  *    `SparkSession.newSession` never see a parent-registered execution
+  *    listener at all — round 8 recorded a silent 0.0 for all st*
+  *    queries this way) and for lineage-materializing actions like
+  *    `localCheckpoint` that bypass the execution-listener path too.
+  *  - '''exchange count + plan node count''' — summed over every batch
+  *    QueryExecution the bracket triggers, via an execution listener.
+  *    This is the plan-SIZE axis: an iterative operator that stops
+  *    truncating its lineage shows up here as a node-count explosion
+  *    (round 7's d10 printed 450-exchange replay plans) even when its
+  *    byte volume barely moves. Streaming micro-batch plans do NOT
+  *    reach this listener — Bench omits those entries rather than
+  *    emitting a misleading 0 (the bytes axis covers st* instead).
+  *
+  * Capture point matters: an action like `df.write` plans and executes
+  * its own QueryExecution, leaving the frame's own `queryExecution`
+  * un-run (its accumulators read 0; the first cut of this file made
+  * exactly that mistake). Listener delivery is asynchronous on both
+  * buses — bracket a measured region with `snapshot()` ... then
+  * `drainAndRead(before)` OUTSIDE any timed region.
   */
 object PlanMetrics {
 
@@ -36,47 +52,79 @@ object PlanMetrics {
     case _ => p +: p.children.flatMap(allNodes)
   }
 
-  /** shuffle bytes written by ONE already-executed plan */
+  /** shuffle bytes written by ONE already-executed plan (spec-level
+    * cross-check for the stage tally; not the bench capture path) */
   private[graft] def shuffleBytesOf(plan: SparkPlan): Long =
     allNodes(plan)
       .flatMap(_.metrics.get("shuffleBytesWritten"))
       .map(_.value).filter(_ > 0).sum
 
-  /** Accumulates shuffle bytes across every successful query execution
-    * on the session. Listener delivery is asynchronous — bracket a
-    * measured region with `snapshot()` ... `drainAndRead(before)`. */
-  final class ShuffleTally extends QueryExecutionListener {
-    private val bytes = new AtomicLong(0L)
+  /** shuffle exchanges in one executed plan (hash/range/single-partition
+    * — `Exchange` covers shuffle and broadcast; broadcast is counted too,
+    * deliberately: a broadcast that silently becomes a shuffle or
+    * vice-versa is exactly a plan-shape change the axis should see) */
+  private[graft] def exchangesOf(plan: SparkPlan): Int =
+    allNodes(plan).count(_.isInstanceOf[Exchange])
 
-    override def onSuccess(funcName: String, qe: QueryExecution,
-                           durationNs: Long): Unit =
-      bytes.addAndGet(shuffleBytesOf(qe.executedPlan))
+  private[graft] def nodeCountOf(plan: SparkPlan): Int = allNodes(plan).size
 
-    override def onFailure(funcName: String, qe: QueryExecution,
-                           exception: Exception): Unit = ()
+  /** Accumulates the three deterministic counters across every job /
+    * batch query execution on the session's SparkContext. */
+  final class Tally private[PlanMetrics] () {
+    private[PlanMetrics] val bytes = new AtomicLong(0L)
+    private[PlanMetrics] val exchanges = new AtomicLong(0L)
+    private[PlanMetrics] val nodes = new AtomicLong(0L)
 
-    def snapshot(): Long = bytes.get()
+    private[PlanMetrics] val stageListener: SparkListener = new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
 
-    /** wait (bounded) for the async listener bus to go quiet, then
-      * return the bytes accumulated since `before`. Runs OUTSIDE any
+    private[PlanMetrics] val execListener: QueryExecutionListener =
+      new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = {
+          exchanges.addAndGet(exchangesOf(qe.executedPlan).toLong)
+          nodes.addAndGet(nodeCountOf(qe.executedPlan).toLong)
+        }
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+
+    /** (bytes, exchanges, plan nodes) seen so far */
+    def snapshot(): (Long, Long, Long) =
+      (bytes.get(), exchanges.get(), nodes.get())
+
+    /** wait (bounded) for BOTH async listener buses to go quiet, then
+      * return the deltas accumulated since `before`. Runs OUTSIDE any
       * timed region. */
-    def drainAndRead(before: Long, maxWaitMs: Long = 2000): Long = {
+    def drainAndRead(before: (Long, Long, Long),
+                     maxWaitMs: Long = 2000): (Long, Long, Long) = {
       val deadline = System.nanoTime() + maxWaitMs * 1000000L
-      var last = bytes.get()
+      var last = snapshot()
       var stableSince = System.nanoTime()
       while (System.nanoTime() < deadline &&
              System.nanoTime() - stableSince < 150L * 1000000L) {
         Thread.sleep(10)
-        val now = bytes.get()
+        val now = snapshot()
         if (now != last) { last = now; stableSince = System.nanoTime() }
       }
-      bytes.get() - before
+      val s = snapshot()
+      (s._1 - before._1, s._2 - before._2, s._3 - before._3)
     }
   }
 
-  def register(spark: SparkSession): ShuffleTally = {
-    val t = new ShuffleTally
-    spark.listenerManager.register(t)
+  def register(spark: SparkSession): Tally = {
+    val t = new Tally
+    spark.sparkContext.addSparkListener(t.stageListener)
+    spark.listenerManager.register(t.execListener)
     t
+  }
+
+  def unregister(spark: SparkSession, t: Tally): Unit = {
+    spark.sparkContext.removeSparkListener(t.stageListener)
+    spark.listenerManager.unregister(t.execListener)
   }
 }

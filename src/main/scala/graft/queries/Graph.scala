@@ -353,20 +353,36 @@ object Graph {
       Some(recursiveWalk("orders", "lineitem")))
   )
 
-  /** dialect-shared bounded-reachability recursion (see g05) */
+  /** dialect-shared bounded-reachability recursion (see g05).
+    *
+    * The recursion is UNION ALL (Spark's requirement), so the row count
+    * per step is the number of PATHS, not nodes — exponential in the
+    * hop bound. Four hops exercises real iteration in the frontend, and
+    * the key filters bound the fixture graph itself (<= 30 customers x
+    * <= 20 suppliers, a cap independent of SF: at worst the bipartite
+    * subgraph is complete and step 4 carries 20*30*20*30 = 360k path
+    * rows at ANY scale factor). Unbounded-graph recursion at depth 4
+    * would be ~1e9 paths at sf0.1 — that work belongs to the
+    * checkpointed frontier operators (g03/g04), not the SQL frontend. */
   private def recursiveWalk(orders: String, lineitem: String): String = s"""
     WITH RECURSIVE und AS (
       SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
-      FROM $orders JOIN $lineitem ON o_orderkey = l_orderkey),
+      FROM $orders JOIN $lineitem ON o_orderkey = l_orderkey
+      WHERE o_custkey <= 30 AND l_suppkey <= 20),
     edges AS (
       SELECT a AS src, b AS dst FROM und
       UNION ALL
       SELECT b AS src, a AS dst FROM und),
     walk AS (
-      SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop
+      -- anchor at the smallest customer node PRESENT in the subgraph:
+      -- a fixed literal start can be isolated at some SFs (customer 1
+      -- has no qualifying lineitem at sf0.1), which would quietly skip
+      -- the iteration this query exists to gate
+      SELECT CAST(MIN(a) AS BIGINT) AS id, CAST(0 AS BIGINT) AS hop
+      FROM und
       UNION ALL
       SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON w.id = e.src
-      WHERE w.hop < 2)
+      WHERE w.hop < 4)
     SELECT min_hop AS hop, COUNT(*) AS n_nodes FROM (
       SELECT id, MIN(hop) AS min_hop FROM walk GROUP BY id)
     GROUP BY 1"""

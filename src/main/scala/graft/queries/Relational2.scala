@@ -105,12 +105,17 @@ object Relational2 {
           // value the JVM's BigDecimal rounds once — a 1-ulp input
           // difference that surfaced at sf0.001. |corr| <= 1, so the
           // scaled value is far under 2^53 and the quantizer is exact.
+          // A zero-variance group makes the denominator 0 and the ratio
+          // NaN; floor(NaN) is 0 on Spark but an error under DuckDB's
+          // BIGINT cast, so the denominator is nullif'd to 0 on BOTH
+          // engines first — degenerate groups report NULL, not 0.0.
           (floor(((col("n") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
-            (sqrt(col("n") * col("sxx").cast("double") -
+            nullif(sqrt(col("n") * col("sxx").cast("double") -
               col("sx").cast("double") * col("sx").cast("double")) *
               sqrt(col("n") * col("syy").cast("double") -
-                col("sy").cast("double") * col("sy").cast("double"))))
+                col("sy").cast("double") * col("sy").cast("double")),
+              lit(0.0)))
             * lit(1e12) + lit(0.5)) / lit(1e12))
             .as("corr_qty_price")),
       Some("""
@@ -127,8 +132,8 @@ object Relational2 {
             / (n - 1) AS var_qty,
           CAST(FLOOR(
             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-              (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-               sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+              NULLIF(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
             * 1e12 + 0.5) AS BIGINT) / 1e12
             AS corr_qty_price
         FROM m""")),

@@ -263,19 +263,26 @@ object Warehouse {
     //      per FK relationship: total child rows, orphaned child rows
     //      (no matching parent), unreferenced parent rows (no child).
     //      Orphan checks are left_anti joins where the parent side is a
-    //      pruned single-key projection — broadcastable however large
-    //      the fact side grows; the unreferenced check shrinks the fact
-    //      side to distinct keys FIRST (aggregate-before-join), so the
-    //      anti join probes |distinct keys|, not |fact rows|.
+    //      pruned single-key projection; the unreferenced check shrinks
+    //      the fact side to distinct keys FIRST (aggregate-before-join),
+    //      so the anti join probes |distinct keys|, not |fact rows|.
+    //      The broadcast hint is applied ONLY to parents that are tiny by
+    //      schema design (nation: 25 rows; customer: the smallest SF-
+    //      scaled dimension) — part and supplier key sets grow with SF
+    //      and a forced hint would override AQE into an executor OOM at
+    //      100x; those audits let AQE choose (it still picks broadcast
+    //      at small SF, and degrades to a shuffle anti-join at scale).
     Q("w06_referential_audit",
       (s, d) => {
         import org.apache.spark.sql.DataFrame
         def audit(name: String, child: DataFrame, ck: String,
-                  parent: DataFrame, pk: String): DataFrame = {
+                  parent: DataFrame, pk: String,
+                  parentTiny: Boolean = false): DataFrame = {
           val childKeys = child.select(col(ck))
           val parentKeys = parent.select(col(pk))
+          val probe = if (parentTiny) broadcast(parentKeys) else parentKeys
           val orphans = childKeys
-            .join(broadcast(parentKeys), col(ck) === col(pk), "left_anti")
+            .join(probe, col(ck) === col(pk), "left_anti")
             .agg(count(lit(1)).as("n_orphan_rows"))
           val unref = parentKeys
             .join(childKeys.distinct(), col(pk) === col(ck), "left_anti")
@@ -287,7 +294,7 @@ object Warehouse {
         }
         audit("orders.custkey->customer",
             Tables.orders(s, d), "o_custkey",
-            Tables.customer(s, d), "c_custkey")
+            Tables.customer(s, d), "c_custkey", parentTiny = true)
           .unionAll(audit("lineitem.partkey->part",
             Tables.lineitem(s, d), "l_partkey",
             Tables.part(s, d), "p_partkey"))
@@ -296,7 +303,7 @@ object Warehouse {
             Tables.supplier(s, d), "s_suppkey"))
           .unionAll(audit("customer.nationkey->nation",
             Tables.customer(s, d), "c_nationkey",
-            Tables.nation(s, d), "n_nationkey"))
+            Tables.nation(s, d), "n_nationkey", parentTiny = true))
       },
       Some("""
         SELECT 'orders.custkey->customer' AS relationship,

@@ -261,4 +261,23 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(path == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
+
+  // g05 runs WITH RECURSIVE through Spark's own frontend at depth 4.
+  // Pins the structural shape (robust to fixture regeneration, which
+  // reshuffles exact counts between rounds): the anchor is a single
+  // node, the recursion genuinely advances (>= 2 hop levels on the
+  // tiny fixture), min-hop levels are contiguous from 0, and the node
+  // total stays within the <=30-customer x <=20-supplier subgraph cap
+  // the query's WHERE imposes by construction.
+  test("g05 recursive SQL: depth-4 walk shape holds on the tiny fixture") {
+    val rows = graft.queries.Registry.queries("g05_recursive_sql")(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) == 1L, s"anchor must be a single node: $rows")
+    val maxHop = rows.keys.max
+    assert(maxHop >= 2, s"recursion did not advance: $rows")
+    assert(rows.keySet == (0L to maxHop).toSet,
+      s"min-hop levels must be contiguous: $rows")
+    assert(rows.values.sum <= 50, s"subgraph cap breached: $rows")
+    assert(rows.values.forall(_ > 0))
+  }
 }

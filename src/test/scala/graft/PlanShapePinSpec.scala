@@ -38,4 +38,21 @@ class PlanShapePinSpec extends SparkSpec {
     }
     assert(over.isEmpty, over.mkString("; "))
   }
+
+  // w06 audits four FK relationships; only the two tiny-by-design
+  // parents (nation, customer) may carry a FORCED broadcast hint. The
+  // part/supplier parent key sets grow with SF — a forced hint there
+  // overrides AQE into an executor OOM at 100x, so this pins them to
+  // hint-free joins (AQE still broadcasts at small SF on its own).
+  test("w06 large-parent audits carry no forced broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = Registry.queries("w06_referential_audit")(spark, sfTiny)
+      .queryExecution.optimizedPlan
+    val hinted = plan.collect { case j: Join =>
+      Seq(j.hint.leftHint, j.hint.rightHint).flatten
+        .count(_.strategy.isDefined)
+    }.sum
+    assert(hinted == 2,
+      s"expected exactly 2 hinted joins (the tiny-parent orphan audits), got $hinted")
+  }
 }
