@@ -7,14 +7,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata structs, plus a partition-parallel feature
   * extraction pipeline.
   *
-  * The decode step is a clearly-marked deterministic STUB (this
-  * environment ships no image/audio codecs): it derives a fixed-size
-  * "feature vector" from the raw bytes. Everything around it — the
-  * asset schema, the binary column plumbing, the mapPartitions batch
-  * shape, the downstream joins — is the real production shape: swap
-  * `decodeStub` for a codec call and nothing else changes. Decoding is
-  * per-row CPU work with no shuffle, so it scales linearly with
-  * executors at any corpus size.
+  * Two decode paths share the MediaAsset -> MediaFeatures interface:
+  *
+  *  - `encodePng`/`decodeImage` run a REAL image codec (pure-JVM
+  *    javax.imageio — PNG/BMP/GIF): actual pixel rasters in, luminance
+  *    histograms out.
+  *  - `decodeStub`/`resizeStub` remain the clearly-marked deterministic
+  *    byte-math twins for payloads with no decodable format (and for
+  *    codecs this environment doesn't ship, e.g. audio/video): same
+  *    schema, same batch shape, swap in a JNI codec and nothing else
+  *    changes.
+  *
+  * Either way decoding is per-row CPU work with no shuffle, so it
+  * scales linearly with executors at any corpus size.
   */
 object MultimodalOps {
 
@@ -86,5 +91,95 @@ object MultimodalOps {
   def featurePipeline(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     decodeStub(buildAssets(docs).as[MediaAsset])
+  }
+
+  // ------------------------------------------------------------------
+  // REAL codec path (pure-JVM javax.imageio — PNG/BMP/GIF, no native
+  // deps). Same MediaAsset -> MediaFeatures interface as the stub, so
+  // the two are swappable; the stub remains the deterministic twin for
+  // payloads that are not images at all.
+  // ------------------------------------------------------------------
+
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Encode each asset's payload as a REAL grayscale PNG: byte i of the
+    * payload becomes pixel i (row-major, `width` pixels per row; the
+    * ragged tail row pads with zeros). Gray PNG is lossless, so decode
+    * recovers the exact bytes — which is what lets the DuckDB oracle
+    * recompute pixel statistics from the original text while the Spark
+    * side goes through the actual codec. Per-row CPU work in
+    * mapPartitions: no shuffle, scales linearly with executors. */
+  def encodePng(assets: Dataset[MediaAsset], width: Int = 32): Dataset[MediaAsset] = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // no disk-backed stream cache inside executors
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val src = a.content
+        val h = math.max(1, (src.length + width - 1) / width)
+        val img = new java.awt.image.BufferedImage(
+          width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var i = 0
+        while (i < src.length) {
+          raster.setSample(i % width, i / width, 0, src(i) & 0xff)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val png = bos.toByteArray
+        MediaAsset(a.asset_id, png,
+          MediaMeta("image/png", png.length.toLong, md5hex(png)))
+      }
+    }
+  }
+
+  /** REAL decode via javax.imageio (PNG, BMP, GIF — whatever ImageIO
+    * sniffs from the bytes): per-pixel luminance histogram (8 bins of
+    * 32 levels), mean luminance, and the pixel count in `n_bytes`.
+    * Single-band images read band 0 exactly; multi-band images use the
+    * integer mean of the first three bands. Undecodable payloads keep
+    * their row with `mean_byte = -1` and an empty feature vector — a
+    * 100 TB corpus always carries corrupt blobs, and dropping them
+    * silently would make the audit numbers lie. */
+  def decodeImage(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          MediaFeatures(a.asset_id, a.content.length.toLong, -1.0, Array.empty)
+        else {
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Double](8)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v =
+                if (bands == 1) raster.getSample(x, y, 0)
+                else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                  raster.getSample(x, y, 2)) / 3
+              hist(math.min(v, 255) >> 5) += 1.0
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          MediaFeatures(a.asset_id, n, sum.toDouble / n, hist.map(_ / n))
+        }
+      }
+    }
   }
 }

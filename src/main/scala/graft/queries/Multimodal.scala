@@ -184,6 +184,42 @@ object Multimodal {
           FROM a)
         SELECT modality, shard_id, COUNT(*) AS n_assets,
           CAST(SUM(byte_len) AS BIGINT) AS shard_bytes
-        FROM sh GROUP BY 1, 2"""))
+        FROM sh GROUP BY 1, 2""")),
+
+    // ---- REAL codec round-trip: PNG encode -> javax.imageio decode ------
+    //      each document's bytes become pixels of a genuine grayscale
+    //      PNG (32 px wide, zero-padded ragged tail row), and the
+    //      features come out of the DECODED raster — an actual image
+    //      codec in the loop, not the stub. Gray PNG is lossless, so
+    //      the oracle recomputes the same pixel statistics from the
+    //      original text plus the known padding: n_bytes is the PIXEL
+    //      count (width * ceil(len/32), min one row), pad pixels are
+    //      zeros landing in histogram bin 0 and the luminance mean.
+    Q("m08_image_decode",
+      (s, d) => {
+        import s.implicits._
+        MultimodalOps.decodeImage(MultimodalOps.encodePng(
+            MultimodalOps.buildAssets(Tables.documents(s, d))
+              .as[MultimodalOps.MediaAsset]))
+          .select(col("asset_id"), col("n_bytes").as("n_pixels"),
+            col("mean_byte").as("mean_luma"),
+            element_at(col("feature"), 2).as("space_ratio"),
+            element_at(col("feature"), 4).as("letter_ratio"))
+      },
+      Some("""
+        WITH a AS (SELECT doc_id AS asset_id,
+                     LENGTH(text) AS n_bytes,
+                     32 * GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS BIGINT), 1)
+                       AS n_pixels,
+                     list_transform(string_split(text, ''), x -> ascii(x)) cs
+                   FROM documents)
+        SELECT asset_id, n_pixels,
+          CAST(list_reduce(list_prepend(0, cs), (x, y) -> x + y) AS DOUBLE)
+            / n_pixels AS mean_luma,
+          CAST(len(list_filter(cs, x -> x // 32 = 1)) AS DOUBLE)
+            / n_pixels AS space_ratio,
+          CAST(len(list_filter(cs, x -> x // 32 = 3)) AS DOUBLE)
+            / n_pixels AS letter_ratio
+        FROM a"""))
   )
 }

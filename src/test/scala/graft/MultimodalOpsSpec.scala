@@ -35,4 +35,42 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(a.getLong(0) == 5L && a.getLong(1) == 5L)
     assert(a.getString(2) == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
   }
+
+  test("encodePng -> decodeImage is a lossless real-codec round trip") {
+    // 35 'a' bytes at width 32 -> 32x2 gray PNG with 29 zero pad pixels
+    val docs = Seq((1L, "a" * 35)).toDF("doc_id", "text")
+    val assets = MultimodalOps.buildAssets(docs)
+      .as[MultimodalOps.MediaAsset]
+    val enc = MultimodalOps.encodePng(assets).collect().head
+    assert(enc.meta.format == "image/png")
+    // a real PNG came out: magic bytes 89 50 4E 47
+    assert((enc.content(0) & 0xff) == 0x89 && enc.content(1) == 'P'.toByte)
+    val f = MultimodalOps.decodeImage(
+      MultimodalOps.encodePng(assets)).collect().head
+    assert(f.n_bytes == 64, s"pixel count: ${f.n_bytes}") // 32 x 2
+    // 35 pixels of 'a'=97 (bin 3), 29 pad zeros (bin 0)
+    assert(math.abs(f.mean_byte - 35.0 * 97 / 64) < 1e-12)
+    assert(math.abs(f.feature(3) - 35.0 / 64) < 1e-12)
+    assert(math.abs(f.feature(0) - 29.0 / 64) < 1e-12)
+  }
+
+  test("decodeImage reads BMP too and flags undecodable payloads") {
+    // hand-build a 2x1 gray BMP through the same codec library
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSample(0, 0, 0, 10)
+    img.getRaster.setSample(1, 0, 0, 250)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val assets = Seq(
+      MultimodalOps.MediaAsset(1L, bos.toByteArray,
+        MultimodalOps.MediaMeta("image/bmp", bos.size().toLong, "x")),
+      MultimodalOps.MediaAsset(2L, "not an image".getBytes,
+        MultimodalOps.MediaMeta("text/plain", 12L, "y"))).toDS()
+    val out = MultimodalOps.decodeImage(assets)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(out(1L).n_bytes == 2 && math.abs(out(1L).mean_byte - 130.0) < 1e-12)
+    assert(out(1L).feature(0) == 0.5 && out(1L).feature(7) == 0.5)
+    assert(out(2L).mean_byte == -1.0 && out(2L).feature.isEmpty)
+  }
 }
