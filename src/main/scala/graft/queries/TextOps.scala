@@ -715,6 +715,18 @@ object TextOps {
           CAST(SUM(CASE WHEN seq = 0 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_first,
           CAST(SUM(length(substring(chunk, 1, 16))) AS BIGINT) AS head_chars
-        FROM c GROUP BY 1"""))
+        FROM c GROUP BY 1""")),
+
+    // ---- BPE merge-table TRAINING over the corpus vocabulary ------------
+    //      8 rounds of learn-the-most-frequent-pair (see BpeOps for the
+    //      distributed shape: vocab-not-corpus, one pair-count shuffle +
+    //      a one-row argmax collect + a row-local replace per round,
+    //      localCheckpoint rotation). The oracle replays training as an
+    //      explicit 8-stage CTE chain with the same deterministic
+    //      tie-break — the learned table must match merge for merge,
+    //      weight for weight.
+    Q("t22_bpe_train",
+      (s, d) => graft.operators.BpeOps.train(Tables.documents(s, d), rounds = 8),
+      Some(graft.operators.BpeOps.bpeOracleSql(8)))
   )
 }
