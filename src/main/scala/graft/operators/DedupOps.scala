@@ -420,4 +420,91 @@ object DedupOps {
         blocks, comboSize).select("doc_a", "doc_b"),
       posts.select("doc_id", "gram_id"), minJaccard)
   }
+
+  // ------------------------------------------------------------------
+  // Chunk-level SEMANTIC dedup — the RAG-ingest shape: dedup at
+  // retrieval granularity (t21's sliding windows), not doc granularity.
+  // Every chunk gets an integer embed-proxy (character-class frequency
+  // vector), chunks are IVF-assigned to coarse cells, and near-dup
+  // scoring touches SAME-CELL cross-doc pairs only — candidate work is
+  // sum over cells of |cell|^2, never |chunks|^2. Everything is exact
+  // integer arithmetic (L2 assignment, dot products, and a squared
+  // threshold gate with no sqrt), so the DuckDB oracle replays it
+  // value-for-value.
+  // ------------------------------------------------------------------
+
+  /** sliding chunk windows (t21's geometry) with a `dims`-dim integer
+    * frequency vector per chunk: v[j] = count of alphanumeric chars with
+    * ascii % dims == j. Row-local: explode + per-row array math, no
+    * shuffle. ck = doc_id * 100000 + window index (docs beyond 4e7 chars
+    * would need a wider key — a corpus constraint, not a plan one). */
+  def chunkVectors(docs: DataFrame, size: Int, stride: Int,
+                   dims: Int): DataFrame = {
+    val vExpr = (0 until dims).map(j =>
+      s"size(filter(cs, c -> ascii(c) % $dims = $j))").mkString(
+        "transform(array(", ",", "), x -> cast(x as long))")
+    docs
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, int(ceil(greatest(length(text) - $size, 0)
+                                     / $stride.0D))),
+                i -> substring(text, i * $stride + 1, $size))"""))
+          .as(Seq("seq", "chunk")))
+      .select(col("doc_id"),
+        (col("doc_id") * 100000 + col("seq")).as("ck"),
+        expr("""filter(split(lower(chunk), ''),
+                       c -> (c >= 'a' AND c <= 'z') OR
+                            (c >= '0' AND c <= '9'))""").as("cs"))
+      .select(col("doc_id"), col("ck"), expr(vExpr).as("v"))
+      .select(col("doc_id"), col("ck"), col("v"),
+        expr("aggregate(v, 0L, (a, x) -> a + x * x)").as("n2"))
+  }
+
+  /** Per-cell chunk-dedup audit: (cell, n_chunks, n_cand_pairs,
+    * n_dup_pairs). Cells are the `nCells` lowest-ck chunk vectors
+    * (deterministic seeds, the s07 convention — production k-means
+    * trains them offline); a pair is a dup when cosine^2 >= t2,
+    * checked as dot >= 0 AND dot^2 >= t2 * |a|^2 * |b|^2 — exact
+    * integer/double comparison, identical on every engine. */
+  def chunkNearDups(docs: DataFrame, size: Int = 500, stride: Int = 400,
+                    dims: Int = 16, nCells: Int = 16,
+                    t2: Double = 0.998): DataFrame = {
+    val e = chunkVectors(docs, size, stride, dims)
+    val seeds = e.orderBy(col("ck")).limit(nCells)
+      .select(col("ck").as("cell"), col("v").as("cv"))
+    // broadcast-expand + partial-aggregated argmin (map-side combine
+    // collapses the nCells-way expansion before any shuffle); L2 over
+    // integer vectors — exact, ties to the lowest cell id
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy(col("ck"))
+      .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
+        first(col("doc_id")).as("doc_id"), first(col("v")).as("v"),
+        first(col("n2")).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = assigned.select(col("cell"), col("ck").as("ck_a"),
+      col("doc_id").as("doc_a"), col("v").as("va"), col("n2").as("na2"))
+      .as("cd_a")
+    val b = assigned.select(col("cell"), col("ck").as("ck_b"),
+      col("doc_id").as("doc_b"), col("v").as("vb"), col("n2").as("nb2"))
+      .as("cd_b")
+    val pairs = a.join(b, col("cd_a.cell") === col("cd_b.cell") &&
+        col("ck_a") < col("ck_b") && col("doc_a") =!= col("doc_b"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .select(col("cd_a.cell").as("cell"),
+        (col("dot") >= 0 &&
+          (col("dot") * col("dot")).cast("double") >=
+            lit(t2) * (col("na2") * col("nb2")).cast("double")).as("is_dup"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_pairs"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_chunks"))
+      .join(pairs, Seq("cell"), "left")
+      .select(col("cell"), col("n_chunks"),
+        coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
+  }
 }

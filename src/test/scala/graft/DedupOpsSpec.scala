@@ -94,4 +94,26 @@ class DedupOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
+
+  test("chunkNearDups finds a cross-doc chunk dup and never all-pairs") {
+    // docs 1 and 2 share an identical long passage (one chunk window's
+    // worth); doc 3 is alphabet noise with a disjoint char profile
+    val shared = ("the quick brown fox jumps over the lazy dog " * 12)
+    val docs = Seq(
+      (1L, shared + "tail one"),
+      (2L, shared + "completely different tail"),
+      (3L, "zzzz 9999 xxxx qqqq " * 30)).toDF("doc_id", "text")
+    val out = DedupOps.chunkNearDups(docs, size = 500, stride = 400,
+        dims = 16, nCells = 2, t2 = 0.998)
+      .collect()
+    val totalChunks = out.map(_.getAs[Long]("n_chunks")).sum
+    val cand = out.map(_.getAs[Long]("n_cand_pairs")).sum
+    val dups = out.map(_.getAs[Long]("n_dup_pairs")).sum
+    // identical first-window chunks of docs 1 and 2 must be flagged
+    assert(dups >= 1, out.mkString(", "))
+    // candidate set is cell-bounded: strictly fewer than all cross-doc
+    // pairs would give (sum over cells of |cell|^2 < total^2 / 2)
+    assert(cand < totalChunks * (totalChunks - 1) / 2,
+      s"candidates not bounded: $cand of ${totalChunks} chunks")
+  }
 }
