@@ -387,6 +387,80 @@ object StreamingQueries {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
           COUNT(*) AS n,
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events GROUP BY 1, 2"""))
+        FROM events GROUP BY 1, 2""")),
+
+    // ---- exactly-once across a mid-stream KILL + resume -----------------
+    //      the crash-recovery gate: a checkpointed file-sink query over
+    //      an 8-file one-file-per-trigger source is STOPPED as soon as
+    //      its third micro-batch commits (an in-flight batch aborts:
+    //      state uncommitted, sink manifest not advanced, orphan data
+    //      files possibly on disk), then a NEW query resumes from the
+    //      same checkpoint and drains the rest. The aggregate of what a
+    //      downstream batch reader sees (spark.read routes through the
+    //      _spark_metadata manifest, which is what excludes orphans)
+    //      must equal batch DISTINCT exactly — a duplicate emission
+    //      inflates n_pairs over the oracle, a hole deflates it. The
+    //      stateful dedup makes the recovery REAL: the resumed query
+    //      must restore the seen-pairs state store or it would re-emit
+    //      pairs the killed run already wrote. Sink + checkpoint are
+    //      wiped at the start of every run so each rep exercises the
+    //      kill, not a no-op restart.
+    Q("st12_exactly_once_resume",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st12-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        val out = base.resolve("out").toString
+        val ckpt = base.resolve("ckpt").toString
+        Seq(base.resolve("out"), base.resolve("ckpt")).foreach { p =>
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(x => java.nio.file.Files.delete(x))
+        }
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        def startRun() = EventStreams.dedupStream(
+            child.readStream.schema(Tables.events(s, d).schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(base.resolve("src").toString),
+            Seq("user_id", "event_type"), "ts", unbounded)
+          .select(col("user_id"), col("event_type"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .option("compression", "zstd")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        // run 1: kill after the third committed batch (8 remain on a
+        // slow host, fewer on a fast one; if the replay outruns the
+        // 10 ms poll the run degrades to st08's restart case — still a
+        // valid pass, the kill path just didn't land this rep)
+        val q1 = startRun()
+        val deadline = System.currentTimeMillis() + 120000
+        while (q1.isActive &&
+               (q1.lastProgress == null || q1.lastProgress.batchId < 2) &&
+               System.currentTimeMillis() < deadline) Thread.sleep(10)
+        q1.stop()
+        q1.awaitTermination()
+        // run 2: resume from the same checkpoint, drain to completion
+        val q2 = startRun()
+        try q2.awaitTermination() finally if (q2.isActive) q2.stop()
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS n_pairs,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type"""),
+      // the 8-file time-ranged source split is input staging (st09's
+      // pattern) — Bench runs it once untimed
+      setup = Some((s, d) => Tables.events(s, d)
+        .repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(scratchRoot.resolve(
+          "st12-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+          .resolve("src").toString)))
   )
 }
