@@ -352,6 +352,37 @@ object GraphOps {
         coalesce(col("super"), col("component")).as("component"))
   }
 
+  /** Bounded Bellman-Ford single-source shortest paths over a WEIGHTED
+    * directed edge list (src, dst, w): `rounds` full relaxation sweeps
+    * from `start`, so the result is exact for every path of <= `rounds`
+    * edges (classic Bellman-Ford; Cormen et al. ch. 24). Distances stay
+    * integral when weights are integral, making the fixed-round replay
+    * bit-exact for an independent engine.
+    *
+    * Per round: one shuffle join (settled frontier x adjacency) + one
+    * keyed min — min() is order-free, so no tie-break subtleties. The
+    * round count is FIXED (deterministic replay), not convergence-
+    * gated; at 100 TB the per-round cost is |settled ⋈ edges| keyed by
+    * dst, and the localCheckpoint rotation keeps lineage O(1) deep
+    * exactly as bfsHops/connectedComponents do. */
+  def boundedSssp(edges: DataFrame, start: Long, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((start, 0L)).toDF("id", "dist").localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val relaxed = dist.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Min-hop BFS from `start` over a directed edge list, bounded at
     * `maxHops`. Returns (id, hop) with hop = first-discovery distance.
     * Each round joins only the new frontier against adjacency and

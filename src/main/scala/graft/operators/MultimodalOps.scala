@@ -182,4 +182,91 @@ object MultimodalOps {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // REAL audio codec path (pure-JVM javax.sound.sampled — WAV/PCM, no
+  // native deps): the audio twin of encodePng/decodeImage. 8-bit PCM
+  // WAV is lossless over byte payloads, so the decoded sample stream
+  // is exactly the original bytes — which lets the DuckDB oracle
+  // recompute the sample statistics from the source text while the
+  // Spark side goes through the actual container parse + codec.
+  // ------------------------------------------------------------------
+
+  case class AudioFeatures(asset_id: Long, n_samples: Long, sample_rate: Long,
+                           sum_amp: Long, sum_sq: Long, n_crossings: Long)
+
+  /** Encode each asset's payload as a REAL WAV file: byte i of the
+    * payload becomes 8-bit unsigned PCM sample i (mono, 8 kHz) behind a
+    * canonical 44-byte RIFF header. Per-row CPU work in mapPartitions:
+    * no shuffle, linear with executors at any corpus size. */
+  def encodeWav(assets: Dataset[MediaAsset], sampleRate: Int = 8000): Dataset[MediaAsset] = {
+    require(sampleRate >= 1, s"sampleRate must be >= 1, got $sampleRate")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val pcm = a.content
+        val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1)                   // PCM
+          .putShort(1)                   // mono
+          .putInt(sampleRate)
+          .putInt(sampleRate)            // byte rate (8-bit mono)
+          .putShort(1)                   // block align
+          .putShort(8)                   // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+          .put(pcm)
+        val wav = bb.array()
+        MediaAsset(a.asset_id, wav,
+          MediaMeta("audio/wav", wav.length.toLong, md5hex(wav)))
+      }
+    }
+  }
+
+  /** REAL decode via javax.sound.sampled (whatever AudioSystem sniffs
+    * from the bytes — WAV here): per-sample amplitude statistics as
+    * EXACT integers (sum, sum of squares over the unsigned 8-bit
+    * samples) plus the count of level-64 threshold crossings between
+    * adjacent samples — the integer skeleton of RMS energy /
+    * zero-crossing-rate audio features, kept integral so the oracle
+    * comparison is bit-exact. Undecodable payloads keep their row with
+    * `sample_rate = -1` and zeroed stats (same corrupt-blob honesty as
+    * decodeImage). */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.content))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (ais == null)
+          AudioFeatures(a.asset_id, 0L, -1L, 0L, 0L, 0L)
+        else {
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          ais.close()
+          var sum = 0L
+          var sumSq = 0L
+          var crossings = 0L
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i) & 0xff
+            sum += v
+            sumSq += v.toLong * v
+            if (i > 0 && (((pcm(i - 1) & 0xff) >= 64) != (v >= 64)))
+              crossings += 1
+            i += 1
+          }
+          AudioFeatures(a.asset_id, pcm.length.toLong,
+            fmt.getSampleRate.toLong, sum, sumSq, crossings)
+        }
+      }
+    }
+  }
 }

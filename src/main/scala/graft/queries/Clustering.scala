@@ -315,6 +315,65 @@ object Clustering {
               ORDER BY d2 ASC, seed_id ASC) AS rk FROM d)
           WHERE rk = 1)
         SELECT seed_id, COUNT(*) AS n_assigned
-        FROM best GROUP BY seed_id"""))
+        FROM best GROUP BY seed_id""")),
+
+    // ---- simplified silhouette (centroid form) --------------------------
+    //      the clustering-quality score an index trainer gates retraining
+    //      on: per point, a = distance to its own (nearest) centroid and
+    //      b = distance to the second-nearest, s = (b - a) / b (the
+    //      centroid-based simplification of Rousseeuw's silhouette —
+    //      full silhouette is all-pairs within clusters, quadratic and
+    //      never run at corpus scale). With argmin assignment a <= b
+    //      always, so max(a, b) = b. One broadcast of the k centroids,
+    //      one shuffle keyed by vec_id for the per-point top-2 — the
+    //      same shape and cost as an assignment pass, linear at 100 TB.
+    //      Per-point scores are quantized by floor(s*1e9 + 0.5) (pure
+    //      IEEE ops, identical on both engines) and summed as exact
+    //      integers, so the per-cell mean is aggregation-order-free.
+    Q("c07_silhouette",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = corpus(s, d)
+        val cents = seeds(emb, 8)
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cell").asc)
+        val top2 = emb.crossJoin(broadcast(cents))
+          .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+        top2.groupBy(col("vec_id"))
+          .agg(min(when(col("rk") === 1, col("cell"))).as("cell"),
+            min(when(col("rk") === 1, col("d2"))).as("a2"),
+            min(when(col("rk") === 2, col("d2"))).as("b2"))
+          .select(col("cell"),
+            floor((sqrt(col("b2")) - sqrt(col("a2"))) / sqrt(col("b2"))
+              * lit(1e9) + lit(0.5)).as("sq"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("sq")).as("sum_sil_q"),
+            (sum(col("sq")).cast("double") / lit(1e9) / count(lit(1)))
+              .as("mean_sil"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+        dd AS (SELECT e.vec_id, c0.cell, ${l2sqSql("e.v", "c0.cv")} AS d2
+               FROM e, c0),
+        p AS (SELECT vec_id,
+                MIN(CASE WHEN rk = 1 THEN cell END) AS cell,
+                MIN(CASE WHEN rk = 1 THEN d2 END) AS a2,
+                MIN(CASE WHEN rk = 2 THEN d2 END) AS b2
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                      ORDER BY d2 ASC, cell ASC) AS rk FROM dd)
+              WHERE rk <= 2 GROUP BY vec_id),
+        sq AS (SELECT cell,
+                 CAST(FLOOR((sqrt(b2) - sqrt(a2)) / sqrt(b2) * 1e9 + 0.5)
+                   AS BIGINT) AS sq
+               FROM p)
+        SELECT cell, COUNT(*) AS n_members,
+          CAST(SUM(sq) AS BIGINT) AS sum_sil_q,
+          CAST(SUM(sq) AS DOUBLE) / 1e9 / COUNT(*) AS mean_sil
+        FROM sq GROUP BY cell"""))
   )
 }

@@ -350,8 +350,45 @@ object Graph {
         Tables.lineitem(s, d).createOrReplaceTempView("g05_lineitem")
         s.sql(recursiveWalk("g05_orders", "g05_lineitem"))
       },
-      Some(recursiveWalk("orders", "lineitem")))
+      Some(recursiveWalk("orders", "lineitem"))),
+
+    // ---- bounded weighted shortest paths (Bellman-Ford) -----------------
+    //      5 relaxation sweeps from customer #1 (node 2) over the trade
+    //      graph with deterministic integer edge weights 1 + (src+dst)%7
+    //      — exact distances for all paths of <= 5 edges. Integer
+    //      arithmetic + order-free min() make the fixed-round replay
+    //      bit-exact; the oracle runs the same 5 sweeps as an explicit
+    //      CTE chain (recursive SQL would enumerate PATHS — exponential
+    //      — while Bellman-Ford carries one row per settled node).
+    //      Reported as the distance histogram.
+    Q("g09_weighted_paths",
+      (s, d) => GraphOps.boundedSssp(
+          bipartiteEdges(s, d).withColumn("w",
+            lit(1) + (col("src") + col("dst")) % 7),
+          start = 2L, rounds = 5)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes")),
+      Some(ssspSql(5)))
   )
+
+  /** CTE chain replaying `rounds` Bellman-Ford sweeps over the weighted
+    * trade graph (see g09). */
+  private def ssspSql(rounds: Int): String = {
+    val sb = new StringBuilder("WITH" + bipartiteSql + """,
+    we AS (SELECT src, dst, 1 + (src + dst) % 7 AS w FROM edges),
+    r0 AS (SELECT CAST(2 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)""")
+    for (i <- 0 until rounds) sb ++= s""",
+    r${i + 1} AS (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM r$i
+        UNION ALL
+        SELECT e.dst AS id, r.dist + e.w
+        FROM r$i r JOIN we e ON r.id = e.src)
+      GROUP BY id)"""
+    sb ++= s"""
+    SELECT dist, COUNT(*) AS n_nodes FROM r$rounds GROUP BY dist"""
+    sb.toString
+  }
 
   /** dialect-shared bounded-reachability recursion (see g05).
     *

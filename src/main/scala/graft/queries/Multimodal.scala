@@ -220,6 +220,41 @@ object Multimodal {
             / n_pixels AS space_ratio,
           CAST(len(list_filter(cs, x -> x // 32 = 3)) AS DOUBLE)
             / n_pixels AS letter_ratio
+        FROM a""")),
+
+    // ---- REAL audio codec: payload -> WAV -> javax.sound decode ---------
+    //      the audio twin of m08: each payload becomes an actual WAV
+    //      file (8-bit unsigned PCM mono behind a canonical RIFF
+    //      header), then AudioSystem parses the container and streams
+    //      the samples back out. 8-bit PCM is lossless over bytes, so
+    //      the oracle recomputes the same sample statistics from the
+    //      original text's character codes: amplitude sum, energy
+    //      (sum of squares) and level-64 threshold crossings — all
+    //      EXACT integers, immune to aggregation order. Encode and
+    //      decode are per-row mapPartitions work: zero shuffles, the
+    //      plan scales linearly with executors at 100 TB.
+    Q("m09_audio_decode",
+      (s, d) => {
+        import s.implicits._
+        MultimodalOps.decodeAudio(MultimodalOps.encodeWav(
+            MultimodalOps.buildAssets(Tables.documents(s, d))
+              .as[MultimodalOps.MediaAsset]))
+          .toDF()
+      },
+      Some("""
+        WITH a AS (SELECT doc_id AS asset_id,
+                     CAST(LENGTH(text) AS BIGINT) AS n_samples,
+                     list_transform(string_split(text, ''), x -> ascii(x)) cs
+                   FROM documents)
+        SELECT asset_id, n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(list_reduce(list_prepend(0, cs), (x, y) -> x + y) AS BIGINT)
+            AS sum_amp,
+          CAST(list_reduce(list_prepend(0,
+              list_transform(cs, x -> x * x)), (x, y) -> x + y) AS BIGINT)
+            AS sum_sq,
+          CAST(len(list_filter(range(1, len(cs)),
+              i -> (cs[i] >= 64) <> (cs[i + 1] >= 64))) AS BIGINT)
+            AS n_crossings
         FROM a"""))
   )
 }

@@ -727,6 +727,73 @@ object TextOps {
     //      weight for weight.
     Q("t22_bpe_train",
       (s, d) => graft.operators.BpeOps.train(Tables.documents(s, d), rounds = 8),
-      Some(graft.operators.BpeOps.bpeOracleSql(8)))
+      Some(graft.operators.BpeOps.bpeOracleSql(8))),
+
+    // ---- BM25 retrieval (Okapi, k1=1.2 b=0.75) --------------------------
+    //      the lexical twin of the s-family's ANN: score every document
+    //      against a query (the distinct tokens of doc 1) over an
+    //      on-the-fly inverted index, top-20. The scale shape: query
+    //      terms and their document frequencies are a TINY frame —
+    //      joined broadcast, so the postings table (doc_id, term, tf) is
+    //      filtered to query terms in its own scan partitions with NO
+    //      term-keyed shuffle; the one real shuffle keys by doc_id (the
+    //      doc-length join + final sum share it), and the top-20 is a
+    //      TakeOrdered, never a global sort. Per-term scores are
+    //      quantized by floor(x*1e9 + 0.5) and summed as exact integers
+    //      (ln() may differ by an ulp across engines; the quantum
+    //      absorbs it and makes the doc score aggregation-order-free).
+    Q("t23_bm25",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.withColumn("toks", tokens("text"))
+        val tf = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = toks.select(col("doc_id"), tokenCount("toks").as("dl"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val qterms = toks.filter(col("doc_id") === 1)
+          .select(explode(col("toks")).as("term")).distinct()
+        val dfq = df.join(broadcast(qterms), "term")
+        tf.join(broadcast(dfq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            floor(
+              log((col("n_docs") - col("df") + lit(0.5)) /
+                  (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * (lit(1.2) + lit(1.0)) /
+                (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+                  lit(0.75) * col("dl") / col("avgdl"))))
+              * lit(1e9) + lit(0.5)).as("tsq"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("tsq")).as("score_q"),
+            (sum(col("tsq")).cast("double") / lit(1e9)).as("score"))
+          .orderBy(col("score_q").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
+                     AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS dl
+               FROM documents),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        qt AS (SELECT DISTINCT term FROM t WHERE doc_id = 1),
+        sc AS (SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                   (tf.tf * (1.2 + 1.0) /
+                     (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+                   * 1e9 + 0.5) AS BIGINT) AS tsq
+               FROM tf JOIN qt USING (term) JOIN df USING (term)
+                 JOIN dl USING (doc_id), st)
+        SELECT doc_id, CAST(SUM(tsq) AS BIGINT) AS score_q,
+          CAST(SUM(tsq) AS DOUBLE) / 1e9 AS score
+        FROM sc GROUP BY doc_id
+        ORDER BY score_q DESC, doc_id ASC LIMIT 20"""))
   )
 }

@@ -280,4 +280,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.values.sum <= 50, s"subgraph cap breached: $rows")
     assert(rows.values.forall(_ > 0))
   }
+
+  test("boundedSssp prefers the cheaper multi-hop path over the direct edge") {
+    // 1 -(5)-> 3 directly, but 1 -(1)-> 2 -(1)-> 3 costs 2
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val d = GraphOps.boundedSssp(edges, start = 1L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $d")
+  }
+
+  test("boundedSssp round bound limits path length, not correctness inside it") {
+    // chain 1->2->3->4, unit weights; 2 rounds settle exactly 3 nodes
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val d2 = GraphOps.boundedSssp(edges, start = 1L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L), s"got $d2")
+    // a cheap long path only wins once enough rounds can see it:
+    // 1 -(10)-> 4 direct vs 1->2->3->4 costing 3 over three edges
+    val edges2 = edges.union(Seq((1L, 4L, 10L)).toDF("src", "dst", "w"))
+    val one = GraphOps.boundedSssp(edges2, start = 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(4L) == 10L, s"got $one")
+    val three = GraphOps.boundedSssp(edges2, start = 1L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three(4L) == 3L, s"got $three")
+  }
 }

@@ -73,4 +73,32 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out(1L).feature(0) == 0.5 && out(1L).feature(7) == 0.5)
     assert(out(2L).mean_byte == -1.0 && out(2L).feature.isEmpty)
   }
+
+  test("encodeWav -> decodeAudio is a lossless real-codec round trip") {
+    val docs = Seq((1L, "aA!"), (2L, "")).toDF("doc_id", "text")
+    val wav = MultimodalOps.encodeWav(
+      MultimodalOps.buildAssets(docs).as[MultimodalOps.MediaAsset])
+    val metas = wav.collect().map(a => a.asset_id -> a).toMap
+    assert(metas(1L).meta.format == "audio/wav")
+    assert(metas(1L).content.length == 44 + 3) // canonical RIFF header
+    val f = MultimodalOps.decodeAudio(wav)
+      .collect().map(x => x.asset_id -> x).toMap
+    // 'a'=97 'A'=65 '!'=33 — one level-64 crossing (65 -> 33)
+    val f1 = f(1L)
+    assert(f1.n_samples == 3 && f1.sample_rate == 8000)
+    assert(f1.sum_amp == 97 + 65 + 33)
+    assert(f1.sum_sq == 97 * 97 + 65 * 65 + 33 * 33)
+    assert(f1.n_crossings == 1)
+    // empty payload stays a valid zero-frame WAV
+    val f2 = f(2L)
+    assert(f2.n_samples == 0 && f2.sample_rate == 8000)
+    assert(f2.sum_amp == 0 && f2.sum_sq == 0 && f2.n_crossings == 0)
+  }
+
+  test("decodeAudio flags undecodable payloads instead of dropping them") {
+    val bad = Seq(MultimodalOps.MediaAsset(7L, Array[Byte](1, 2, 3),
+      MultimodalOps.MediaMeta("application/octet-stream", 3L, "z"))).toDS()
+    val f = MultimodalOps.decodeAudio(bad).collect().head
+    assert(f.asset_id == 7L && f.sample_rate == -1L && f.n_samples == 0L)
+  }
 }
