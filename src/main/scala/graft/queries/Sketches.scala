@@ -247,6 +247,63 @@ object Sketches {
         SELECT CAST(p AS DOUBLE) AS p,
           (SELECT COUNT(*) FROM lineitem) AS n_rows,
           TRUE AS within_rank_err
-        FROM (VALUES (0.5), (0.9), (0.99)) t(p)"""))
+        FROM (VALUES (0.5), (0.9), (0.99)) t(p)""")),
+
+    // ---- HLL set algebra: intersection by inclusion-exclusion -----------
+    //      HLL sketches merge losslessly under UNION but have no native
+    //      intersection — the standard workaround is |A∩B| ≈ est(A) +
+    //      est(B) - est(A∪B), with error that compounds (three estimate
+    //      errors land on the intersection, amplified by union/inter).
+    //      The operator gates exactly that contract: urgent-priority vs
+    //      high-priority customer sets, each sketched in ONE pass, the
+    //      union merged sketch-to-sketch WITHOUT re-reading orders.
+    //      Exact counts ride along (the oracle recomputes them); the
+    //      singles get the 5% band, the derived intersection a 10% band
+    //      — on fixed input HLL is deterministic, so the flags are
+    //      stable, and a sketch drifting past its contract turns the
+    //      row red.
+    Q("ds07_hll_intersection",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def side(p: String) = o.filter(col("o_orderpriority") === p)
+          .select(col("o_custkey").as("k"))
+        val a = side("1-URGENT")
+        val b = side("2-HIGH")
+        val sk = a.agg(expr("hll_sketch_agg(k)").as("ska"))
+          .crossJoin(b.agg(expr("hll_sketch_agg(k)").as("skb")))
+          .select(expr("hll_sketch_estimate(ska)").as("ea"),
+            expr("hll_sketch_estimate(skb)").as("eb"),
+            expr("hll_sketch_estimate(hll_union(ska, skb))").as("eu"))
+        val exact = a.distinct().unionByName(b.distinct()).distinct()
+          .agg(count(lit(1)).as("n_union"))
+          .crossJoin(a.agg(countDistinct(col("k")).as("n_a")))
+          .crossJoin(b.agg(countDistinct(col("k")).as("n_b")))
+        exact.crossJoin(sk)
+          .select(col("n_a"), col("n_b"), col("n_union"),
+            (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+            (abs(col("ea") - col("n_a")) <=
+              col("n_a").cast("double") * 0.05).as("a_within_5pct"),
+            (abs(col("eb") - col("n_b")) <=
+              col("n_b").cast("double") * 0.05).as("b_within_5pct"),
+            (abs(col("eu") - col("n_union")) <=
+              col("n_union").cast("double") * 0.05).as("union_within_5pct"),
+            (abs(col("ea") + col("eb") - col("eu") -
+              (col("n_a") + col("n_b") - col("n_union"))) <=
+              (col("n_a") + col("n_b") - col("n_union")).cast("double") * 0.10)
+              .as("inter_within_10pct"))
+      },
+      Some("""
+        WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+                   WHERE o_orderpriority = '1-URGENT'),
+        b AS (SELECT DISTINCT o_custkey AS k FROM orders
+              WHERE o_orderpriority = '2-HIGH'),
+        u AS (SELECT k FROM a UNION SELECT k FROM b)
+        SELECT (SELECT COUNT(*) FROM a) AS n_a,
+          (SELECT COUNT(*) FROM b) AS n_b,
+          (SELECT COUNT(*) FROM u) AS n_union,
+          (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+            - (SELECT COUNT(*) FROM u) AS n_inter,
+          TRUE AS a_within_5pct, TRUE AS b_within_5pct,
+          TRUE AS union_within_5pct, TRUE AS inter_within_10pct"""))
   )
 }

@@ -794,6 +794,57 @@ object TextOps {
         SELECT doc_id, CAST(SUM(tsq) AS BIGINT) AS score_q,
           CAST(SUM(tsq) AS DOUBLE) / 1e9 AS score
         FROM sc GROUP BY doc_id
-        ORDER BY score_q DESC, doc_id ASC LIMIT 20"""))
+        ORDER BY score_q DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- unigram-LM perplexity proxy (the CCNet-style quality filter) ---
+    //      train an add-one-smoothed unigram model on the corpus itself,
+    //      then score every document by mean negative log-likelihood per
+    //      token — the curation signal that ranks fluent text low and
+    //      gibberish high. Scale shape: one term-keyed shuffle to count
+    //      the vocabulary, one term-keyed join of postings x counts (the
+    //      vocabulary is NOT broadcast — at corpus scale it exceeds any
+    //      broadcast budget), one doc-keyed sum; the two scalar model
+    //      constants (vocab size, token total) ride along broadcast.
+    //      Per-(doc,term) contributions are quantized by floor(x*1e9 +
+    //      0.5) and summed as exact integers — ln() may differ by an
+    //      ulp across engines, and the doc mean must not depend on
+    //      aggregation order.
+    Q("t24_perplexity_filter",
+      (s, d) => {
+        val toks = Tables.documents(s, d).withColumn("toks", tokens("text"))
+        val inst = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val tf = inst.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val tc = inst.groupBy("term").agg(count(lit(1)).as("c"))
+        val vt = tc.agg(count(lit(1)).as("v"), sum(col("c")).as("tt"))
+        val dl = toks.select(col("doc_id"), tokenCount("toks").as("dl"))
+        tf.join(tc, "term")
+          .crossJoin(broadcast(vt))
+          .select(col("doc_id"),
+            floor(col("tf") *
+              log((col("c") + lit(1.0)) / (col("tt") + col("v")))
+              * lit(1e9) + lit(0.5)).as("tsq"))
+          .groupBy(col("doc_id")).agg(sum(col("tsq")).as("sum_q"))
+          .join(dl, "doc_id")
+          .select(col("doc_id"), col("dl").as("n_tokens"),
+            (-(col("sum_q").cast("double") / lit(1e9)) / col("dl"))
+              .as("nll"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
+                     AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        tc AS (SELECT term, COUNT(*) AS c FROM t GROUP BY 1),
+        vt AS (SELECT COUNT(*) AS v, CAST(SUM(c) AS BIGINT) AS tt FROM tc),
+        dl AS (SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS dl
+               FROM documents),
+        sc AS (SELECT tf.doc_id,
+                 CAST(FLOOR(tf.tf * ln((tc.c + 1.0) / (vt.tt + vt.v))
+                   * 1e9 + 0.5) AS BIGINT) AS tsq
+               FROM tf JOIN tc USING (term), vt)
+        SELECT doc_id, dl.dl AS n_tokens,
+          -(CAST(SUM(tsq) AS DOUBLE) / 1e9) / dl.dl AS nll
+        FROM sc JOIN dl USING (doc_id)
+        GROUP BY doc_id, dl.dl"""))
   )
 }
