@@ -461,6 +461,76 @@ object StreamingQueries {
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(scratchRoot.resolve(
           "st12-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-          .resolve("src").toString)))
+          .resolve("src").toString))),
+
+    // ---- watermark late-data accounting (REAL drops, REAL finalization) -
+    //      the other st* gates neutralize the watermark (unbounded
+    //      delay); this one exercises what it is FOR. Three files arrive
+    //      in pinned modification-time order: the first 12 days, then
+    //      the rest of the month (advancing the 1-hour watermark to
+    //      max(ts)-1h), then a REPLAY of week-one rows — late arrivals a
+    //      feed retry would produce. The append-mode windowed aggregate
+    //      must (a) drop every replayed row (its window finalized long
+    //      ago — no double counting) and (b) emit exactly the windows
+    //      the final watermark passed, holding back the still-open tail
+    //      hour. The oracle states that contract in batch SQL: hourly
+    //      counts over the ORIGINAL events, windows with end <= max(ts)
+    //      - 1h only. A dropped-row leak or an early/late emission both
+    //      turn the row red.
+    Q("st13_late_data_audit",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st13-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = child.readStream.schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base.resolve("src").toString)
+        val q = EventStreams.windowedCounts(stream, watermarkDelay = "1 hour")
+          .writeStream.format("memory").queryName("st13")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        child.table("st13")
+      },
+      Some("""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+          event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events, wm
+        WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR <= wm.w
+        GROUP BY 1, 2"""),
+      // the ordered 3-file source (on-time, future, late replay) is
+      // input staging — Bench runs it once untimed. Modification times
+      // are pinned so the file source's delivery order is deterministic.
+      setup = Some((s, d) => {
+        val base = scratchRoot.resolve(
+          "st13-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        val src = base.resolve("src")
+        if (java.nio.file.Files.exists(base))
+          java.nio.file.Files.walk(base)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+        java.nio.file.Files.createDirectories(src)
+        val ev = Tables.events(s, d)
+        def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+          val tmp = base.resolve("tmp_" + name).toString
+          df.coalesce(1).write.mode("overwrite")
+            .option("compression", "zstd").parquet(tmp)
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+            .filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          val dest = src.resolve(name)
+          java.nio.file.Files.move(part, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        }
+        val cut = lit("2024-01-13").cast("timestamp")
+        val lateCut = lit("2024-01-04").cast("timestamp")
+        writeOne(ev.filter(col("ts") < cut), "f1.parquet", 1700000000000L)
+        writeOne(ev.filter(col("ts") >= cut), "f2.parquet", 1700000010000L)
+        writeOne(ev.filter(col("ts") < lateCut), "f3.parquet", 1700000020000L)
+      }))
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.streaming.EventStreams
 
@@ -90,5 +91,26 @@ class StreamingFileSourceSpec extends SparkSpec {
     assert(sunk.count() == events.count(), "row count after resume")
     assert(sunk.agg(countDistinct(col("event_id"))).head.getLong(0)
       == events.count(), "duplicate rows after checkpoint resume")
+  }
+
+  // st13's contract from the inside: the replayed late file is dropped
+  // by the watermark (no double counting) and the still-open tail hour
+  // is held back — so the emitted event total is strictly below the raw
+  // ingest total (which counts the replay twice) AND strictly below the
+  // original event count (held-back tail), while every emitted row
+  // matches the batch aggregate of the ORIGINAL events.
+  test("st13 late-data audit drops replays and holds back the open tail") {
+    val emitted = graft.queries.Registry.queries("st13_late_data_audit")(
+      spark, sfTiny)
+    val events = Tables.events(spark, sfTiny)
+    val nEvents = events.count()
+    val nEmitted = emitted.agg(sum(col("n"))).head.getLong(0)
+    assert(emitted.count() > 0)
+    assert(nEmitted < nEvents, s"open tail not held back: $nEmitted/$nEvents")
+    val batch = EventStreams.windowedCounts(events, watermarkDelay = "1 hour")
+      .collect().map(_.toSeq).toSet
+    val got = emitted.collect().map(_.toSeq).toSet
+    assert(got.subsetOf(batch),
+      s"late replay leaked into a finalized window: ${got.diff(batch).take(3)}")
   }
 }
