@@ -221,4 +221,72 @@ object SimilarityOps {
           .as("cosine"))
     topK(pairs, k)
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou et al. TPAMI 2011): vectors split into
+  // m subvectors, each encoded as its nearest sub-centroid id — D
+  // doubles compress to m small codes, and queries score the whole
+  // corpus through an m×k lookup table (asymmetric distance, ADC)
+  // without touching raw vectors. The memory/bandwidth story IS the
+  // 100 TB story: a billion 64-dim vectors are 512 GB raw but 4 GB as
+  // m=4 byte codes, and the scoring scan reads only codes. Codebook
+  // TRAINING is the c-family's Lloyd loop run per subspace (offline);
+  // here the codebook is the deterministic first-k seed convention so
+  // the encode/ADC contract is oracle-replayable.
+  // ------------------------------------------------------------------
+
+  /** corpus exploded to (vec_id, sub, sv): row-local, no shuffle */
+  private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    prepared(emb)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(v, sub * $subDim + 1, $subDim)").as("sv"))
+
+  /** deterministic seed codebook: (sub, cell, cv), m × nCodes rows —
+    * tiny at any corpus size, always broadcast */
+  def pqCodebook(emb: DataFrame, m: Int, subDim: Int, nCodes: Int): DataFrame =
+    subVectors(emb.filter(col("vec_id") < nCodes), m, subDim)
+      .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
+
+  /** PQ encode: per (vector, subspace) the argmin sub-centroid (d2 asc,
+    * cell asc — a total order). One broadcast join + one map-side-
+    * combined shuffle keyed by (vec_id, sub); output is m codes + the
+    * per-subspace quantization error. */
+  def pqEncode(emb: DataFrame, codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVectors(emb, m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", call_function("vec_l2sq", col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cell").as("code"),
+        col("best.d2").as("qerr2"))
+
+  /** ADC top-k: the query's m×nCodes distance table (integer-quantized
+    * by floor(x*1e9 + 0.5) so the per-vector sum is exact and
+    * aggregation-order-free) joins the code table on (sub, code) — the
+    * corpus-side scan touches CODES only, never raw vectors. Per-query
+    * ranking is a keyed window, never a global sort. */
+  def pqAdcTopK(emb: DataFrame, queries: DataFrame, k: Int, m: Int,
+                subDim: Int, nCodes: Int): DataFrame = {
+    val cb = pqCodebook(emb, m, subDim, nCodes)
+    val codes = pqEncode(emb, cb, m, subDim)
+    val qdist = subVectors(queries, m, subDim)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
+      .join(cb, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell"),
+        floor(call_function("vec_l2sq", col("sv"), col("cv")) * lit(1e9)
+          + lit(0.5)).as("dq"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_q").asc, col("vec_id").asc)
+    codes.join(broadcast(qdist),
+        codes("sub") === qdist("sub") && codes("code") === qdist("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"),
+        (col("adc_q").cast("double") / lit(1e9)).as("adc"), col("rk"))
+  }
 }

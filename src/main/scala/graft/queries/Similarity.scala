@@ -517,6 +517,46 @@ object Similarity {
               ORDER BY c DESC, nbr_label ASC) AS rn FROM v)
           WHERE rn = 1)
         SELECT true_label, pred_label, COUNT(*) AS n
-        FROM pred GROUP BY 1, 2"""))
+        FROM pred GROUP BY 1, 2""")),
+
+    // ---- product quantization: encode + asymmetric-distance top-10 ------
+    //      (Jégou et al. TPAMI 2011) 64 dims -> 4 subspaces x 16 dims,
+    //      8 sub-centroids each: the corpus compresses to 4 codes per
+    //      vector and the query scores it through a broadcast 4x8
+    //      lookup table without touching raw vectors — the
+    //      memory-bandwidth shape that makes billion-vector ANN
+    //      serveable. Per-table distances are integer-quantized
+    //      (floor(x*1e9 + 0.5)) so ADC sums are exact and the top-10
+    //      cut (adc asc, vec_id asc) is deterministic on both engines.
+    //      Codebook = deterministic first-8 seed convention (training
+    //      is the c-family Lloyd loop, run offline per subspace).
+    Q("s15_pq_adc",
+      (s, d) => SimilarityOps.pqAdcTopK(Tables.embeddings(s, d),
+        Tables.embeddings(s, d).filter(col("vec_id") < 3),
+        k = 10, m = 4, subDim = 16, nCodes = 8),
+      Some(normCte + s"""
+        , subs AS (SELECT n.vec_id, t.sub,
+                     list_slice(v, t.sub * 16 + 1, t.sub * 16 + 16) AS sv
+                   FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) t(sub)),
+        cb AS (SELECT sub, vec_id AS cell, sv AS cv FROM subs
+               WHERE vec_id < 8),
+        enc AS (SELECT vec_id, sub, code FROM (
+                  SELECT s.vec_id, s.sub, cb.cell AS code,
+                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY ${l2sqSql("s.sv", "cb.cv")} ASC, cb.cell ASC)
+                      AS rn
+                  FROM subs s JOIN cb USING (sub)) WHERE rn = 1),
+        qd AS (SELECT s.vec_id AS q_id, s.sub, cb.cell,
+                 CAST(FLOOR(${l2sqSql("s.sv", "cb.cv")} * 1e9 + 0.5)
+                   AS BIGINT) AS dq
+               FROM subs s JOIN cb USING (sub) WHERE s.vec_id < 3),
+        p AS (SELECT qd.q_id, enc.vec_id, CAST(SUM(qd.dq) AS BIGINT) AS adc_q
+              FROM enc JOIN qd ON enc.sub = qd.sub AND enc.code = qd.cell
+              WHERE enc.vec_id <> qd.q_id
+              GROUP BY 1, 2)
+        SELECT q_id, vec_id, CAST(adc_q AS DOUBLE) / 1e9 AS adc, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY adc_q ASC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 10"""))
   )
 }

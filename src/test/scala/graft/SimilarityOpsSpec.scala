@@ -72,4 +72,30 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     assert(r == Set(1L, 4L)) // 2 and 3 live in the other bucket
   }
+
+  test("pqEncode with a one-entry-per-vector codebook is lossless") {
+    // nCodes = corpus size: every subvector's nearest sub-centroid is its
+    // own (distance 0), so qerr2 vanishes and codes identify the vector
+    val cb = SimilarityOps.pqCodebook(corpus, m = 2, subDim = 2, nCodes = 5)
+    val enc = SimilarityOps.pqEncode(corpus, cb, m = 2, subDim = 2).collect()
+    assert(enc.length == 10) // 5 vectors x 2 subspaces
+    assert(enc.forall(_.getAs[Double]("qerr2") == 0.0),
+      "self-codebook must quantize losslessly")
+  }
+
+  test("pqAdcTopK with the full codebook degenerates to exact L2 ranking") {
+    // lossless codes => ADC distance is the true squared L2 distance, so
+    // the PQ ranking must equal brute-force L2 top-k exactly
+    val q = corpus.filter(col("vec_id") === 0)
+    val pq = SimilarityOps.pqAdcTopK(corpus, q, k = 4, m = 2, subDim = 2,
+        nCodes = 5)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    val exact = SimilarityOps.l2TopK(corpus, q, k = 4)
+      .orderBy("rk").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(pq == exact, s"pq=$pq exact=$exact")
+    // a coarse 1-entry codebook still ranks, but with quantization error
+    val coarse = SimilarityOps.pqAdcTopK(corpus, q, k = 4, m = 2, subDim = 2,
+      nCodes = 1).collect()
+    assert(coarse.length == 4)
+  }
 }
