@@ -531,6 +531,81 @@ object StreamingQueries {
         writeOne(ev.filter(col("ts") < cut), "f1.parquet", 1700000000000L)
         writeOne(ev.filter(col("ts") >= cut), "f2.parquet", 1700000010000L)
         writeOne(ev.filter(col("ts") < lateCut), "f3.parquet", 1700000020000L)
-      }))
+      })),
+
+    // ---- incremental materialized view via foreachBatch MERGE -----------
+    //      the durable-table twin of the complete-mode aggregates: a
+    //      per-user purchase rollup maintained OUTSIDE the state store,
+    //      as versioned parquet a downstream batch reader can query
+    //      mid-stream. Each micro-batch aggregates its own rows (8
+    //      time-ranged files -> 8 real batches), then merges into the
+    //      previous version by key — union + keyed re-aggregation, the
+    //      engine-agnostic MERGE. Spend rides in DECIMAL(38,2) so the
+    //      8-level merge tree is exact and order-free: the final table
+    //      must equal the one-shot batch rollup hash-for-hash however
+    //      the stream was batched. Versioned dirs keep each merge's
+    //      input immutable (v_{n-1} read, v_n written) — the pattern's
+    //      scale story is that per-batch cost is |batch keys| + |table|,
+    //      with the table itself never passing through the driver.
+    Q("st14_incremental_mv",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st14-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        val stateDir = base.resolve("state")
+        val ckpt = base.resolve("ckpt")
+        Seq(stateDir, ckpt).foreach { p =>
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(x => java.nio.file.Files.delete(x))
+        }
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = child.readStream.schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base.resolve("src").toString)
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val inc = batch.filter(col("event_type") === "purchase")
+              .groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n_purchases"),
+                sum(col("value").cast("decimal(18,2)"))
+                  .cast("decimal(38,2)").as("spend"))
+            val prev = stateDir.resolve(s"v${batchId - 1}")
+            val merged =
+              if (java.nio.file.Files.exists(prev))
+                batch.sparkSession.read.parquet(prev.toString)
+                  .unionByName(inc)
+                  .groupBy(col("user_id"))
+                  .agg(sum(col("n_purchases")).as("n_purchases"),
+                    sum(col("spend")).cast("decimal(38,2)").as("spend"))
+              else inc
+            merged.write.mode("overwrite").option("compression", "zstd")
+              .parquet(stateDir.resolve(s"v$batchId").toString)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        import scala.jdk.CollectionConverters._
+        val last = java.nio.file.Files.list(stateDir).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("v"))
+          .map(_.drop(1).toLong).max
+        s.read.parquet(stateDir.resolve(s"v$last").toString)
+          .select(col("user_id"), col("n_purchases"),
+            col("spend").cast("double").as("total_spend"))
+      },
+      Some("""
+        SELECT user_id, COUNT(*) AS n_purchases,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id"""),
+      // the 8-file time-ranged source split is input staging (st09's
+      // pattern) — Bench runs it once untimed
+      setup = Some((s, d) => Tables.events(s, d)
+        .repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(scratchRoot.resolve(
+          "st14-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+          .resolve("src").toString)))
   )
 }

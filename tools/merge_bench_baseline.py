@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Merge full-coverage Bench runs into the committed bench_baseline.json.
+
+Usage: python3 tools/merge_bench_baseline.py <bench1.json> [bench2.json ...]
+           [-o bench_baseline.json] [--note "..."]
+
+Per-query wall seconds take the MIN across runs (each run is already a
+min over Bench's interleaved passes, so N runs give min over 3N reps —
+the stable statistic on a host whose full-run totals swing ±20%).
+The deterministic axes (shuffle_mb / exchanges / plan_nodes, setup_sec)
+are copied from the FIRST run and must agree across runs up to rounding;
+a disagreement means the plan moved mid-refresh and the merge aborts.
+
+Refuses to write a baseline whose sentinel series shows hot firings in
+every contributing run — a baseline built entirely under pressure would
+bake contention into the reference numbers. One clean run is enough.
+"""
+import json, sys
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+def main():
+    args = sys.argv[1:]
+    out = "bench_baseline.json"
+    note = None
+    paths = []
+    i = 0
+    while i < len(args):
+        if args[i] == "-o":
+            out = args[i + 1]; i += 2
+        elif args[i] == "--note":
+            note = args[i + 1]; i += 2
+        else:
+            paths.append(args[i]); i += 1
+    if not paths:
+        sys.exit(__doc__)
+    runs = [load(p) for p in paths]
+
+    names = set(runs[0]["queries"])
+    for p, r in zip(paths[1:], runs[1:]):
+        if set(r["queries"]) != names:
+            sys.exit(f"query sets differ: {paths[0]} vs {p} "
+                     f"(symmetric diff {set(r['queries']) ^ names})")
+    sfs = {r.get("sf") for r in runs}
+    if len(sfs) != 1:
+        sys.exit(f"runs are at different scale factors: {sfs}")
+    for r, p in zip(runs, paths):
+        if r.get("errors"):
+            sys.exit(f"{p} carries errors — baseline runs must be clean: "
+                     f"{list(r['errors'])[:3]}")
+
+    # deterministic axes must agree (same code + same data => same plan)
+    for axis, tol in (("shuffle_mb", 0.2), ("exchanges", 0), ("plan_nodes", 0)):
+        base = runs[0].get(axis, {})
+        for p, r in zip(paths[1:], runs[1:]):
+            cur = r.get(axis, {})
+            for k in set(base) & set(cur):
+                if abs(cur[k] - base[k]) > tol:
+                    sys.exit(f"{axis} disagrees for {k}: {base[k]} in "
+                             f"{paths[0]} vs {cur[k]} in {p} — the plan "
+                             "moved mid-refresh; re-run both on one commit")
+
+    # pressure check: at least one run must be sentinel-clean
+    def hot_count(r):
+        bar = r.get("sentinel_hot_bar")
+        series = [x for p in r.get("sentinel_sec", []) for x in p]
+        if bar is None or not series:
+            return None
+        return sum(1 for x in series if x > bar)
+    hots = [hot_count(r) for r in runs]
+    if all(h is None or h > 0 for h in hots):
+        sys.exit(f"every contributing run shows hot sentinel firings "
+                 f"({hots}) — refresh on a quiet host instead of baking "
+                 "pressure into the baseline")
+
+    merged = {k: min(r["queries"][k] for r in runs) for k in sorted(names)}
+    total = sum(merged.values())
+    result = {
+        "metric": "total", "value": round(total, 3), "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in merged.items()},
+        "errors": {}, "n_queries": len(merged),
+        "per_query_mean": round(total / len(merged), 3),
+        "sf": runs[0].get("sf"),
+        "setup_sec": runs[0].get("setup_sec", {}),
+        "shuffle_mb": runs[0].get("shuffle_mb", {}),
+        "exchanges": runs[0].get("exchanges", {}),
+        "plan_nodes": runs[0].get("plan_nodes", {}),
+    }
+    if note:
+        result["note"] = note
+    with open(out, "w") as f:
+        json.dump(result, f, separators=(",", ":"))
+        f.write("\n")
+    print(f"wrote {out}: {len(merged)} queries, {total:.1f} s total, "
+          f"{total / len(merged):.3f} s/query "
+          f"(min over {len(runs)} run(s); sentinel hot counts {hots})")
+
+if __name__ == "__main__":
+    main()
