@@ -225,7 +225,8 @@ object Bench {
       "p01_tripmetrics_core", "t05_ngram_profile", "t09_curation_pipeline",
       "d03_minhash_lsh", "s01_cosine_topk", "e03_sessionize",
       "m01_struct_join", "h01_pricing_summary", "st01_stream_tumbling",
-      "g04_connected_components", "st09_multibatch_replay")
+      "g04_connected_components", "st09_multibatch_replay",
+      "t23_bm25", "s15_pq_adc")
     // untimed input-staging seconds per query, recorded alongside the
     // timed map so the full-pipeline cost stays auditable (the printed
     // headline line omits it to stay under the driver's tail budget)

@@ -52,7 +52,13 @@ def main():
                      f"{list(r['errors'])[:3]}")
 
     # deterministic axes must agree (same code + same data => same plan)
-    for axis, tol in (("shuffle_mb", 0.2), ("exchanges", 0), ("plan_nodes", 0)):
+    # up to AQE runtime-replan variance: borderline broadcast/coalesce
+    # decisions can move one exchange / a few nodes between runs (s14
+    # observed 14 vs 15 exchanges with identical shuffle volume), so
+    # the tolerance is ±1 exchange / ±5 nodes and the baseline stores
+    # the MIN — the tracker's "any increase" bar then fires only on
+    # growth past the variance band actually observed.
+    for axis, tol in (("shuffle_mb", 0.2), ("exchanges", 1), ("plan_nodes", 5)):
         base = runs[0].get(axis, {})
         for p, r in zip(paths[1:], runs[1:]):
             cur = r.get(axis, {})
@@ -84,10 +90,12 @@ def main():
         "per_query_mean": round(total / len(merged), 3),
         "sf": runs[0].get("sf"),
         "setup_sec": runs[0].get("setup_sec", {}),
-        "shuffle_mb": runs[0].get("shuffle_mb", {}),
-        "exchanges": runs[0].get("exchanges", {}),
-        "plan_nodes": runs[0].get("plan_nodes", {}),
     }
+    for axis in ("shuffle_mb", "exchanges", "plan_nodes"):
+        maps = [r.get(axis, {}) for r in runs]
+        keys = set().union(*[set(m) for m in maps])
+        result[axis] = {
+            k: min(m[k] for m in maps if k in m) for k in sorted(keys)}
     if note:
         result["note"] = note
     with open(out, "w") as f:
