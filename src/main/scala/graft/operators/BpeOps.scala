@@ -111,7 +111,38 @@ object BpeOps {
     * each v{i} is referenced twice, so an inlining planner would expand
     * the chain into 2^rounds scans of the base table (observed as a
     * file-handle exhaustion at rounds=8). */
-  def bpeOracleSql(rounds: Int, table: String = "documents"): String = {
+  def bpeOracleSql(rounds: Int, table: String = "documents"): String =
+    trainCtes(rounds, table) + "\n      " +
+      (1 to rounds).map { i =>
+        s"SELECT $i AS merge_rank, lft, rgt, CAST(cnt AS BIGINT) AS weight FROM b$i"
+      }.mkString("\n      UNION ALL ")
+
+  /** The CORPUS-ENCODE replay: learn the b1..b{rounds} merge table with
+    * the same chain as `bpeOracleSql`, then apply the merges in rank
+    * order to the character sequence of every document (the same
+    * chained leftmost-non-overlapping `replace` as `encode`), and
+    * aggregate the resulting merged tokens (length >= 2 — exactly the
+    * learned units; single characters and punctuation fall out). The
+    * scalar subqueries on b{i} assume training does not exhaust (every
+    * fixture SF has > rounds distinct pairs); an exhausted round would
+    * replace with NULL on the oracle but skip on the engine. */
+  def encodeOracleSql(rounds: Int, table: String = "documents"): String = {
+    val seq0 =
+      s"' ' || array_to_string(string_split(lower(text), ''), ' ') || ' '"
+    val chained = (1 to rounds).foldLeft(seq0) { (acc, i) =>
+      s"""replace($acc,
+            ' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
+            ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ')"""
+    }
+    trainCtes(rounds, table) + s""",
+      enc AS (SELECT $chained AS seq FROM $table),
+      tok AS (SELECT unnest(string_split_regex(trim(seq), ' +')) AS token
+              FROM enc)
+      SELECT token, COUNT(*) AS n
+      FROM tok WHERE LENGTH(token) >= 2 GROUP BY 1"""
+  }
+
+  private def trainCtes(rounds: Int, table: String): String = {
     val head = s"""
       WITH v0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seq,
@@ -134,9 +165,6 @@ object BpeOps {
             ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ') AS seq,
           w FROM v${i - 1})"""
     }.mkString(",", ",", "")
-    val rows = (1 to rounds).map { i =>
-      s"SELECT $i AS merge_rank, lft, rgt, CAST(cnt AS BIGINT) AS weight FROM b$i"
-    }.mkString("\n      UNION ALL ")
-    head + stages + "\n      " + rows
+    head + stages
   }
 }

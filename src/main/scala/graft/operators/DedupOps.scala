@@ -507,4 +507,55 @@ object DedupOps {
         coalesce(col("n_cand_pairs"), lit(0L)).as("n_cand_pairs"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"))
   }
+
+  /** Exact-substring duplicate detection by WORD-ANCHORED character
+    * k-grams — the bulk-parallel approximation of suffix-array substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", find verbatim spans repeated across
+    * documents): every doc emits the first `gramLen` characters of the
+    * text starting at each WORD boundary; two docs sharing any anchored
+    * gram share a verbatim k-char span. Anchoring is CONTENT-DEFINED —
+    * the sample positions move with the text, so a span repeated at
+    * different offsets in two docs anchors the same grams in both
+    * (fixed-stride position sampling does NOT have this property: the
+    * two copies sample at different span-relative offsets and never
+    * collide). Every repeated span of >= gramLen chars that starts at
+    * a word boundary is detected exactly; longer spans are detected
+    * wherever any interior word boundary leaves gramLen chars of span.
+    *
+    * Scale shape: the gram emit is row-local (split + posexplode +
+    * slice + substring, no shuffle); ONE shuffle keys the postings by
+    * gram; grams above `maxDocsPerGram` docs are dropped before pairing
+    * — the LSH bucket-cap discipline, so boilerplate shared by half the
+    * corpus cannot go quadratic. Returns (doc_a, doc_b, n_shared) with
+    * doc_a < doc_b. At 100 TB, hash grams to 8 bytes before the shuffle
+    * (xxhash64) to cut shuffle width; kept as strings here so the
+    * independent-engine replay gates the candidate set itself. */
+  def substringDupPairs(docs: DataFrame, gramLen: Int,
+                        maxDocsPerGram: Int): DataFrame = {
+    require(gramLen >= 2 && maxDocsPerGram >= 2)
+    // 12 words always cover gramLen=32 chars (11 separators + word
+    // chars); the substring truncates the tail back to exactly gramLen
+    val anchorWords = 12
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("i", "w")))
+      .select(col("doc_id"),
+        substring(concat_ws(" ",
+          slice(col("ws"), col("i") + 1, lit(anchorWords))),
+          1, gramLen).as("gram"))
+      .filter(length(col("gram")) === gramLen)
+      .distinct()
+    val bounded = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDocsPerGram)
+      .select(col("gram"))
+    val posting = grams.join(bounded, Seq("gram"), "left_semi")
+    posting.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -453,4 +453,48 @@ object GraphOps {
     e.unpersist()
     labels
   }
+
+  /** Fixed-round k-core peel over an undirected graph given as BOTH
+    * directions of its edge list (src, dst): every round drops the
+    * nodes whose degree fell below `k` and the edges touching them
+    * (Seidman 1983 coreness; the Batagelj–Zaveršnik peel expressed as
+    * bulk rounds). Returns the survival curve — one row per round
+    * 0..`rounds` with the surviving node and directed-edge counts —
+    * rather than a per-node frame, so the gate output stays O(rounds)
+    * regardless of graph size. The round count is FIXED (not
+    * convergence-gated): the result is a pure function of graph + k +
+    * rounds, which is what lets an independent engine replay it as a
+    * CTE chain bit-for-bit; a converged peel simply repeats its last
+    * row, which the curve makes visible.
+    *
+    * Scale shape: each round is one keyed degree aggregation + two
+    * semi-joins (src-side, dst-side) against the surviving-node set —
+    * all shuffles keyed by node id, nothing driver-side. The edge frame
+    * advances through EAGER localCheckpoints so the live plan stays
+    * O(1) deep across rounds (the bfsHops/connectedComponents lineage
+    * rotation); superseded checkpoint blocks are reclaimed by the
+    * ContextCleaner. Per-round cost is O(|E_i|) on the SHRINKING edge
+    * set — peeling gets cheaper as it converges, and the counts ride
+    * along as lazy aggregates unioned into one final action (no
+    * per-round driver collect). */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def stats(e: DataFrame, round: Int): DataFrame =
+      e.agg(count_distinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_dir_edges"))
+        .select(lit(round.toLong).as("round"), col("n_nodes"),
+          col("n_dir_edges"))
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var curve = stats(e, 0)
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      e = e.join(keep, col("src") === col("id"), "left_semi")
+        .join(keep, col("dst") === col("id"), "left_semi")
+        .localCheckpoint(true)
+      curve = curve.unionByName(stats(e, r))
+    }
+    curve
+  }
 }

@@ -529,6 +529,42 @@ object Dedup {
           COALESCE(pa.n_cand_pairs, 0) AS n_cand_pairs,
           CAST(COALESCE(pa.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
         FROM (SELECT cell, COUNT(*) AS n_chunks FROM a GROUP BY 1) m
-        LEFT JOIN pa USING (cell)"""))
+        LEFT JOIN pa USING (cell)""")),
+
+    // ---- exact-substring duplicate spans (suffix-array approximation) ---
+    //      WORD-ANCHORED 32-char grams: the first 32 chars of the text
+    //      at every word boundary (content-defined sampling — the
+    //      anchor positions move with the text, so a span repeated at
+    //      DIFFERENT offsets in two docs still anchors identical grams;
+    //      fixed-stride position sampling misses exactly those). See
+    //      DedupOps.substringDupPairs — the Lee et al. 2022 dedup
+    //      target, bulk-parallelized. Gram emit is row-local; one
+    //      shuffle keys the postings by gram; grams in > 16 docs are
+    //      dropped before pairing (bucket-cap discipline) so
+    //      boilerplate can never go quadratic. Output: doc pairs with
+    //      their shared-gram counts — at sf0.01 this finds the corpus's
+    //      26 verbatim-duplicate pairs, up to 88 shared spans each.
+    Q("d16_substring_dedup",
+      (s, d) => DedupOps.substringDupPairs(
+        Tables.documents(s, d), gramLen = 32, maxDocsPerGram = 16),
+      Some("""
+        WITH w AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        g AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+            substring(array_to_string(
+              ws[CAST(i AS BIGINT):CAST(i + 11 AS BIGINT)], ' '),
+              1, 32) AS gram
+          FROM w CROSS JOIN LATERAL unnest(range(1, len(ws) + 1)) t(i)
+          WHERE length(substring(array_to_string(
+              ws[CAST(i AS BIGINT):CAST(i + 11 AS BIGINT)], ' '),
+              1, 32)) = 32),
+        f AS (SELECT gram FROM g
+              GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 16),
+        gg AS MATERIALIZED (
+          SELECT doc_id, gram FROM g WHERE gram IN (SELECT gram FROM f))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2"""))
   )
 }

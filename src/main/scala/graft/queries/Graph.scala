@@ -368,8 +368,51 @@ object Graph {
           start = 2L, rounds = 5)
         .groupBy(col("dist"))
         .agg(count(lit(1)).as("n_nodes")),
-      Some(ssspSql(5)))
+      Some(ssspSql(5))),
+
+    // ---- fixed-round k-core peel ----------------------------------------
+    //      5 peel rounds at k=3 over the co-purchase graph, reported as
+    //      the survival curve (round, nodes, directed edges). At sf0.01
+    //      the cascade is real: 1892 -> 1294 -> 1154 -> ... -> a 1065-
+    //      node 3-core (each removal drops neighbors below k in turn);
+    //      fixed rounds keep the replay exact whether or not the peel
+    //      has converged at a given SF. The oracle repeats the identical
+    //      rounds as MATERIALIZED CTEs (each e_i is referenced three
+    //      times — by the next filter, the next edge set and its own
+    //      stats row — so an inlining planner would expand the chain
+    //      exponentially, the t22 lesson).
+    Q("g10_kcore",
+      (s, d) => {
+        val p = coPurchasePairs(s, d)
+        GraphOps.kcorePeel(
+          p.select(col("u").as("src"), col("v").as("dst"))
+            .union(p.select(col("v").as("src"), col("u").as("dst"))),
+          k = 3, rounds = 5)
+      },
+      Some(kcoreSql(3, 5)))
   )
+
+  /** CTE chain replaying `rounds` k-core peel rounds over the
+    * co-purchase graph (see g10). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder("WITH " + coPurchaseSql.replace(
+      "pairs AS (", "pairs AS MATERIALIZED (") + """,
+    e0 AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst FROM pairs)""")
+    for (i <- 1 to rounds) sb ++= s""",
+    k$i AS MATERIALIZED (
+      SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= $k),
+    e$i AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e${i - 1} e
+      WHERE e.src IN (SELECT src FROM k$i)
+        AND e.dst IN (SELECT src FROM k$i))"""
+    sb ++= (0 to rounds).map(i => s"""
+    SELECT CAST($i AS BIGINT) AS round, COUNT(DISTINCT src) AS n_nodes,
+           COUNT(*) AS n_dir_edges FROM e$i""").mkString("\n    UNION ALL")
+    sb.toString
+  }
 
   /** CTE chain replaying `rounds` Bellman-Ford sweeps over the weighted
     * trade graph (see g09). */

@@ -222,6 +222,47 @@ object Multimodal {
             / n_pixels AS letter_ratio
         FROM a""")),
 
+    // ---- REAL resize: PNG -> nearest-neighbor 4x down -> PNG -> stats ---
+    //      the full image pipeline shape: encode real PNGs, decode +
+    //      downsample by pure index arithmetic (resized (x,y) = source
+    //      (4x,4y) — no interpolation kernel, so bit-deterministic),
+    //      re-encode, decode AGAIN for stats. Grid math: source is
+    //      32 x h (h = ceil(len/32)), resized is 8 x ceil(h/4), so
+    //      resized pixel (x,y) is payload byte 128y + 4x (0 when past
+    //      the text — the pad stripe). The oracle replays exactly that
+    //      arithmetic from the source text; dark_ratio counts the <32
+    //      luminance bin, i.e. sampled pad zeros (fixture text is all
+    //      printable >= 32). Three codec passes, all row-local
+    //      mapPartitions — zero shuffles end to end.
+    Q("m10_image_resize",
+      (s, d) => {
+        import s.implicits._
+        MultimodalOps.decodeImage(MultimodalOps.resizeImage(
+            MultimodalOps.encodePng(
+              MultimodalOps.buildAssets(Tables.documents(s, d))
+                .as[MultimodalOps.MediaAsset]),
+            factor = 4))
+          .select(col("asset_id"), col("n_bytes").as("n_pixels"),
+            col("mean_byte").as("mean_luma"),
+            element_at(col("feature"), 1).as("dark_ratio"))
+      },
+      Some("""
+        WITH a AS (SELECT doc_id AS asset_id, LENGTH(text) AS len,
+                     CAST(CEIL(GREATEST(CAST(CEIL(LENGTH(text) / 32.0)
+                         AS BIGINT), 1) / 4.0) AS BIGINT) AS h2,
+                     text FROM documents),
+        v AS (SELECT asset_id, h2,
+                CASE WHEN 128 * (i // 8) + 4 * (i % 8) < len
+                  THEN ascii(substring(text,
+                    CAST(128 * (i // 8) + 4 * (i % 8) + 1 AS BIGINT), 1))
+                  ELSE 0 END AS v
+              FROM a CROSS JOIN LATERAL unnest(range(0, h2 * 8)) t(i))
+        SELECT asset_id, 8 * h2 AS n_pixels,
+          CAST(SUM(v) AS DOUBLE) / (8 * h2) AS mean_luma,
+          CAST(SUM(CASE WHEN v < 32 THEN 1 ELSE 0 END) AS DOUBLE)
+            / (8 * h2) AS dark_ratio
+        FROM v GROUP BY asset_id, h2""")),
+
     // ---- REAL audio codec: payload -> WAV -> javax.sound decode ---------
     //      the audio twin of m08: each payload becomes an actual WAV
     //      file (8-bit unsigned PCM mono behind a canonical RIFF

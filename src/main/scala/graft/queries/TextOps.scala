@@ -729,6 +729,31 @@ object TextOps {
       (s, d) => graft.operators.BpeOps.train(Tables.documents(s, d), rounds = 8),
       Some(graft.operators.BpeOps.bpeOracleSql(8))),
 
+    // ---- BPE ENCODE with the learned merge table ------------------------
+    //      the apply half of t22: train the 8-round merge table (a tiny
+    //      driver-side model, like a fitted centroid set), then tokenize
+    //      the WHOLE corpus with it — chained literal `replace` over the
+    //      character sequence, entirely row-local (the merges ride into
+    //      the plan as literals, broadcast by construction; zero
+    //      shuffles until the final token-count aggregation). Reported
+    //      as counts of the merged units (length >= 2 — single
+    //      characters are by definition unmerged). This is the shape a
+    //      curation pipeline runs after tokenizer training: the 100 TB
+    //      encode pass is embarrassingly parallel, the model is O(vocab
+    //      merges), and the corpus never re-shuffles.
+    Q("t25_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.BpeOps.train(docs, rounds = 8)
+          .orderBy(col("merge_rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.BpeOps.encode(docs, merges)
+          .select(explode(col("bpe_tokens")).as("token"))
+          .filter(length(col("token")) >= 2)
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      },
+      Some(graft.operators.BpeOps.encodeOracleSql(8))),
+
     // ---- BM25 retrieval (Okapi, k1=1.2 b=0.75) --------------------------
     //      the lexical twin of the s-family's ANN: score every document
     //      against a query (the distinct tokens of doc 1) over an

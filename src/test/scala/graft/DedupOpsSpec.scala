@@ -116,4 +116,33 @@ class DedupOpsSpec extends SparkSpec {
     assert(cand < totalChunks * (totalChunks - 1) / 2,
       s"candidates not bounded: $cand of ${totalChunks} chunks")
   }
+
+  test("substringDupPairs: anchored grams catch a span at DIFFERENT offsets") {
+    // docs 1 and 2 share the verbatim span "sphinx of black quartz judge
+    // my vow" but at different character offsets — the case fixed-stride
+    // position sampling misses and word-anchoring must catch. Doc 3 has
+    // no 12-char verbatim overlap with either.
+    val shared = "sphinx of black quartz judge my vow"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta epsilon"),
+      (2L, s"one $shared two three four five six seven"),
+      (3L, "completely different words with no long run at all here"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.substringDupPairs(docs, gramLen = 12,
+        maxDocsPerGram = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), s"got $pairs")
+  }
+
+  test("substringDupPairs: the gram-frequency cap drops corpus boilerplate") {
+    // every doc opens with the same 20-char boilerplate; with the cap
+    // below the doc count the boilerplate gram is excluded and no pairs
+    // survive, so a universal header cannot go quadratic
+    val docs = (1L to 6L).map(i =>
+      (i, s"common header text here unique$i tail$i")).toDF("doc_id", "text")
+    val pairs = DedupOps.substringDupPairs(docs, gramLen = 20,
+      maxDocsPerGram = 4).collect()
+    assert(pairs.isEmpty, pairs.mkString(", "))
+  }
 }

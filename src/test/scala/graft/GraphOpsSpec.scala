@@ -307,4 +307,27 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(three(4L) == 3L, s"got $three")
   }
+
+  test("kcorePeel: pendant chain peels off K4 in cascading rounds") {
+    // K4 on 1-4 plus a chain 4-5-6. k=2 peel: round 1 drops the
+    // degree-1 tail node 6, which EXPOSES 5 at degree 1 for round 2 —
+    // the cascade a single-pass degree filter would miss. The K4 core
+    // then survives unchanged (round 3 repeats round 2's row).
+    val edges = undirected((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val curve = GraphOps.kcorePeel(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve === Map(0L -> ((6L, 16L)), 1L -> ((5L, 14L)),
+      2L -> ((4L, 12L)), 3L -> ((4L, 12L))), s"got $curve")
+  }
+
+  test("kcorePeel: peeling to an empty graph reports zero rows, not none") {
+    // a path graph has no 2-core; the fixed-round curve must bottom
+    // out at (0, 0) rather than losing its rows
+    val edges = undirected((1L, 2L), (2L, 3L), (3L, 4L))
+    val curve = GraphOps.kcorePeel(edges, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(curve(0L) == ((4L, 6L)))
+    assert(curve(3L) == ((0L, 0L)), s"got $curve")
+  }
 }

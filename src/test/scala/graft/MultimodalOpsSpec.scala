@@ -101,4 +101,28 @@ class MultimodalOpsSpec extends SparkSpec {
     val f = MultimodalOps.decodeAudio(bad).collect().head
     assert(f.asset_id == 7L && f.sample_rate == -1L && f.n_samples == 0L)
   }
+
+  test("resizeImage picks exactly the (x*f, y*f) source pixels") {
+    // payload "abcdef" at width 2 is a 2x3 gray PNG:
+    //   a b        factor-2 resize -> 1x2, pixels (0,0)='a', (0,2)='e'
+    //   c d
+    //   e f
+    val docs = Seq((1L, "abcdef")).toDF("doc_id", "text")
+    val png = MultimodalOps.encodePng(
+      MultimodalOps.buildAssets(docs).as[MultimodalOps.MediaAsset], width = 2)
+    val rs = MultimodalOps.resizeImage(png, factor = 2)
+    val f = MultimodalOps.decodeImage(rs).collect().head
+    assert(f.n_bytes == 2, s"resized pixel count: ${f.n_bytes}")
+    assert(f.mean_byte == ('a' + 'e') / 2.0, s"mean: ${f.mean_byte}")
+    val meta = rs.collect().head.meta
+    assert(meta.format == "image/png" && meta.byte_len > 0)
+  }
+
+  test("resizeImage passes undecodable payloads through unchanged") {
+    val bad = Seq(MultimodalOps.MediaAsset(7L, Array[Byte](1, 2, 3),
+      MultimodalOps.MediaMeta("application/octet-stream", 3L, "z"))).toDS()
+    val out = MultimodalOps.resizeImage(bad, factor = 4).collect().head
+    assert(out.asset_id == 7L && out.meta.checksum == "z" &&
+      out.content.toSeq == Seq[Byte](1, 2, 3))
+  }
 }
