@@ -480,21 +480,35 @@ object GraphOps {
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def stats(e: DataFrame, round: Int): DataFrame =
-      e.agg(count_distinct(col("src")).as("n_nodes"),
-          count(lit(1)).as("n_dir_edges"))
-        .select(lit(round.toLong).as("round"), col("n_nodes"),
-          col("n_dir_edges"))
+    // the per-round edge sets are cheap checkpointed scans, so the
+    // whole curve aggregates in ONE job: tag each round's survivors
+    // with its round number, union, and run a single grouped count —
+    // 2 exchanges total instead of one single-partition agg per round
+    def tag(e: DataFrame, round: Int): DataFrame =
+      e.select(lit(round.toLong).as("round"), col("src"))
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var curve = stats(e, 0)
+    var tagged = tag(e, 0)
     for (r <- 1 to rounds) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("id"))
       e = e.join(keep, col("src") === col("id"), "left_semi")
         .join(keep, col("dst") === col("id"), "left_semi")
         .localCheckpoint(true)
-      curve = curve.unionByName(stats(e, r))
+      tagged = tagged.unionByName(tag(e, r))
     }
-    curve
+    // a peeled-to-empty round has no survivor rows to count, which
+    // would DROP its curve row — re-anchor every round on a literal
+    // frame so (round, 0, 0) survives
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val anchor = (0L to rounds.toLong).toDF("round")
+    anchor.join(
+        tagged.groupBy(col("round"))
+          .agg(count_distinct(col("src")).as("nodes"),
+            count(lit(1)).as("edges")),
+        Seq("round"), "left")
+      .select(col("round"),
+        coalesce(col("nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("edges"), lit(0L)).as("n_dir_edges"))
   }
 }

@@ -23,7 +23,12 @@ class PlanShapePinSpec extends SparkSpec {
     "q03_join_broadcast" -> 1,   // dims broadcast; one agg shuffle
     "q20_star_join" -> 1,        // star: ALL dims broadcast
     "q04_join_factfact" -> 2,    // fact-fact join + final agg
-    "s01_cosine_topk" -> 1)      // scoring is broadcast NLJ + one window
+    "s01_cosine_topk" -> 1,      // scoring is broadcast NLJ + one window
+    "m10_image_resize" -> 0,     // three codec passes, all row-local
+    "t25_bpe_encode" -> 1,       // encode row-local; one token agg
+    "d16_substring_dedup" -> 7,  // distinct, df cap, semi, pair join, agg
+    "g10_kcore" -> 4)            // rounds pre-checkpointed; one tagged
+                                 // distinct-count + anchor join tail
 
   private def exchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).size +
