@@ -41,6 +41,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // fingerprint of the fixture GENERATION this run measured (file
+    // paths + sizes + mtimes — the driver regenerates testdata with
+    // fresh mtimes, so a regeneration flips the fingerprint even when
+    // content is seed-identical). Stamped into bench.json and the
+    // printed line; the tracker below and merge_bench_baseline.py
+    // refuse WALL-TIME diffs across differing fingerprints (round 9:
+    // four "regressions" were a 07:51 baseline diffed against 08:42
+    // fixtures) while the plan axes stay comparable.
+    val fixture = fixtureFingerprint(sfDir)
     val spark = GraftSession.getOrCreate("graft-bench")
 
     // SPARK_GRAFT_ONLY=q43_preagg_join,q41_salted_join — dev-loop filter
@@ -249,7 +258,7 @@ object Bench {
     val suspectJson = suspect.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(rs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qJson(rs)},"errors":$errJson,"n_queries":${results.size},"per_query_mean":${fmt(perQuery)},"sf":$sfNum,"fixture":"$fixture"}"""
     Files.writeString(Paths.get("bench.json"),
       line(results).dropRight(1) +
         s""","setup_sec":$setupJson,"shuffle_mb":$shuffleJson,"exchanges":$exchangeJson,"plan_nodes":$nodeJson,"sentinel_sec":$sentinelJson,"sentinel_hot_bar":${fmt(hotBar)},"pressure_suspect":$suspectJson}""" + "\n")
@@ -300,9 +309,27 @@ object Bench {
       // sf0.1, a dev loop at sf0.001 would diff meaninglessly
       val prevSf = "\"sf\":([0-9.]+)".r.findFirstMatchIn(prevJson)
         .map(_.group(1)).getOrElse("")
+      // cross-GENERATION guard: wall numbers measured on a different
+      // fixture generation are not comparable (data-dependent iteration
+      // counts move with regenerated data even at the same SF — the
+      // round-9 false-regression class). A prev file with no fingerprint
+      // predates the stamp: diff, but say so.
+      val prevFixture = "\"fixture\":\"([0-9a-f]+)\"".r
+        .findFirstMatchIn(prevJson).map(_.group(1))
+      val sameGeneration = prevFixture.forall(_ == fixture)
       val prevTimes =
-        if (prevSf == sfNum) parseQueryTimes(prevJson)
+        if (prevSf == sfNum && sameGeneration) parseQueryTimes(prevJson)
         else Map.empty[String, Double]
+      if (!sameGeneration)
+        System.err.println(s"[bench] vs ${prev.getFileName}: fixture " +
+          s"generation differs (${prevFixture.get} vs $fixture) — wall-" +
+          "time diffs are INVALID across data generations and are " +
+          "skipped; the plan axes below remain valid. Rebuild the " +
+          "baseline on the current fixtures (tools/merge_bench_baseline.py).")
+      else if (prevFixture.isEmpty)
+        System.err.println(s"[bench] vs ${prev.getFileName}: no fixture " +
+          "fingerprint in the reference (predates the stamp) — wall " +
+          "diffs may span a data regeneration; treat them as advisory.")
       val regressions = results.flatMap { case (name, t) =>
         prevTimes.get(name).collect {
           // only meaningful moves: >30% slower AND >0.1s absolute — these
@@ -311,13 +338,15 @@ object Bench {
         }
       }.sortBy { case (_, p, t) => -(t - p) }
       val (pressured, credible) = regressions.partition(r => suspect(r._1))
-      System.err.println(s"[bench] vs ${prev.getFileName}: " +
-        s"${regressions.size} wall regression(s) (>30% and >0.1s), of " +
-        s"which ${credible.size} credible / ${pressured.size} pressure-suspect")
-      regressions.take(8).foreach { case (name, p, t) =>
-        val tag = if (suspect(name)) " [pressure-suspect]" else ""
-        System.err.println(f"[bench]   $name%-26s ${fmt(p)} -> ${fmt(t)} " +
-          f"(${(t / p - 1) * 100}%.0f%% slower)$tag")
+      if (sameGeneration) {
+        System.err.println(s"[bench] vs ${prev.getFileName}: " +
+          s"${regressions.size} wall regression(s) (>30% and >0.1s), of " +
+          s"which ${credible.size} credible / ${pressured.size} pressure-suspect")
+        regressions.take(8).foreach { case (name, p, t) =>
+          val tag = if (suspect(name)) " [pressure-suspect]" else ""
+          System.err.println(f"[bench]   $name%-26s ${fmt(p)} -> ${fmt(t)} " +
+            f"(${(t / p - 1) * 100}%.0f%% slower)$tag")
+        }
       }
       // the noise-free axes: these only move when the PLAN moved (same
       // data, same SF), so any growth past rounding is structural —
@@ -374,6 +403,29 @@ object Bench {
     // printed LAST so it sits at the very end of the captured tail
     println(line(results.filter(r => headline(r._1))))
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Fingerprint of a fixture directory's GENERATION: md5 over the
+    * sorted (relative path, size, mtime-millis) of every regular file
+    * under it, first 12 hex chars. Content-seed-identical regenerations
+    * still flip it (fresh mtimes) — deliberately: the driver's
+    * regeneration is exactly the event after which wall-time
+    * comparisons must be refused. Pure metadata walk, no file reads. */
+  private[graft] def fixtureFingerprint(dir: String): String = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return "nofixtures"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stream = Files.walk(root)
+    try {
+      val entries = new java.util.ArrayList[String]()
+      stream.filter(Files.isRegularFile(_)).forEach { p =>
+        entries.add(root.relativize(p).toString + "|" + Files.size(p) +
+          "|" + Files.getLastModifiedTime(p).toMillis)
+      }
+      java.util.Collections.sort(entries)
+      entries.forEach(e => md.update(e.getBytes("UTF-8")))
+    } finally stream.close()
+    md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
   /** the committed full-coverage baseline, if present. Unlike the

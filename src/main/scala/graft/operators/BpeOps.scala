@@ -103,6 +103,118 @@ object BpeOps {
     docs.withColumn("bpe_tokens", split(trim(merged), " +"))
   }
 
+  /** Corpus encode that scales to a REAL vocabulary (~32k merges):
+    * the merge table rides to executors as ONE broadcast list and every
+    * row folds it in plain JVM string code inside a single mapPartitions
+    * pass — the plan carries one function call, not a `replace` chain
+    * that grows (and blows the JVM 64KB codegen method limit) linearly
+    * with the vocab. Bit-identical to [[encode]] BY CONSTRUCTION: per
+    * merge it runs the same leftmost-non-overlapping
+    * `" l r " -> " lr "` substitution (java.lang.String.replace has
+    * exactly the SQL replace's semantics, including the subtle
+    * delimiter-consumption behavior on runs — " a a a a " merges
+    * symbols 0&1 and 3&4, never 1&2 — which is why this is a string
+    * replay and NOT the heap-greedy rank merger: that algorithm merges
+    * runs differently and would break the oracle equivalence the gate
+    * depends on). A per-row symbol-presence set prunes merges whose
+    * components can't occur, so a 32k-merge table costs one hash probe
+    * per inapplicable merge, not a scan. */
+  def encodeBulk(docs: DataFrame, merges: Seq[(String, String)],
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val enc = udf { (text: String) =>
+      val t = if (text == null) "" else text.toLowerCase
+      val sb = new java.lang.StringBuilder(t.length * 2 + 2)
+      val present = new java.util.HashSet[String]()
+      sb.append(' ')
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        sb.append(c).append(' ')
+        present.add(String.valueOf(c))
+        i += 1
+      }
+      var s = sb.toString
+      for ((l, r) <- bc.value) {
+        if (present.contains(l) && present.contains(r)) {
+          val out = s.replace(s" $l $r ", s" $l$r ")
+          if (out ne s) { s = out; present.add(l + r) }
+        }
+      }
+      // mirror split(trim(s), ' +') exactly, including the empty-input
+      // case where Spark's split yields [""] rather than []
+      val t2 = s.trim
+      if (t2.isEmpty) Array("") else t2.split(" +")
+    }
+    docs.withColumn("bpe_tokens", enc(col(textCol)))
+  }
+
+  /** Batched training: learn `totalMerges` merges taking up to
+    * `batchSize` pairs per pair-count round instead of one — the
+    * standard fix for the per-merge driver round trip that caps
+    * sequential training at toy vocab sizes (a 32k-merge table costs
+    * ~32k/B shuffles instead of 32k). Per round the top candidates come
+    * back in ONE bounded collect (4*batchSize rows — a merge-table-
+    * sized driver transfer, the TextOps:748 lifecycle, never data
+    * rows); candidates are accepted greedily in (count DESC, lft, rgt)
+    * order, SKIPPING any pair sharing a symbol with an already-accepted
+    * pair in the same batch — symbol-disjoint merges can't change each
+    * other's counts, so each accepted pair's count is exactly what a
+    * sequential round would have seen. batchSize=1 reproduces [[train]]
+    * bit-for-bit (spec-pinned); larger batches may legitimately diverge
+    * from sequential training where a round's merge creates a new pair
+    * that would have outranked the next candidate — the accepted
+    * batching tradeoff (Sennrich's released subword-nmt trains
+    * sequentially; production tokenizers batch). */
+  def trainBatched(docs: DataFrame, totalMerges: Int,
+                   batchSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    require(totalMerges >= 1, s"totalMerges must be >= 1, got $totalMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var v = vocab(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    while (merges.length < totalMerges && !exhausted) {
+      val want = math.min(batchSize, totalMerges - merges.length)
+      val top = pairCounts(v)
+        .orderBy(desc("cnt"), asc("lft"), asc("rgt"))
+        .limit(want * 4).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet[String]()
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var j = 0
+        while (j < top.length && accepted.length < want) {
+          val (l, r, c) =
+            (top(j).getString(0), top(j).getString(1), top(j).getLong(2))
+          if (!used.contains(l) && !used.contains(r)) {
+            accepted += ((l, r, c))
+            used += l; used += r
+          }
+          j += 1
+        }
+        // fewer candidates than asked for AND none accepted -> the pair
+        // table itself is exhausted
+        if (accepted.isEmpty) exhausted = true
+        else {
+          val prev = v
+          var seqCol: Column = col("seq")
+          for ((l, r, c) <- accepted) {
+            merges += ((merges.length + 1, l, r, c))
+            seqCol = call_function("replace",
+              seqCol, lit(s" $l $r "), lit(s" $l$r "))
+          }
+          v = v.withColumn("seq", seqCol).localCheckpoint(true)
+          prev.unpersist(false)
+        }
+      }
+    }
+    v.unpersist(false)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lft", "rgt", "weight")
+  }
+
   /** The DuckDB replay of `train` as an explicit CTE chain — the oracle
     * cannot loop, so each round is spelled out: p{i} counts pairs,
     * b{i} picks the argmax with the same tie-break, v{i} substitutes
@@ -122,17 +234,24 @@ object BpeOps {
     * order to the character sequence of every document (the same
     * chained leftmost-non-overlapping `replace` as `encode`), and
     * aggregate the resulting merged tokens (length >= 2 — exactly the
-    * learned units; single characters and punctuation fall out). The
-    * scalar subqueries on b{i} assume training does not exhaust (every
-    * fixture SF has > rounds distinct pairs); an exhausted round would
-    * replace with NULL on the oracle but skip on the engine. */
+    * learned units; single characters and punctuation fall out). An
+    * exhausted round (b{i} empty — more rounds requested than the
+    * corpus has mergeable pairs) is a NO-OP replace via COALESCE: the
+    * target falls back to chr(1) repeated 3x — three adjacent non-space
+    * chars can only occur inside a merged symbol, and merged symbols
+    * are alnum-only (training tokenizes to [a-z0-9] words), so the
+    * fallback pattern never matches — matching the engine side, which
+    * simply skips the merge; without the guard the NULL scalar
+    * subquery nulls the whole replace chain and the mismatch surfaces
+    * as a confusing empty oracle rather than a no-op. */
   def encodeOracleSql(rounds: Int, table: String = "documents"): String = {
     val seq0 =
       s"' ' || array_to_string(string_split(lower(text), ''), ' ') || ' '"
     val chained = (1 to rounds).foldLeft(seq0) { (acc, i) =>
       s"""replace($acc,
-            ' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
-            ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ')"""
+            COALESCE(' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
+                     chr(1) || chr(1) || chr(1)),
+            COALESCE(' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ', ''))"""
     }
     trainCtes(rounds, table) + s""",
       enc AS (SELECT $chained AS seq FROM $table),

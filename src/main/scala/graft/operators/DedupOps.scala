@@ -384,16 +384,18 @@ object DedupOps {
     while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
-      // EAGER localCheckpoint, not persist: persist bounds memory but the
+      // LAZY localCheckpoint, not persist: persist bounds memory but the
       // logical plan still chains round over round, and consumers that
       // re-run the closure (d10 stacks a join+agg on top) were printing
       // 450+-exchange plans whose Catalyst re-analysis grows with every
       // fixpoint round. Checkpointing pins each round to a single RDD
-      // scan (the connectedComponents rotation); superseded rounds are
-      // reclaimed by the ContextCleaner.
+      // scan (the connectedComponents rotation); eager=false because the
+      // labelSum convergence action below materializes it anyway — one
+      // pass per round, not two. Superseded rounds are reclaimed by the
+      // ContextCleaner.
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // labels only ever decrease, so the label sum is strictly monotone:
       // equal sums == fixpoint — a one-column agg over the cached frame
       // instead of a join-and-diff per round
@@ -433,11 +435,20 @@ object DedupOps {
   // value-for-value.
   // ------------------------------------------------------------------
 
+  /** Chunk-key radix: ck = doc_id * ChunkKeyRadix + window index. 2^21
+    * windows per doc (~839M chars at the default stride 400) before two
+    * docs' key ranges can overlap, with doc_id headroom to 2^42 — wide
+    * enough that the "key collides for huge docs" failure mode moves
+    * from plausible (the old 1e5 radix collided at 40M chars) to a
+    * documented corpus constraint. Kept as one multiply (not a struct
+    * key) so the oracle replays it with the same integer arithmetic. */
+  val ChunkKeyRadix: Long = 1L << 21
+
   /** sliding chunk windows (t21's geometry) with a `dims`-dim integer
     * frequency vector per chunk: v[j] = count of alphanumeric chars with
     * ascii % dims == j. Row-local: explode + per-row array math, no
-    * shuffle. ck = doc_id * 100000 + window index (docs beyond 4e7 chars
-    * would need a wider key — a corpus constraint, not a plan one). */
+    * shuffle. ck = doc_id * ChunkKeyRadix + window index (see its doc
+    * for the collision bound). */
   def chunkVectors(docs: DataFrame, size: Int, stride: Int,
                    dims: Int): DataFrame = {
     val vExpr = (0 until dims).map(j =>
@@ -452,7 +463,7 @@ object DedupOps {
                 i -> substring(text, i * $stride + 1, $size))"""))
           .as(Seq("seq", "chunk")))
       .select(col("doc_id"),
-        (col("doc_id") * 100000 + col("seq")).as("ck"),
+        (col("doc_id") * lit(ChunkKeyRadix) + col("seq")).as("ck"),
         expr("""filter(split(lower(chunk), ''),
                        c -> (c >= 'a' AND c <= 'z') OR
                             (c >= '0' AND c <= '9'))""").as("cs"))
@@ -461,12 +472,37 @@ object DedupOps {
         expr("aggregate(v, 0L, (a, x) -> a + x * x)").as("n2"))
   }
 
+  /** Cell-count sizing rule for the IVF-celled families (this file's
+    * chunk dedup, SimilarityOps' IVF search): C = max(16, ceil(sqrt(N)))
+    * cells for N vectors. Assignment cost is N*C (every vector scores
+    * every broadcast centroid) while within-cell pairing is
+    * sum(|cell|^2) ~ N^2/C, so C ~ sqrt(N) balances the two at
+    * O(N^1.5) total — the standard IVF nlist heuristic (Jégou et al.
+    * 2011 pick nlist ~ sqrt(N)). A fixed test-scale cell count shipped
+    * to a 100x corpus makes pairing quadratic; callers that know N
+    * should pass autoCells(N), and chunkNearDupsAuto does the count
+    * itself. The floor of 16 keeps tiny corpora on the gated default. */
+  def autoCells(nVectors: Long): Int =
+    math.max(16, math.ceil(math.sqrt(math.max(nVectors, 0L).toDouble)).toInt)
+
+  /** chunkNearDups with the cell count derived from the actual chunk
+    * count via [[autoCells]] — one extra COUNT aggregate (a scalar to
+    * the driver, the bloomPreFilter lifecycle) buys the sqrt(N) cell
+    * growth that keeps per-cell pairing bounded at any corpus size. */
+  def chunkNearDupsAuto(docs: DataFrame, size: Int = 500, stride: Int = 400,
+                        dims: Int = 16, t2: Double = 0.998): DataFrame = {
+    val n = chunkVectors(docs, size, stride, dims).count()
+    chunkNearDups(docs, size, stride, dims, autoCells(n), t2)
+  }
+
   /** Per-cell chunk-dedup audit: (cell, n_chunks, n_cand_pairs,
     * n_dup_pairs). Cells are the `nCells` lowest-ck chunk vectors
     * (deterministic seeds, the s07 convention — production k-means
     * trains them offline); a pair is a dup when cosine^2 >= t2,
     * checked as dot >= 0 AND dot^2 >= t2 * |a|^2 * |b|^2 — exact
-    * integer/double comparison, identical on every engine. */
+    * integer/double comparison, identical on every engine. Size
+    * `nCells` per [[autoCells]] — the gated default 16 is the
+    * test-scale setting, not a production one. */
   def chunkNearDups(docs: DataFrame, size: Int = 500, stride: Int = 400,
                     dims: Int = 16, nCells: Int = 16,
                     t2: Double = 0.998): DataFrame = {
@@ -534,9 +570,12 @@ object DedupOps {
   def substringDupPairs(docs: DataFrame, gramLen: Int,
                         maxDocsPerGram: Int): DataFrame = {
     require(gramLen >= 2 && maxDocsPerGram >= 2)
-    // 12 words always cover gramLen=32 chars (11 separators + word
-    // chars); the substring truncates the tail back to exactly gramLen
-    val anchorWords = 12
+    // window derived from gramLen: w words joined by single spaces span
+    // at least 2w-1 chars (worst case all 1-char words), so w =
+    // gramLen/2 + 1 always covers gramLen chars; the substring truncates
+    // the tail back to exactly gramLen. (A fixed window narrower than
+    // this silently dropped anchors inside 1-char-word runs.)
+    val anchorWords = gramLen / 2 + 1
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),

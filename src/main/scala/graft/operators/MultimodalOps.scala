@@ -104,6 +104,22 @@ object MultimodalOps {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  /** Decode image bytes or null. ImageIO.read throws more than
+    * IOException on malformed input (RuntimeExceptions from codec
+    * internals), and the corrupt-blob contract is "pass through", so
+    * any non-fatal failure maps to null. */
+  private def readImageOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Luminance of one pixel for any band layout: gray reads band 0,
+    * gray+alpha reads the gray band (0), 3+ bands average the first
+    * three color bands. */
+  private def lum(raster: java.awt.image.Raster, bands: Int, x: Int, y: Int): Int =
+    if (bands <= 2) raster.getSample(x, y, 0)
+    else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+      raster.getSample(x, y, 2)) / 3
+
   /** Encode each asset's payload as a REAL grayscale PNG: byte i of the
     * payload becomes pixel i (row-major, `width` pixels per row; the
     * ragged tail row pads with zeros). Gray PNG is lossless, so decode
@@ -150,9 +166,7 @@ object MultimodalOps {
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
-          catch { case _: java.io.IOException => null }
+        val img = readImageOrNull(a.content)
         if (img == null)
           MediaFeatures(a.asset_id, a.content.length.toLong, -1.0, Array.empty)
         else {
@@ -166,10 +180,7 @@ object MultimodalOps {
           while (y < h) {
             var x = 0
             while (x < w) {
-              val v =
-                if (bands == 1) raster.getSample(x, y, 0)
-                else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
-                  raster.getSample(x, y, 2)) / 3
+              val v = lum(raster, bands, x, y)
               hist(math.min(v, 255) >> 5) += 1.0
               sum += v
               x += 1
@@ -201,9 +212,7 @@ object MultimodalOps {
     assets.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.content))
-          catch { case _: java.io.IOException => null }
+        val img = readImageOrNull(a.content)
         if (img == null) a
         else {
           val raster = img.getRaster
@@ -217,11 +226,7 @@ object MultimodalOps {
           while (y < h2) {
             var x = 0
             while (x < w2) {
-              val v =
-                if (bands == 1) raster.getSample(x * factor, y * factor, 0)
-                else (raster.getSample(x * factor, y * factor, 0) +
-                  raster.getSample(x * factor, y * factor, 1) +
-                  raster.getSample(x * factor, y * factor, 2)) / 3
+              val v = lum(raster, bands, x * factor, y * factor)
               or.setSample(x, y, 0, v)
               x += 1
             }

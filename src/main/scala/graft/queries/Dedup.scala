@@ -482,7 +482,7 @@ object Dedup {
       (s, d) => DedupOps.chunkNearDups(Tables.documents(s, d)),
       Some("""
         WITH ch AS MATERIALIZED (
-          SELECT doc_id, doc_id * 100000 + i AS ck,
+          SELECT doc_id, doc_id * 2097152 + i AS ck,
             list_filter(string_split(lower(
                 substring(text, CAST(i * 400 + 1 AS BIGINT), 500)), ''),
               c -> (c >= 'a' AND c <= 'z') OR (c >= '0' AND c <= '9')) AS cs
@@ -501,6 +501,73 @@ object Dedup {
                 FROM ch)),
         seeds AS MATERIALIZED (
           SELECT ck AS cell, v AS cv FROM e2 ORDER BY ck LIMIT 16),
+        x AS (
+          SELECT e2.doc_id, e2.ck, e2.v, e2.n2, s.cell,
+            row_number() OVER (PARTITION BY e2.ck ORDER BY
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(1, 17), j ->
+                  (e2.v[j] - s.cv[j]) * (e2.v[j] - s.cv[j]))),
+                (a, b) -> a + b) ASC, s.cell ASC) AS rn
+          FROM e2 CROSS JOIN seeds s),
+        a AS MATERIALIZED (
+          SELECT doc_id, ck, v, n2, cell FROM x WHERE rn = 1),
+        p AS (
+          SELECT a1.cell,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 17), j -> a1.v[j] * a2.v[j])),
+              (x, y) -> x + y) AS dot,
+            a1.n2 AS na2, a2.n2 AS nb2
+          FROM a a1 JOIN a a2 ON a1.cell = a2.cell AND a1.ck < a2.ck
+            AND a1.doc_id <> a2.doc_id),
+        pa AS (
+          SELECT cell, COUNT(*) AS n_cand_pairs,
+            SUM(CASE WHEN dot >= 0 AND CAST(dot * dot AS DOUBLE) >=
+                  0.998 * CAST(na2 * nb2 AS DOUBLE)
+                THEN 1 ELSE 0 END) AS n_dup_pairs
+          FROM p GROUP BY 1)
+        SELECT m.cell, m.n_chunks,
+          COALESCE(pa.n_cand_pairs, 0) AS n_cand_pairs,
+          CAST(COALESCE(pa.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs
+        FROM (SELECT cell, COUNT(*) AS n_chunks FROM a GROUP BY 1) m
+        LEFT JOIN pa USING (cell)""")),
+
+    // ---- chunk dedup with CORPUS-SIZED cells (the d15 scale dial) ------
+    //      d15 gates the fixed test-scale default (16 cells); this gates
+    //      the production sizing rule: nCells = max(16, ceil(sqrt(N)))
+    //      for N chunks (DedupOps.autoCells — the IVF nlist heuristic
+    //      that keeps assignment N*C and within-cell pairing N^2/C
+    //      balanced at O(N^1.5)). The cell count is data-derived on BOTH
+    //      sides: the engine counts chunks (one scalar to the driver),
+    //      the oracle computes the same ceil(sqrt(COUNT(*))) in its
+    //      seeds CTE — so the gate breaks if the sizing rule ever
+    //      drifts between code and doc.
+    Q("d17_chunk_semantic_auto",
+      (s, d) => DedupOps.chunkNearDupsAuto(Tables.documents(s, d)),
+      Some("""
+        WITH ch AS MATERIALIZED (
+          SELECT doc_id, doc_id * 2097152 + i AS ck,
+            list_filter(string_split(lower(
+                substring(text, CAST(i * 400 + 1 AS BIGINT), 500)), ''),
+              c -> (c >= 'a' AND c <= 'z') OR (c >= '0' AND c <= '9')) AS cs
+          FROM documents
+          CROSS JOIN LATERAL unnest(range(0,
+            CAST(ceil(greatest(length(text) - 500, 0) / 400.0)
+              AS BIGINT) + 1)) t(i)),
+        e2 AS MATERIALIZED (
+          SELECT doc_id, ck, v,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(v, x -> x * x)), (a, b) -> a + b) AS n2
+          FROM (SELECT doc_id, ck,
+                  list_transform(range(0, 16), j ->
+                    CAST(len(list_filter(cs, c -> ascii(c) % 16 = j))
+                      AS BIGINT)) AS v
+                FROM ch)),
+        seeds AS MATERIALIZED (
+          SELECT cell, cv FROM (
+            SELECT ck AS cell, v AS cv,
+              row_number() OVER (ORDER BY ck) AS rn FROM e2)
+          WHERE rn <= (SELECT GREATEST(16,
+            CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM e2)),
         x AS (
           SELECT e2.doc_id, e2.ck, e2.v, e2.n2, s.cell,
             row_number() OVER (PARTITION BY e2.ck ORDER BY
@@ -553,11 +620,11 @@ object Dedup {
         g AS MATERIALIZED (
           SELECT DISTINCT doc_id,
             substring(array_to_string(
-              ws[CAST(i AS BIGINT):CAST(i + 11 AS BIGINT)], ' '),
+              ws[CAST(i AS BIGINT):CAST(i + 16 AS BIGINT)], ' '),
               1, 32) AS gram
           FROM w CROSS JOIN LATERAL unnest(range(1, len(ws) + 1)) t(i)
           WHERE length(substring(array_to_string(
-              ws[CAST(i AS BIGINT):CAST(i + 11 AS BIGINT)], ' '),
+              ws[CAST(i AS BIGINT):CAST(i + 16 AS BIGINT)], ' '),
               1, 32)) = 32),
         f AS (SELECT gram FROM g
               GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 16),

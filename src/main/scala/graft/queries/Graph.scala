@@ -395,8 +395,16 @@ object Graph {
   /** CTE chain replaying `rounds` k-core peel rounds over the
     * co-purchase graph (see g10). */
   private def kcoreSql(k: Int, rounds: Int): String = {
-    val sb = new StringBuilder("WITH " + coPurchaseSql.replace(
-      "pairs AS (", "pairs AS MATERIALIZED (") + """,
+    // the MATERIALIZED injection is load-bearing (e0 references pairs
+    // twice; inlined, the chain expands exponentially — the t22 lesson),
+    // so a silent no-op replace after a reformat of coPurchaseSql must
+    // fail loudly, not resurrect the blowup
+    val materialized =
+      coPurchaseSql.replace("pairs AS (", "pairs AS MATERIALIZED (")
+    require(materialized != coPurchaseSql,
+      "kcoreSql: 'pairs AS (' not found in coPurchaseSql — the " +
+        "MATERIALIZED injection silently no-opped; update the pattern")
+    val sb = new StringBuilder("WITH " + materialized + """,
     e0 AS MATERIALIZED (
       SELECT u AS src, v AS dst FROM pairs
       UNION ALL

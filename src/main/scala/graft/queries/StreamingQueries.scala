@@ -583,13 +583,17 @@ object StreamingQueries {
               else inc
             merged.write.mode("overwrite").option("compression", "zstd")
               .parquet(stateDir.resolve(s"v$batchId").toString)
+            // retention: drop versions >= 3 batches behind — without
+            // this the MV keeps one full table copy per micro-batch
+            // forever; keep=3 leaves any reader that resolved the
+            // latest version two further batches to finish its scan
+            // (see VersionedState for the contract + spec)
+            graft.streaming.VersionedState.vacuum(stateDir, batchId, keep = 3)
+            ()
           }
           .trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally if (q.isActive) q.stop()
-        import scala.jdk.CollectionConverters._
-        val last = java.nio.file.Files.list(stateDir).iterator().asScala
-          .map(_.getFileName.toString).filter(_.startsWith("v"))
-          .map(_.drop(1).toLong).max
+        val last = graft.streaming.VersionedState.latestVersion(stateDir).get
         s.read.parquet(stateDir.resolve(s"v$last").toString)
           .select(col("user_id"), col("n_purchases"),
             col("spend").cast("double").as("total_spend"))

@@ -754,6 +754,30 @@ object TextOps {
       },
       Some(graft.operators.BpeOps.encodeOracleSql(8))),
 
+    // ---- BPE BULK encode: the vocab-scale twin of t25 -------------------
+    //      identical semantics (spec-pinned bit-equality with the
+    //      literal-replace chain), different mechanics: the merge table
+    //      rides to executors as ONE broadcast list folded in plain JVM
+    //      string code, so the plan is constant-size at ANY vocab size —
+    //      a 32k-merge production tokenizer costs the same single
+    //      function call where t25's literal chain grows linearly and
+    //      dies at the JVM 64KB codegen method limit. Gated against the
+    //      SAME DuckDB replay as t25: the two paths must agree with the
+    //      oracle AND (transitively) each other, which is exactly the
+    //      regression any divergence in the bulk merger would trip.
+    Q("t26_bpe_encode_bulk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.BpeOps.train(docs, rounds = 8)
+          .orderBy(col("merge_rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.BpeOps.encodeBulk(docs, merges)
+          .select(explode(col("bpe_tokens")).as("token"))
+          .filter(length(col("token")) >= 2)
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      },
+      Some(graft.operators.BpeOps.encodeOracleSql(8))),
+
     // ---- BM25 retrieval (Okapi, k1=1.2 b=0.75) --------------------------
     //      the lexical twin of the s-family's ANN: score every document
     //      against a query (the distinct tokens of doc 1) over an

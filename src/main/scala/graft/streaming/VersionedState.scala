@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Lifecycle helpers for versioned-directory state tables (the st14
+  * incremental-MV pattern: each micro-batch reads v_{n-1}, writes v_n).
+  *
+  * The retention contract mirrors what an open table format's VACUUM
+  * gives you: only versions at least `keep` BEHIND the one just
+  * written are deleted, so a concurrent reader that resolved
+  * [[latestVersion]] keeps a complete, immutable snapshot for the next
+  * `keep - 1` batches — long enough for any same-cadence batch reader;
+  * a reader slower than that needs a bigger `keep`, exactly the
+  * time-travel-retention dial a real lakehouse exposes. Without any
+  * retention the MV grows one full table copy per micro-batch forever
+  * (the round-9 finding this closes).
+  *
+  * Driver-side filesystem metadata work only — O(#versions) directory
+  * listings, never data rows.
+  */
+object VersionedState {
+
+  private def versionsIn(stateDir: Path): Seq[(Long, Path)] =
+    if (!Files.exists(stateDir)) Seq.empty
+    else Files.list(stateDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .map(p => (p.getFileName.toString.drop(1).toLong, p))
+      .toSeq
+
+  /** Highest version present — what a mid-stream batch reader queries.
+    * A version directory written by Spark's parquet committer is
+    * complete once it is the listing's max (the _temporary staging dir
+    * never matches v\d+, and `overwrite` renames in place). */
+  def latestVersion(stateDir: Path): Option[Long] =
+    versionsIn(stateDir).map(_._1).maxOption
+
+  /** Delete every version <= current - keep; returns the ids removed.
+    * Keeps the `keep` most recent versions ending at `current`, so the
+    * version a reader resolved up to keep-1 batches ago is still on
+    * disk in full. */
+  def vacuum(stateDir: Path, current: Long, keep: Int): Seq[Long] = {
+    require(keep >= 2,
+      s"keep must be >= 2 (v_{n-1} is the next merge's input), got $keep")
+    val doomed = versionsIn(stateDir).filter(_._1 <= current - keep)
+    doomed.foreach { case (_, p) =>
+      Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(x => Files.delete(x))
+    }
+    doomed.map(_._1).sorted
+  }
+}

@@ -27,6 +27,25 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parseQueryTimes("not json at all").isEmpty)
   }
 
+  test("fixtureFingerprint flips on regeneration, is stable otherwise") {
+    val dir = java.nio.file.Files.createTempDirectory("fixtures")
+    java.nio.file.Files.writeString(dir.resolve("a.parquet"), "aaaa")
+    java.nio.file.Files.writeString(dir.resolve("b.parquet"), "bb")
+    val fp1 = Bench.fixtureFingerprint(dir.toString)
+    val fp2 = Bench.fixtureFingerprint(dir.toString)
+    assert(fp1 == fp2 && fp1.length == 12, s"$fp1 / $fp2")
+    // a driver regeneration rewrites files with fresh mtimes even when
+    // the seeded content is identical — the fingerprint MUST flip, so
+    // cross-generation wall diffs get refused (round-9 false alarms)
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(dir.resolve("a.parquet"))
+          .toMillis + 73000))
+    val fp3 = Bench.fixtureFingerprint(dir.toString)
+    assert(fp3 != fp1, "fingerprint did not flip on mtime change")
+    assert(Bench.fixtureFingerprint("/no/such/dir") == "nofixtures")
+  }
+
   test("committed bench_baseline.json parses and covers the registry") {
     val p = java.nio.file.Paths.get("bench_baseline.json")
     assume(java.nio.file.Files.exists(p))

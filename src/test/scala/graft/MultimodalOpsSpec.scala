@@ -125,4 +125,40 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(out.asset_id == 7L && out.meta.checksum == "z" &&
       out.content.toSeq == Seq[Byte](1, 2, 3))
   }
+
+  /** a legal GRAY+ALPHA (2-band) PNG — the band layout that used to hit
+    * the "average bands 0..2" branch and throw on band 2 */
+  private def grayAlphaPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val cs = java.awt.color.ColorSpace.getInstance(
+      java.awt.color.ColorSpace.CS_GRAY)
+    val cm = new java.awt.image.ComponentColorModel(cs, true, false,
+      java.awt.Transparency.TRANSLUCENT,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val raster = cm.createCompatibleWritableRaster(w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      raster.setSample(x, y, 0, gray) // gray band
+      raster.setSample(x, y, 1, 255)  // alpha band
+    }
+    val img = new java.awt.image.BufferedImage(cm, raster, false, null)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage and resizeImage handle 2-band gray+alpha PNGs") {
+    val png = grayAlphaPng(4, 4, gray = 200)
+    val assets = Seq(MultimodalOps.MediaAsset(11L, png,
+      MultimodalOps.MediaMeta("image/png", png.length.toLong, "x"))).toDS()
+    val f = MultimodalOps.decodeImage(assets).collect().head
+    // band 0 (gray) is the luminance; alpha must be ignored, not
+    // averaged in, and band index 2 must never be read
+    assert(f.n_bytes == 16 && f.mean_byte == 200.0,
+      s"n=${f.n_bytes} mean=${f.mean_byte}")
+    val r = MultimodalOps.resizeImage(assets, factor = 2).collect().head
+    assert(r.meta.format == "image/png" && r.content.nonEmpty)
+    val rf = MultimodalOps.decodeImage(
+      Seq(r).toDS()).collect().head
+    assert(rf.n_bytes == 4 && rf.mean_byte == 200.0,
+      s"resized n=${rf.n_bytes} mean=${rf.mean_byte}")
+  }
 }

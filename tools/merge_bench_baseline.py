@@ -46,6 +46,17 @@ def main():
     sfs = {r.get("sf") for r in runs}
     if len(sfs) != 1:
         sys.exit(f"runs are at different scale factors: {sfs}")
+    # every contributing run must have measured the SAME fixture
+    # generation — wall mins merged across data generations would bake
+    # the round-9 false-regression class into the reference numbers
+    fps = {r.get("fixture") for r in runs}
+    if None in fps:
+        sys.exit("a contributing run carries no fixture fingerprint — "
+                 "re-run Bench (it stamps one) before refreshing the baseline")
+    if len(fps) != 1:
+        sys.exit(f"runs measured different fixture generations: {fps} — "
+                 "the testdata was regenerated mid-refresh; re-run all "
+                 "contributing benches on the current fixtures")
     for r, p in zip(runs, paths):
         if r.get("errors"):
             sys.exit(f"{p} carries errors — baseline runs must be clean: "
@@ -89,6 +100,7 @@ def main():
         "errors": {}, "n_queries": len(merged),
         "per_query_mean": round(total / len(merged), 3),
         "sf": runs[0].get("sf"),
+        "fixture": runs[0].get("fixture"),
         "setup_sec": runs[0].get("setup_sec", {}),
     }
     for axis in ("shuffle_mb", "exchanges", "plan_nodes"):
