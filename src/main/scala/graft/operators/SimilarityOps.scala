@@ -176,6 +176,17 @@ object SimilarityOps {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** ivfNearDups with the cell count derived from the corpus size via
+    * the sqrt(N) IVF sizing rule ([[graft.operators.DedupOps.autoCells]]:
+    * C = max(16, ceil(sqrt(N))) balances the N*C assignment cost against
+    * the N²/C within-cell pairing at O(N^1.5) — the standard nlist
+    * heuristic). One COUNT scalar to the driver buys cell growth that
+    * keeps per-cell pair work bounded at any corpus size; a fixed
+    * test-scale nCells shipped to a 100x corpus re-quadratizes pairing. */
+  def ivfNearDupsAuto(embeddings: DataFrame, minCosine: Double): DataFrame =
+    ivfNearDups(embeddings, minCosine,
+      graft.operators.DedupOps.autoCells(embeddings.count()))
+
   /** All XOR masks of Hamming weight < `probes` over `planes` bits, in
     * (weight, numeric) order — mask 0 (the query's own bucket) first.
     * Driver-side enumeration: the mask COUNT (sum of C(planes, w)) is

@@ -557,6 +557,31 @@ object Similarity {
         SELECT q_id, vec_id, CAST(adc_q AS DOUBLE) / 1e9 AS adc, rk FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY adc_q ASC, vec_id ASC) AS BIGINT) AS rk FROM p)
-        WHERE rk <= 10"""))
+        WHERE rk <= 10""")),
+
+    // ---- IVF near-dup with CORPUS-SIZED cells (the s07 scale dial) ------
+    //      s07 gates the fixed test-scale default (8 cells); this gates
+    //      the production sizing rule nCells = max(16, ceil(sqrt(N)))
+    //      (DedupOps.autoCells — same dial as d17). The cell count is
+    //      data-derived on BOTH sides: the engine counts the corpus (one
+    //      scalar to the driver), the oracle computes the identical
+    //      GREATEST(16, ceil(sqrt(COUNT(*)))) in its centroid CTE — the
+    //      gate breaks if the sizing rule drifts between code and doc.
+    Q("s16_ivf_neardup_auto",
+      (s, d) => SimilarityOps.ivfNearDupsAuto(Tables.embeddings(s, d),
+        minCosine = 0.4),
+      Some(normCte + s"""
+        , cents AS (SELECT vec_id AS cell, v AS cv FROM n
+                    WHERE vec_id < (SELECT GREATEST(16,
+                      CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) FROM n)),
+        asg AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT c.vec_id, c.v, c.nrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN cents t) WHERE rn = 1)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+        FROM asg a JOIN asg b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4"""))
   )
 }

@@ -98,4 +98,18 @@ class SimilarityOpsSpec extends SparkSpec {
       nCodes = 1).collect()
     assert(coarse.length == 4)
   }
+
+  test("ivfNearDupsAuto: exact precision, sqrt-sized cells on the fixture") {
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val n = emb.count()
+    val cells = graft.operators.DedupOps.autoCells(n)
+    assert(cells >= 16 && cells <= math.ceil(math.sqrt(n.toDouble)) + 16)
+    val auto = SimilarityOps.ivfNearDupsAuto(emb, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction: every emitted pair is scored
+    // with the true cosine, so it must appear in the all-pairs result
+    val exact = SimilarityOps.embeddingNearDups(emb, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), s"false positives: ${auto -- exact}")
+  }
 }
