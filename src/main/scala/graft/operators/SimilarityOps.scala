@@ -187,6 +187,35 @@ object SimilarityOps {
     ivfNearDups(embeddings, minCosine,
       graft.operators.DedupOps.autoCells(embeddings.count()))
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * two ranked retrieval lists — the standard hybrid-retrieval merge of
+    * a lexical (BM25) and a vector (cosine ANN) leg. Inputs are (id, rk)
+    * frames with 1-based ranks; output is the top `topN` by
+    * rrf = Σ 1/(kConst + rk) over the legs a document appears in
+    * (kConst=60 in the paper), carrying both source ranks (null when the
+    * doc is absent from that leg).
+    *
+    * Scale shape: both inputs are already top-K lists (thousands of rows
+    * at most — the expensive global ranking happened inside each leg's
+    * own TakeOrdered), so the full-outer join and final TakeOrdered here
+    * are driver-trivial regardless of corpus size; fusion adds ZERO
+    * corpus-scale work. The 1/(kConst+rk) terms are exact IEEE divisions
+    * of small integers, so scores are bit-identical across engines and
+    * the (rrf desc, id asc) cut is deterministic. */
+  def rrfFusion(lexical: DataFrame, vector: DataFrame, kConst: Int,
+                topN: Int): DataFrame = {
+    val a = lexical.select(col("id"), col("rk").as("rk_lex"))
+    val b = vector.select(col("id"), col("rk").as("rk_vec"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(kConst) + col("rk_lex")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(kConst) + col("rk_vec")), lit(0.0)))
+          .as("rrf"),
+        col("rk_lex"), col("rk_vec"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(topN)
+  }
+
   /** All XOR masks of Hamming weight < `probes` over `planes` bits, in
     * (weight, numeric) order — mask 0 (the query's own bucket) first.
     * Driver-side enumeration: the mask COUNT (sum of C(planes, w)) is

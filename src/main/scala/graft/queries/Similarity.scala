@@ -582,6 +582,67 @@ object Similarity {
           ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
         FROM asg a JOIN asg b
           ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4"""))
+        WHERE ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""")),
+
+    // ---- hybrid retrieval: BM25 + cosine via reciprocal-rank fusion ----
+    //      the RAG-pipeline merge: doc 1's tokens rank the corpus
+    //      lexically (t23's quantized Okapi BM25), vec 1 ranks it by
+    //      exact cosine (s01's broadcast brute force), and the two
+    //      top-30 lists fuse by rrf = sum 1/(60+rank) (Cormack 2009).
+    //      Fusion itself is corpus-scale-free — it joins two already-cut
+    //      top-K lists — so the scale story is each leg's own (broadcast
+    //      query terms / broadcast query vector, TakeOrdered cuts, no
+    //      global sort). Ranks are deterministic on both engines: the
+    //      BM25 leg orders by an exact integer score and the vector leg
+    //      by a bit-identical left-fold double, both tie-broken by id.
+    Q("s17_rrf_fusion",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val lex = TextOps.bm25Ranked(Tables.documents(s, d),
+          queryDocId = 1L, topN = 30)
+          .select(col("doc_id").as("id"), col("rk"))
+        val vec = SimilarityOps.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 1), k = 30)
+          .select(col("vec_id").as("id"), col("rk"))
+        SimilarityOps.rrfFusion(lex, vec, kConst = 60, topN = 20)
+      },
+      Some(normCte + s"""
+        , qv AS (SELECT v, nrm FROM n WHERE vec_id = 1),
+        vp AS (SELECT c.vec_id AS id,
+                 ${dotSql("c.v", "qv.v")} / (c.nrm * qv.nrm) AS cosine
+               FROM n c, qv WHERE c.vec_id <> 1),
+        vr AS (SELECT id, rk_vec FROM (
+                 SELECT id, CAST(ROW_NUMBER() OVER
+                   (ORDER BY cosine DESC, id ASC) AS BIGINT) AS rk_vec
+                 FROM vp) WHERE rk_vec <= 30),
+        t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
+                AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, len(string_split_regex(trim(text), ' +'))
+                 AS dl FROM documents),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        st AS (SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        qt AS (SELECT DISTINCT term FROM t WHERE doc_id = 1),
+        sc AS (SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                   (tf.tf * (1.2 + 1.0) /
+                     (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+                   * 1e9 + 0.5) AS BIGINT) AS tsq
+               FROM tf JOIN qt USING (term) JOIN df USING (term)
+                 JOIN dl USING (doc_id), st),
+        bs AS (SELECT doc_id, CAST(SUM(tsq) AS BIGINT) AS score_q
+               FROM sc GROUP BY doc_id),
+        br AS (SELECT id, rk_lex FROM (
+                 SELECT doc_id AS id, CAST(ROW_NUMBER() OVER
+                   (ORDER BY score_q DESC, doc_id ASC) AS BIGINT) AS rk_lex
+                 FROM bs) WHERE rk_lex <= 30)
+        SELECT COALESCE(br.id, vr.id) AS id,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + rk_lex), 0) +
+          COALESCE(CAST(1 AS DOUBLE) / (60 + rk_vec), 0) AS rrf,
+          rk_lex, rk_vec
+        FROM br FULL OUTER JOIN vr ON br.id = vr.id
+        ORDER BY rrf DESC, id ASC LIMIT 20"""))
   )
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.functions.TextFunctions._
@@ -13,6 +15,51 @@ import graft.functions.TextFunctions._
 object TextOps {
 
   private val stopSql = EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) ranking of every document against the
+    * distinct tokens of `queryDocId`, top `topN` with a 1-based `rk`.
+    * Output: (doc_id, score_q, score, rk).
+    *
+    * Scale shape (the t23 notes): query terms and their document
+    * frequencies are a TINY frame joined broadcast, so the postings
+    * table (doc_id, term, tf) is filtered to query terms inside its own
+    * scan partitions with no term-keyed shuffle; the one real shuffle
+    * keys by doc_id, and the top-N is a TakeOrdered, never a global
+    * sort (the rank window runs AFTER the limit, over topN rows). Per-
+    * term scores are quantized by floor(x*1e9 + 0.5) and summed as
+    * exact integers so the ranking is aggregation-order-free and
+    * replayable by the DuckDB oracle bit-for-bit. */
+  def bm25Ranked(docs: DataFrame, queryDocId: Long, topN: Int): DataFrame = {
+    val toks = docs.withColumn("toks", tokens("text"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.select(col("doc_id"), tokenCount("toks").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = toks.filter(col("doc_id") === queryDocId)
+      .select(explode(col("toks")).as("term")).distinct()
+    val dfq = df.join(broadcast(qterms), "term")
+    tf.join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(
+          log((col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * (lit(1.2) + lit(1.0)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / col("avgdl"))))
+          * lit(1e9) + lit(0.5)).as("tsq"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tsq")).as("score_q"),
+        (sum(col("tsq")).cast("double") / lit(1e9)).as("score"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(topN)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id").asc)).cast("long"))
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -792,36 +839,8 @@ object TextOps {
     //      (ln() may differ by an ulp across engines; the quantum
     //      absorbs it and makes the doc score aggregation-order-free).
     Q("t23_bm25",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val toks = docs.withColumn("toks", tokens("text"))
-        val tf = toks
-          .select(col("doc_id"), explode(col("toks")).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dl = toks.select(col("doc_id"), tokenCount("toks").as("dl"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        val qterms = toks.filter(col("doc_id") === 1)
-          .select(explode(col("toks")).as("term")).distinct()
-        val dfq = df.join(broadcast(qterms), "term")
-        tf.join(broadcast(dfq), "term")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            floor(
-              log((col("n_docs") - col("df") + lit(0.5)) /
-                  (col("df") + lit(0.5)) + lit(1.0)) *
-              (col("tf") * (lit(1.2) + lit(1.0)) /
-                (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
-                  lit(0.75) * col("dl") / col("avgdl"))))
-              * lit(1e9) + lit(0.5)).as("tsq"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("tsq")).as("score_q"),
-            (sum(col("tsq")).cast("double") / lit(1e9)).as("score"))
-          .orderBy(col("score_q").desc, col("doc_id").asc)
-          .limit(20)
-      },
+      (s, d) => bm25Ranked(Tables.documents(s, d), queryDocId = 1L,
+        topN = 20).drop("rk"),
       Some("""
         WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +'))
                      AS term FROM documents),

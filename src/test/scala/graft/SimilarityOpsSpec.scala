@@ -112,4 +112,19 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(auto.subsetOf(exact), s"false positives: ${auto -- exact}")
   }
+
+  test("rrfFusion: sums 1/(k+rank) per leg, absent leg contributes zero") {
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rk")
+    val vec = Seq((11L, 1L), (13L, 2L)).toDF("id", "rk")
+    val out = SimilarityOps.rrfFusion(lex, vec, kConst = 60, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out(11L) == 1.0 / 62 + 1.0 / 61) // in both legs
+    assert(out(10L) == 1.0 / 61)            // lexical only
+    assert(out(13L) == 1.0 / 62)            // vector only
+    assert(out(12L) == 1.0 / 63)
+    val top = SimilarityOps.rrfFusion(lex, vec, kConst = 60, topN = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(11L))
+  }
 }
