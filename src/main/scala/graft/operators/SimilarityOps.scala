@@ -187,6 +187,42 @@ object SimilarityOps {
     ivfNearDups(embeddings, minCosine,
       graft.operators.DedupOps.autoCells(embeddings.count()))
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (the
+    * database-friendly Achlioptas 2003 form): S[k][j] = +1 when the top
+    * bit of the first byte of md5(str(k*inDims + j)) is 0, else -1.
+    * md5 of the decimal string is computable identically in the JVM, in
+    * Spark SQL, and in DuckDB, so engine and oracle can each rebuild the
+    * SAME matrix independently — no shipped randomness, no seed drift. */
+  def jlSignMatrix(inDims: Int, outDims: Int): Array[Array[Double]] =
+    Array.tabulate(outDims, inDims) { (k, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(String.valueOf(k * inDims + j).getBytes("UTF-8"))
+      if ((d(0) & 0x80) == 0) 1.0 else -1.0
+    }
+
+  /** Random projection of the embedding column to `outDims` dimensions:
+    * pv[k] = dot(v, S_k) / sqrt(outDims) with the [[jlSignMatrix]] rows
+    * as literal arrays. By Johnson–Lindenstrauss, pairwise distances are
+    * preserved within (1±eps) w.h.p. at outDims = O(log n / eps²) — the
+    * standard cheap pre-step before ANN indexing when the raw dimension
+    * is large.
+    *
+    * Scale shape: `outDims` codegen'd vec_dot calls against broadcast-
+    * free plan literals — pure row-local projection, ZERO shuffle at any
+    * corpus size; cost is linear in rows × inDims × outDims and
+    * embarrassingly parallel. Output: (vec_id, v, pv). */
+  def randomProject(embeddings: DataFrame, inDims: Int,
+                    outDims: Int): DataFrame = {
+    VectorExpressions.registerAll(embeddings.sparkSession)
+    val sm = jlSignMatrix(inDims, outDims)
+    val scale = math.sqrt(outDims.toDouble)
+    val comps = (0 until outDims).map { k =>
+      call_function("vec_dot", col("v"), typedLit(sm(k).toSeq)) / lit(scale)
+    }
+    embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), array(comps: _*).as("pv"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
     * two ranked retrieval lists — the standard hybrid-retrieval merge of
     * a lexical (BM25) and a vector (cosine ANN) leg. Inputs are (id, rk)

@@ -643,6 +643,61 @@ object Similarity {
           COALESCE(CAST(1 AS DOUBLE) / (60 + rk_vec), 0) AS rrf,
           rk_lex, rk_vec
         FROM br FULL OUTER JOIN vr ON br.id = vr.id
-        ORDER BY rrf DESC, id ASC LIMIT 20"""))
+        ORDER BY rrf DESC, id ASC LIMIT 20""")),
+
+    // ---- JL random projection: distance-distortion histogram -----------
+    //      project 64-dim embeddings to 16 dims with the deterministic
+    //      md5-derived ±1 matrix (SimilarityOps.jlSignMatrix) and
+    //      histogram the ratio projected-L2² / original-L2² over
+    //      consecutive-id pairs — the Johnson–Lindenstrauss check that
+    //      the cheap pre-ANN dimension cut actually preserves geometry.
+    //      The oracle rebuilds the SAME sign matrix (inlined below from
+    //      the same jlSignMatrix call — the multiprobeRecallSql
+    //      precedent) and replays every fold left-to-right, so ratios
+    //      and bucket cuts are bit-identical. Projection is row-local
+    //      (zero shuffle); the pair join keys by vec_id, the histogram
+    //      is a tiny agg.
+    Q("s18_jl_distortion",
+      (s, d) => {
+        val pr = SimilarityOps.randomProject(Tables.embeddings(s, d),
+          inDims = 64, outDims = 16)
+        val a = pr.select(col("vec_id").as("ida"), col("v").as("va"),
+          col("pv").as("pa"))
+        val b = pr.select((col("vec_id") - 1).as("ida"), col("v").as("vb"),
+          col("pv").as("pb"))
+        a.join(b, "ida")
+          .select(
+            call_function("vec_l2sq", col("pa"), col("pb")).as("d2p"),
+            call_function("vec_l2sq", col("va"), col("vb")).as("d2o"))
+          .filter(col("d2o") > 0)
+          .select(floor(col("d2p") / col("d2o") * lit(10)).cast("long")
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      },
+      Some(normCte + s"""
+        , sm(k, srow) AS (VALUES ${jlMatrixValuesSql(64, 16)}),
+        pj AS (SELECT vec_id, k,
+                 ${dotSql("n.v", "sm.srow")} / sqrt(CAST(16 AS DOUBLE)) AS pk
+               FROM n CROSS JOIN sm),
+        pv AS (SELECT vec_id, array_agg(pk ORDER BY k) AS pv
+               FROM pj GROUP BY vec_id),
+        pairs AS (SELECT ${l2sqSql("a.pv", "b.pv")} AS d2p,
+                    ${l2sqSql("av.v", "bv.v")} AS d2o
+                  FROM pv a JOIN pv b ON b.vec_id = a.vec_id + 1
+                    JOIN n av ON av.vec_id = a.vec_id
+                    JOIN n bv ON bv.vec_id = b.vec_id)
+        SELECT CAST(FLOOR(d2p / d2o * 10) AS BIGINT) AS bucket,
+          COUNT(*) AS n
+        FROM pairs WHERE d2o > 0 GROUP BY 1"""))
   )
+
+  /** s18 oracle: the jlSignMatrix rows as DuckDB VALUES tuples, from the
+    * SAME Scala call the engine embeds as plan literals. */
+  private def jlMatrixValuesSql(inDims: Int, outDims: Int): String =
+    graft.operators.SimilarityOps.jlSignMatrix(inDims, outDims)
+      .zipWithIndex
+      .map { case (row, k) =>
+        s"($k, [${row.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")}])"
+      }
+      .mkString(",\n          ")
 }

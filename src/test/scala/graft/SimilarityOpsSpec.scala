@@ -127,4 +127,31 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top == Seq(11L))
   }
+
+  test("randomProject: JL geometry roughly preserved, matrix balanced") {
+    val sm = SimilarityOps.jlSignMatrix(64, 16)
+    assert(sm.length == 16 && sm.forall(_.length == 64))
+    assert(sm.flatten.forall(x => x == 1.0 || x == -1.0))
+    // md5-derived signs should be near-balanced, not degenerate
+    val pos = sm.flatten.count(_ > 0)
+    assert(pos > 1024 / 4 && pos < 3 * 1024 / 4, s"unbalanced: $pos/1024")
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val pr = SimilarityOps.randomProject(emb, inDims = 64, outDims = 16)
+    val row = pr.orderBy("vec_id").head()
+    assert(row.getSeq[Double](2).length == 16)
+    // mean distance-ratio over consecutive pairs concentrates near 1
+    val ratios = {
+      import org.apache.spark.sql.functions._
+      val a = pr.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("pv").as("pa"))
+      val b = pr.select((col("vec_id") - 1).as("ida"), col("v").as("vb"),
+        col("pv").as("pb"))
+      a.join(b, "ida").select(
+        (call_function("vec_l2sq", col("pa"), col("pb")) /
+         call_function("vec_l2sq", col("va"), col("vb"))).as("r"))
+        .collect().map(_.getDouble(0))
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 1.5, s"JL distortion off: mean ratio $mean")
+  }
 }
