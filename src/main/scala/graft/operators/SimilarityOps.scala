@@ -187,6 +187,63 @@ object SimilarityOps {
     ivfNearDups(embeddings, minCosine,
       graft.operators.DedupOps.autoCells(embeddings.count()))
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily select `k` of the top-`nCand` hits for `queryId`,
+    * each step maximizing lambda*rel(c) - (1-lambda)*max sim(c, s) over
+    * the already-selected set s — the standard diversity-aware cut of a
+    * retrieved candidate list. First pick is the pure-relevance argmax;
+    * ties break to the lowest id at every step. Output: (sel_rank,
+    * vec_id), 1-based in selection order.
+    *
+    * Scale shape: candidate retrieval (broadcast query vector,
+    * TakeOrdered top-nCand) and the nCand x nCand candidate-pair cosine
+    * matrix are distributed; only the greedy selection itself runs on
+    * the driver over the collected O(nCand²) matrix (same bounded-
+    * collect discipline as the BPE merge table) — MMR is inherently
+    * sequential in k and its whole state fits in a few KB at any corpus
+    * size because nCand bounds it, not the corpus. */
+  def mmrRerank(embeddings: DataFrame, queryId: Long, nCand: Int,
+                lambda: Double, k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(embeddings,
+      embeddings.filter(col("vec_id") === queryId), nCand)
+      .select(col("vec_id"), col("cosine").as("rel"))
+    val rel = cand.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val p = prepared(embeddings)
+      .join(broadcast(cand.select(col("vec_id"))), "vec_id")
+    val a = p.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = p.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val sim = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        cosineFromParts(dotNative(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .collect()
+      .flatMap { r =>
+        val (x, y, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((x, y) -> s, (y, x) -> s)
+      }.toMap
+    val ids = rel.keys.toSeq.sorted
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (selected.size < math.min(k, ids.size)) {
+      val remaining = ids.filterNot(selected.contains)
+      val scored = remaining.map { c =>
+        val s =
+          if (selected.isEmpty) rel(c)
+          else lambda * rel(c) -
+            (1.0 - lambda) * selected.map(x => sim((c, x))).max
+        (s, c)
+      }
+      // iterate in ascending-id order and require a STRICT improvement to
+      // switch, so score ties keep the lowest id (= ORDER BY score DESC,
+      // id ASC LIMIT 1)
+      selected += scored.reduceLeft((x, y) => if (y._1 > x._1) y else x)._2
+    }
+    selected.zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }.toSeq
+      .toDF("sel_rank", "vec_id")
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (the
     * database-friendly Achlioptas 2003 form): S[k][j] = +1 when the top
     * bit of the first byte of md5(str(k*inDims + j)) is 0, else -1.

@@ -688,7 +688,54 @@ object Similarity {
                     JOIN n bv ON bv.vec_id = b.vec_id)
         SELECT CAST(FLOOR(d2p / d2o * 10) AS BIGINT) AS bucket,
           COUNT(*) AS n
-        FROM pairs WHERE d2o > 0 GROUP BY 1"""))
+        FROM pairs WHERE d2o > 0 GROUP BY 1""")),
+
+    // ---- MMR diversity re-rank of a retrieved candidate list -----------
+    //      greedy maximal-marginal-relevance (Carbonell 1998, λ=0.5)
+    //      over the top-30 cosine hits for query vec 1, selecting 10.
+    //      The oracle replays the greedy loop as a recursive CTE that
+    //      carries the chosen list and re-derives each step's argmax
+    //      with the SAME tie rule (score DESC, id ASC); every rel/sim
+    //      double is the bit-identical left-fold cosine, and λ=0.5
+    //      makes both MMR terms exact halvings, so the selection
+    //      sequence is deterministic across engines. Retrieval and the
+    //      30x30 sim matrix are distributed; only the O(nCand²) greedy
+    //      state is driver-side (see SimilarityOps.mmrRerank docs).
+    Q("s19_mmr_rerank",
+      (s, d) => SimilarityOps.mmrRerank(Tables.embeddings(s, d),
+        queryId = 1L, nCand = 30, lambda = 0.5, k = 10),
+      Some(normCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s"""
+        , qv AS (SELECT v, nrm FROM n WHERE vec_id = 1),
+        vp AS (SELECT c.vec_id AS id,
+                 ${dotSql("c.v", "qv.v")} / (c.nrm * qv.nrm) AS rel
+               FROM n c, qv WHERE c.vec_id <> 1),
+        cand AS (SELECT id, rel FROM (
+                   SELECT id, rel, ROW_NUMBER() OVER
+                     (ORDER BY rel DESC, id ASC) AS rk FROM vp)
+                 WHERE rk <= 30),
+        cv AS (SELECT cand.id, n.v, n.nrm FROM cand
+               JOIN n ON n.vec_id = cand.id),
+        sims AS (SELECT a.id AS a, b.id AS b,
+                   ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) AS sim
+                 FROM cv a JOIN cv b ON a.id <> b.id),
+        sel(step, chosen) AS (
+          SELECT CAST(1 AS BIGINT) AS step,
+            [(SELECT id FROM cand ORDER BY rel DESC, id ASC LIMIT 1)]
+              AS chosen
+          UNION ALL
+          SELECT s.step + 1, list_append(s.chosen, (
+              SELECT c.id FROM cand c
+              WHERE NOT list_contains(s.chosen, c.id)
+              ORDER BY 0.5 * c.rel - 0.5 * (
+                  SELECT MAX(m.sim) FROM sims m
+                  WHERE m.a = c.id AND list_contains(s.chosen, m.b))
+                DESC, c.id ASC
+              LIMIT 1))
+          FROM sel s
+          WHERE s.step < (SELECT LEAST(10, COUNT(*)) FROM cand)),
+        last AS (SELECT chosen FROM sel ORDER BY step DESC LIMIT 1)
+        SELECT CAST(g.r AS BIGINT) AS sel_rank, chosen[g.r] AS vec_id
+        FROM last CROSS JOIN LATERAL unnest(range(1, len(chosen) + 1)) g(r)"""))
   )
 
   /** s18 oracle: the jlSignMatrix rows as DuckDB VALUES tuples, from the

@@ -154,4 +154,25 @@ class SimilarityOpsSpec extends SparkSpec {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.5 && mean < 1.5, s"JL distortion off: mean ratio $mean")
   }
+
+  test("mmrRerank: selection-ordered ranks; lambda=1 is pure relevance") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val out = SimilarityOps.mmrRerank(emb, queryId = 1L, nCand = 10,
+      lambda = 0.5, k = 5).orderBy("sel_rank").collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
+    val ids = out.map(_.getLong(1)).toSeq
+    assert(ids.distinct.length == 5)
+    val topIds = SimilarityOps.bruteForceTopK(emb,
+      emb.filter(col("vec_id") === 1), 10)
+      .collect().map(r => (r.getLong(3), r.getLong(1)))
+      .sortBy(_._1).map(_._2).toSeq
+    assert(ids.head == topIds.head) // first pick is the relevance argmax
+    assert(ids.toSet.subsetOf(topIds.toSet))
+    // lambda=1 zeroes the diversity term: MMR degenerates to top-k
+    val pure = SimilarityOps.mmrRerank(emb, 1L, nCand = 10,
+      lambda = 1.0, k = 5).orderBy("sel_rank").collect()
+      .map(_.getLong(1)).toSeq
+    assert(pure == topIds.take(5))
+  }
 }
