@@ -374,6 +374,35 @@ object Clustering {
         SELECT cell, COUNT(*) AS n_members,
           CAST(SUM(sq) AS BIGINT) AS sum_sil_q,
           CAST(SUM(sq) AS DOUBLE) / 1e9 / COUNT(*) AS mean_sil
-        FROM sq GROUP BY cell"""))
+        FROM sq GROUP BY cell""")),
+
+    // ---- cluster-balanced (diversity) sampling --------------------------
+    //      d06's stratified quota sampling with LEARNED strata: assign
+    //      every vector to its nearest centroid (one broadcast-argmin
+    //      pass), then take an equal per-cluster quota by portable
+    //      md5(vec_id) rank — the curation move that keeps a training
+    //      sample from collapsing onto the densest embedding region.
+    //      Scale: assignment is the one real pass; the quota window
+    //      ranks within cells (at 100 TB, pre-filter each cell by an
+    //      md5 prefix to an over-sample before the exact rank — the
+    //      d06 note applies unchanged). Ties cannot occur: md5 input is
+    //      the unique vec_id.
+    Q("c08_cluster_balanced_sample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val a = lloydPasses(corpus(s, d), k = 8, iters = 1).last
+        val h = md5(col("vec_id").cast("string").cast("binary"))
+        val w = Window.partitionBy(col("cell")).orderBy(h.asc, col("vec_id").asc)
+        a.select(col("vec_id"), col("cell"))
+          .withColumn("smp_rank", row_number().over(w).cast("long"))
+          .filter(col("smp_rank") <= 5)
+      },
+      Some(lloydCte(8, 1) + """
+        SELECT vec_id, cell, smp_rank FROM (
+          SELECT vec_id, cell, CAST(ROW_NUMBER() OVER (PARTITION BY cell
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC)
+            AS BIGINT) AS smp_rank
+          FROM a0)
+        WHERE smp_rank <= 5"""))
   )
 }

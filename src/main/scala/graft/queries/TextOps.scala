@@ -913,6 +913,66 @@ object TextOps {
         SELECT doc_id, dl.dl AS n_tokens,
           -(CAST(SUM(tsq) AS DOUBLE) / 1e9) / dl.dl AS nll
         FROM sc JOIN dl USING (doc_id)
-        GROUP BY doc_id, dl.dl"""))
+        GROUP BY doc_id, dl.dl""")),
+
+    // ---- bigram-LM perplexity (t24's conditional upgrade) ---------------
+    //      add-one-smoothed P(cur|prev) = (c(prev,cur)+1)/(c(prev)+V)
+    //      trained on the corpus itself, scoring every document by mean
+    //      NLL per bigram — one CCNet step past the unigram filter:
+    //      gibberish word ORDER now scores high even when the unigram
+    //      mix looks fluent. Scale shape: bigram emission is row-local
+    //      (zip_with over two slices, no index join); pair and prev
+    //      counts are keyed shuffles; postings join counts BY PAIR KEY
+    //      (a bigram table is quadratic in vocab — it must never be
+    //      broadcast, the same t24 discipline); only the scalar (V) rides
+    //      broadcast. Per-bigram NLLs are 1e-9-quantized and summed as
+    //      exact integers (ln ulp absorbed), so the top-20 cut is
+    //      deterministic. Single-token docs have no bigrams and drop out.
+    Q("t27_bigram_perplexity",
+      (s, d) => {
+        val toks = Tables.documents(s, d).withColumn("toks", tokens("text"))
+        val bi = toks.select(col("doc_id"), explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+                      slice(toks, 2, size(toks) - 1),
+                      (p, c) -> struct(p AS prev, c AS cur))""")).as("b"))
+          .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+        val pc = bi.groupBy("prev", "cur").agg(count(lit(1)).as("cpc"))
+        val pv = bi.groupBy("prev").agg(count(lit(1)).as("cp"))
+        val vz = toks.select(explode(col("toks")).as("term"))
+          .agg(count_distinct(col("term")).as("vsz"))
+        bi.join(pc, Seq("prev", "cur"))
+          .join(pv, Seq("prev"))
+          .crossJoin(broadcast(vz))
+          .select(col("doc_id"),
+            floor(log((col("cp") + col("vsz")).cast("double") /
+                      (col("cpc") + lit(1)).cast("double"))
+              * lit(1e9) + lit(0.5)).cast("long").as("nlq"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("nlq")).as("nll_q"),
+            (sum(col("nlq")).cast("double") / lit(1e9) / count(lit(1)))
+              .as("mean_nll"))
+          .orderBy(col("mean_nll").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                   FROM documents),
+        bi AS (SELECT doc_id, tk[i] AS prev, tk[i + 1] AS cur
+               FROM t CROSS JOIN LATERAL unnest(range(1, len(tk))) u(i)),
+        pc AS (SELECT prev, cur, COUNT(*) AS cpc FROM bi GROUP BY 1, 2),
+        pv AS (SELECT prev, COUNT(*) AS cp FROM bi GROUP BY 1),
+        vz AS (SELECT COUNT(DISTINCT term) AS vsz FROM (
+                 SELECT unnest(string_split_regex(trim(text), ' +')) AS term
+                 FROM documents)),
+        sc AS (SELECT bi.doc_id, CAST(FLOOR(
+                 ln(CAST(pv.cp + vz.vsz AS DOUBLE) /
+                    CAST(pc.cpc + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                 AS nlq
+               FROM bi JOIN pc USING (prev, cur) JOIN pv USING (prev), vz)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(nlq) AS BIGINT) AS nll_q,
+          CAST(SUM(nlq) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll
+        FROM sc GROUP BY doc_id
+        ORDER BY mean_nll DESC, doc_id ASC LIMIT 20"""))
   )
 }
