@@ -128,10 +128,203 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Byte-class histogram of a (pre-lowercased) string: hist[b % dims]++
+  * for every raw byte b in 'a'..'z' or '0'..'9'. One fused pass over the
+  * UTF-8 bytes inside whole-stage codegen — the replacement for the
+  * `dims` interpreted `size(filter(split(s,''), ...))` HOF passes the
+  * chunk-vector builder used (each of which materialized a per-char
+  * string array). Byte-wise is EXACTLY the old per-char semantics: in
+  * UTF-8 every byte < 0x80 is a standalone ASCII char and every byte of
+  * a multi-byte char is >= 0x80, so the [a-z0-9] test admits the same
+  * positions the single-char string comparison did, and for those chars
+  * byte value == codepoint == ascii(c). */
+case class CharModHist(child: Expression, dims: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dims >= 1, s"char_hist dims must be >= 1, got $dims")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "char_hist"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bts = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val h = new Array[Long](dims)
+    var i = 0
+    while (i < bts.length) {
+      val b = bts(i)
+      if ((b >= 48 && b <= 57) || (b >= 97 && b <= 122)) h(b % dims) += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bts = ctx.freshName("bts")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      s"""
+         |byte[] $bts = $a.getBytes();
+         |long[] $h = new long[$dims];
+         |for (int $i = 0; $i < $bts.length; $i++) {
+         |  byte $b = $bts[$i];
+         |  if (($b >= 48 && $b <= 57) || ($b >= 97 && $b <= 122)) $h[$b % $dims]++;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($h);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Integer twins of [[DotProduct]]/[[L2SquaredDistance]] over
+  * array<long> columns — the chunk-dedup frequency vectors are exact
+  * integer counts, and folding them through the generic HOF
+  * (`aggregate(zip_with(...))`) pays interpreted lambda dispatch per
+  * element per pair. Same left-to-right order, so in-domain results are
+  * identical; domain = count vectors (elements bounded by chunk size),
+  * where products cannot overflow. (Out of domain the HOF fold RAISES
+  * under ANSI where this loop wraps — neither caller can reach it.) */
+case class DotProductLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** see [[DotProductLong]] */
+case class L2SquaredDistanceLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_l2sq_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
+      (FunctionIdentifier("char_hist"),
+        new ExpressionInfo(classOf[CharModHist].getName, "char_hist"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"char_hist expects (str, dims), got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val dims = args(1) match {
+            case Literal(v: Int, _) => v
+            case Literal(v: Long, _) => v.toInt
+            case Literal(v: Short, _) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"char_hist dims must be an integer literal, got $other")
+          }
+          CharModHist(args.head, dims)
+        }),
+      (FunctionIdentifier("vec_dot_long"),
+        new ExpressionInfo(classOf[DotProductLong].getName, "vec_dot_long"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"vec_dot_long expects 2 arguments, got ${args.length}")
+          DotProductLong(args.head, args(1))
+        }),
+      (FunctionIdentifier("vec_l2sq_long"),
+        new ExpressionInfo(classOf[L2SquaredDistanceLong].getName, "vec_l2sq_long"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"vec_l2sq_long expects 2 arguments, got ${args.length}")
+          L2SquaredDistanceLong(args.head, args(1))
+        }),
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
         (args: Seq[Expression]) => {

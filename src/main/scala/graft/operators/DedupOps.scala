@@ -448,12 +448,17 @@ object DedupOps {
     * frequency vector per chunk: v[j] = count of alphanumeric chars with
     * ascii % dims == j. Row-local: explode + per-row array math, no
     * shuffle. ck = doc_id * ChunkKeyRadix + window index (see its doc
-    * for the collision bound). */
+    * for the collision bound).
+    *
+    * The vector is built by the native `char_hist` expression — ONE
+    * codegen'd pass over the chunk bytes. The original formulation
+    * (`dims` × `size(filter(split(s,''), ...))` interpreted HOF passes,
+    * each materializing a per-char string array) was the d15/d17 cost
+    * driver; semantics are identical (spec-pinned byte-for-byte against
+    * the HOF form) and the oracle replay is unchanged. */
   def chunkVectors(docs: DataFrame, size: Int, stride: Int,
                    dims: Int): DataFrame = {
-    val vExpr = (0 until dims).map(j =>
-      s"size(filter(cs, c -> ascii(c) % $dims = $j))").mkString(
-        "transform(array(", ",", "), x -> cast(x as long))")
+    graft.expressions.VectorExpressions.registerAll(docs.sparkSession)
     docs
       .select(col("doc_id"),
         posexplode(expr(
@@ -464,12 +469,9 @@ object DedupOps {
           .as(Seq("seq", "chunk")))
       .select(col("doc_id"),
         (col("doc_id") * lit(ChunkKeyRadix) + col("seq")).as("ck"),
-        expr("""filter(split(lower(chunk), ''),
-                       c -> (c >= 'a' AND c <= 'z') OR
-                            (c >= '0' AND c <= '9'))""").as("cs"))
-      .select(col("doc_id"), col("ck"), expr(vExpr).as("v"))
+        call_function("char_hist", lower(col("chunk")), lit(dims)).as("v"))
       .select(col("doc_id"), col("ck"), col("v"),
-        expr("aggregate(v, 0L, (a, x) -> a + x * x)").as("n2"))
+        call_function("vec_dot_long", col("v"), col("v")).as("n2"))
   }
 
   /** Cell-count sizing rule for the IVF-celled families (this file's
@@ -513,8 +515,7 @@ object DedupOps {
     // collapses the nCells-way expansion before any shuffle); L2 over
     // integer vectors — exact, ties to the lowest cell id
     val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("d2", call_function("vec_l2sq_long", col("v"), col("cv")))
       .groupBy(col("ck"))
       .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
         first(col("doc_id")).as("doc_id"), first(col("v")).as("v"),
@@ -528,8 +529,7 @@ object DedupOps {
       .as("cd_b")
     val pairs = a.join(b, col("cd_a.cell") === col("cd_b.cell") &&
         col("ck_a") < col("ck_b") && col("doc_a") =!= col("doc_b"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dot", call_function("vec_dot_long", col("va"), col("vb")))
       .select(col("cd_a.cell").as("cell"),
         (col("dot") >= 0 &&
           (col("dot") * col("dot")).cast("double") >=

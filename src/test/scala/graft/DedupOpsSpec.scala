@@ -204,4 +204,50 @@ class DedupOpsSpec extends SparkSpec {
       maxDocsPerGram = 4).collect()
     assert(pairs.isEmpty, pairs.mkString(", "))
   }
+
+  test("char_hist == the interpreted HOF formulation, byte for byte") {
+    graft.expressions.VectorExpressions.registerAll(spark)
+    val dims = 16
+    val hof = (0 until dims).map(j =>
+      s"size(filter(cs, c -> ascii(c) % $dims = $j))").mkString(
+        "transform(array(", ",", "), x -> cast(x as long))")
+    // adversarial inputs: mixed case, digits, punctuation, whitespace,
+    // empty, and multi-byte UTF-8 (é, 中) that the byte-wise scan must
+    // exclude exactly like the single-char string comparison did
+    val rows = Seq("Hello World 123", "", "   ", "ALLCAPS", "0a1b2c3",
+      "punct!@#$%^&*()", "café 中文 mix9z",
+      "zzzz9999aaaa0000").toDF("chunk")
+    val both = rows.select(
+      expr(s"""transform(array(${(0 until dims).map(j =>
+        s"size(filter(filter(split(lower(chunk), ''), c -> (c >= 'a' AND c <= 'z') OR (c >= '0' AND c <= '9')), c -> ascii(c) % $dims = $j))").mkString(",")}), x -> cast(x as long))""").as("old"),
+      call_function("char_hist", lower(col("chunk")), lit(dims)).as("neu"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"old=${r.getSeq[Long](0)} new=${r.getSeq[Long](1)}")
+    }
+    val _ = hof // silence unused (documents the replaced shape)
+  }
+
+  test("vec_dot_long / vec_l2sq_long == the HOF folds") {
+    graft.expressions.VectorExpressions.registerAll(spark)
+    // in-domain values only: chunk vectors are counts <= chunk size, so
+    // products can't overflow (under ANSI the HOF fold would RAISE on
+    // overflow where the native loop wraps — out of domain either way)
+    val df = Seq(
+      (Seq(1L, 2L, 3L, -4L), Seq(5L, -6L, 7L, 8L)),
+      (Seq(0L, 0L), Seq(0L, 0L)),
+      (Seq(500L, 499L, 1L), Seq(3L, 500L, 250000L)))
+      .toDF("a", "b")
+    val r = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("dh"),
+      call_function("vec_dot_long", col("a"), col("b")).as("dn"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)").as("lh"),
+      call_function("vec_l2sq_long", col("a"), col("b")).as("ln"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getLong(0) == row.getLong(1))
+      assert(row.getLong(2) == row.getLong(3))
+    }
+  }
 }
