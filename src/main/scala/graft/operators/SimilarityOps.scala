@@ -104,8 +104,20 @@ object SimilarityOps {
     * nCells-way expansion before any shuffle), never a window over the
     * expanded frame. */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(embeddings, nCells)
+              nCells: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(embeddings, queries, k, centroids(embeddings, nCells), nProbe)
+
+  /** [[ivfTopK]] against a caller-supplied centroid table (cell, cv:
+    * array<double>) — the k-means-TRAINED index path the seed-centroid
+    * overload's docstring defers to ("a production index would
+    * k-means-train them offline"): feed it
+    * `Clustering.refreshCentroids(lloydPasses(...).last)` and the
+    * operator shape (assign / probe / exact-score within cells) is
+    * unchanged while cells now follow the data distribution, which is
+    * what keeps cell populations balanced (and recall stable) on
+    * clustered real-world corpora. */
+  def ivfTopKWith(embeddings: DataFrame, queries: DataFrame, k: Int,
+                  cents: DataFrame, nProbe: Int): DataFrame = {
     val corpus = assignCells(prepared(embeddings), cents, take = 1)
     val qs = assignCells(prepared(queries), cents, take = nProbe)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),

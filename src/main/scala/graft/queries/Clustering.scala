@@ -94,9 +94,16 @@ object Clustering {
     * assignment against c_i, c_{i+1} = exact decimal centroid refresh of
     * a_i. The double arithmetic matches Spark bit-for-bit: left-fold L2
     * sums on both sides, decimal-exact means, ties broken by cell. */
-  private def lloydCte(k: Int, iters: Int): String = {
-    val sb = new StringBuilder(s"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+  private def lloydCte(k: Int, iters: Int): String =
+    s"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)""" +
+      lloydBodySql(k, iters)
+
+  /** the Lloyd CTE chain without the WITH prelude — for oracles (s20)
+    * that already define `e` (e.g. via the norm prelude) and append the
+    * trained centroids as a further CTE. */
+  private[graft] def lloydBodySql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder(s""",
     c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k)""")
     for (i <- 0 until iters) {
       sb ++= s""",

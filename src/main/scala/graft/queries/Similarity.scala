@@ -735,7 +735,43 @@ object Similarity {
           WHERE s.step < (SELECT LEAST(10, COUNT(*)) FROM cand)),
         last AS (SELECT chosen FROM sel ORDER BY step DESC LIMIT 1)
         SELECT CAST(g.r AS BIGINT) AS sel_rank, chosen[g.r] AS vec_id
-        FROM last CROSS JOIN LATERAL unnest(range(1, len(chosen) + 1)) g(r)"""))
+        FROM last CROSS JOIN LATERAL unnest(range(1, len(chosen) + 1)) g(r)""")),
+
+    // ---- IVF ANN over k-means-TRAINED centroids ------------------------
+    //      s06 probes cells seeded from the first-k vectors; this is the
+    //      production form its docstring defers to: two Lloyd passes
+    //      (the c-family trainer, decimal-exact centroid refresh) train
+    //      the cell table offline, then the SAME assign / probe /
+    //      exact-score shape searches it. Trained cells follow the data
+    //      distribution — balanced populations, stable recall on
+    //      clustered corpora. The oracle replays the full chain: Lloyd
+    //      rounds (bit-identical left-fold L2, decimal means), trained-
+    //      cell assignment, 2-cell probing, exact cosine top-5.
+    Q("s20_ann_ivf_trained",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val trained = Clustering.refreshCentroids(
+          Clustering.lloydPasses(Clustering.corpus(s, d), k = 8, iters = 2)
+            .last)
+        SimilarityOps.ivfTopKWith(emb, emb.filter(col("vec_id") < 5),
+          k = 5, cents = trained, nProbe = 2)
+      },
+      Some(normCte + Clustering.lloydBodySql(8, 3) + s"""
+        , asg AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT c.vec_id, c.v, c.nrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN c2 t) WHERE rn = 1),
+        qa AS (SELECT q_id, qv, qnrm, cell FROM (
+          SELECT c.vec_id AS q_id, c.v AS qv, c.nrm AS qnrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS pr
+          FROM n c CROSS JOIN c2 t WHERE c.vec_id < 5) WHERE pr <= 2),
+        p AS (SELECT qa.q_id, a.vec_id,
+                ${dotSql("a.v", "qa.qv")} / (a.nrm * qa.qnrm) AS cosine
+              FROM asg a JOIN qa USING (cell) WHERE a.vec_id <> qa.q_id)
+        SELECT q_id, vec_id, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 5"""))
   )
 
   /** s18 oracle: the jlSignMatrix rows as DuckDB VALUES tuples, from the

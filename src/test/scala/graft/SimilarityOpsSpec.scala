@@ -175,4 +175,21 @@ class SimilarityOpsSpec extends SparkSpec {
       .map(_.getLong(1)).toSeq
     assert(pure == topIds.take(5))
   }
+
+  test("ivfTopKWith: probing every trained cell equals brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val trained = graft.queries.Clustering.refreshCentroids(
+      graft.queries.Clustering.lloydPasses(
+        SimilarityOps.prepared(emb).select(col("vec_id"), col("v")),
+        k = 4, iters = 2).last)
+    val nCells = trained.count().toInt
+    val qs = emb.filter(col("vec_id") < 3)
+    val ivf = SimilarityOps.ivfTopKWith(emb, qs, k = 5, trained,
+      nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bf = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(ivf == bf)
+  }
 }
