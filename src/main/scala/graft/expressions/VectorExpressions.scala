@@ -376,6 +376,13 @@ object VectorExpressions {
           require(args.length == 2, s"cms_estimate expects 2 arguments, got ${args.length}")
           CmsEstimate(args.head, args(1))
         }),
+      (FunctionIdentifier("cms_inner_product"),
+        new ExpressionInfo(classOf[CmsInnerProduct].getName, "cms_inner_product"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"cms_inner_product expects 2 arguments, got ${args.length}")
+          CmsInnerProduct(args.head, args(1))
+        }),
       (FunctionIdentifier("minhash_agg"),
         new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
         (args: Seq[Expression]) => {

@@ -304,6 +304,67 @@ object Sketches {
           (SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
             - (SELECT COUNT(*) FROM u) AS n_inter,
           TRUE AS a_within_5pct, TRUE AS b_within_5pct,
-          TRUE AS union_within_5pct, TRUE AS inter_within_10pct"""))
+          TRUE AS union_within_5pct, TRUE AS inter_within_10pct""")),
+
+    // ---- join-cardinality estimation from CM sketches -------------------
+    //      the CM inner-product estimator (Cormode-Muthukrishnan 2005
+    //      §4.2): |A ⋈ B| ≈ min_d Σ_w tableA[d][w]·tableB[d][w] — two
+    //      KB-sized sketches size a join that would otherwise cost the
+    //      full shuffle, the input a planner needs for broadcast/
+    //      pre-filter decisions. Two gates: the l_suppkey SELF-join size
+    //      (= the second frequency moment Σ c(k)², the classic F2
+    //      estimate) and the lineitem ⋈ orders key join. Gate strategy
+    //      (the ds02 discipline): the ESTIMATE is sketch-internal, but
+    //      its theorems are not — one-sided (est >= exact, collisions
+    //      only add) and within eps·|A|·|B| at the sketch's confidence;
+    //      both flags are asserted over the exactly-computed truth.
+    Q("ds08_join_size_estimate",
+      (s, d) => {
+        graft.expressions.VectorExpressions.registerAll(s)
+        val li = Tables.lineitem(s, d)
+        val or = Tables.orders(s, d)
+        val skSupp = li.agg(
+          expr("count_min_sketch(l_suppkey, 0.001d, 0.999d, 42)").as("ska"),
+          count(lit(1)).as("na"))
+        val skOrdL = li.agg(
+          expr("count_min_sketch(l_orderkey, 0.001d, 0.999d, 42)").as("ska"),
+          count(lit(1)).as("na"))
+        val skOrdO = or.agg(
+          expr("count_min_sketch(o_orderkey, 0.001d, 0.999d, 42)").as("skb"),
+          count(lit(1)).as("nb"))
+        val f2Exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("exact_size"))
+        val joinExact = li
+          .join(or, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("exact_size"))
+        val self = f2Exact.crossJoin(broadcast(skSupp))
+          .select(lit("selfjoin_l_suppkey").as("join_key"),
+            col("exact_size"),
+            call_function("cms_inner_product", col("ska"), col("ska"))
+              .as("est"),
+            (col("na") * col("na")).as("nn"))
+        val cross = joinExact
+          .crossJoin(broadcast(skOrdL)).crossJoin(broadcast(skOrdO))
+          .select(lit("lineitem_join_orders").as("join_key"),
+            col("exact_size"),
+            call_function("cms_inner_product", col("ska"), col("skb"))
+              .as("est"),
+            (col("na") * col("nb")).as("nn"))
+        self.unionByName(cross)
+          .select(col("join_key"), col("exact_size"),
+            (col("est") >= col("exact_size")).as("est_ge_exact"),
+            ((col("est") - col("exact_size")).cast("double") <=
+              lit(0.001) * col("nn").cast("double")).as("est_within_band"))
+      },
+      Some("""
+        SELECT 'selfjoin_l_suppkey' AS join_key,
+          CAST(SUM(n * n) AS BIGINT) AS exact_size,
+          TRUE AS est_ge_exact, TRUE AS est_within_band
+        FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_suppkey)
+        UNION ALL
+        SELECT 'lineitem_join_orders',
+          (SELECT COUNT(*) FROM lineitem JOIN orders
+             ON l_orderkey = o_orderkey),
+          TRUE, TRUE"""))
   )
 }

@@ -80,4 +80,36 @@ class SketchProbeSpec extends SparkSpec {
       "SELECT cms_estimate(CAST(NULL AS BINARY), 1L) AS a").collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("cms_inner_product: exact join size on collision-free sketches") {
+    VectorExpressions.registerAll(spark)
+    // 10 distinct keys << width 2000: each key owns its counters, so the
+    // inner product is EXACTLY sum over keys of cA(k)*cB(k)
+    val a = (1 to 100).map(i => (i % 10).toLong).toDF("k") // 10 each
+    val b = (1 to 40).map(i => (i % 5).toLong).toDF("k")   // keys 0..4, 8 each
+    val ska = a.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 42)").as("ska"))
+    val skb = b.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 42)").as("skb"))
+    val est = ska.crossJoin(skb)
+      .select(call_function("cms_inner_product", col("ska"), col("skb")))
+      .collect().head.getLong(0)
+    assert(est == 5L * 10L * 8L, s"est $est") // 5 shared keys x 10 x 8
+    // self inner product = F2 = 10 keys x 10^2
+    val f2 = ska.select(
+      call_function("cms_inner_product", col("ska"), col("ska")))
+      .collect().head.getLong(0)
+    assert(f2 == 10L * 100L, s"f2 $f2")
+  }
+
+  test("cms_inner_product rejects sketches built with different seeds") {
+    VectorExpressions.registerAll(spark)
+    val a = (1 to 10).map(_.toLong).toDF("k")
+    val ska = a.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 42)").as("ska"))
+    val skb = a.agg(expr("count_min_sketch(k, 0.001d, 0.999d, 43)").as("skb"))
+    val ex = intercept[Exception] {
+      ska.crossJoin(skb)
+        .select(call_function("cms_inner_product", col("ska"), col("skb")))
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
