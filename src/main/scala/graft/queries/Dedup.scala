@@ -632,6 +632,45 @@ object Dedup {
           SELECT doc_id, gram FROM g WHERE gram IN (SELECT gram FROM f))
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
         FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- weighted sampling without replacement (A-ES) -------------------
+    //      Efraimidis-Spirakis exponential-keys sampling: key(doc) =
+    //      ln(u)/w with u uniform in (0,1], take the k LARGEST keys —
+    //      the top-k then IS a without-replacement sample with
+    //      P(inclusion) proportional to weight w (here n_chars: the
+    //      byte-budget-weighted doc selection a curation mix uses when
+    //      "sample 50 docs" should mean "prefer the documents carrying
+    //      more training signal"). Portability: u is md5-derived —
+    //      (first 52 bits of md5(doc_id) + 1) / 2^52, an EXACT double on
+    //      both engines — and the key is 1e-9-quantized before the cut
+    //      so the ln/division ulp cannot reorder the top-k (the t23
+    //      discipline). Row-local scoring + one TakeOrdered: no shuffle
+    //      beyond the top-k at any corpus size.
+    Q("d18_weighted_sample",
+      (s, d) => {
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("u",
+            ((conv(substring(h, 1, 13), 16, 10).cast("long") + lit(1L))
+              .cast("double")) / lit(4503599627370496.0))
+          .withColumn("kq", floor(log(col("u")) /
+            col("n_chars").cast("double") * lit(1e9)).cast("long"))
+          .orderBy(col("kq").desc, col("doc_id").asc)
+          .limit(50)
+          .select(col("doc_id"), col("n_chars"), col("kq"))
+      },
+      Some("""
+        SELECT doc_id, n_chars, kq FROM (
+          SELECT doc_id, n_chars,
+            CAST(FLOOR(ln(
+                CAST(CAST(CONCAT('0x', substring(
+                    md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1
+                  AS DOUBLE) / 4503599627370496.0)
+              / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS kq
+          FROM documents WHERE n_chars > 0)
+        ORDER BY kq DESC, doc_id ASC LIMIT 50"""))
   )
 }
