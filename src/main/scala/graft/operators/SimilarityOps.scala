@@ -199,6 +199,47 @@ object SimilarityOps {
     ivfNearDups(embeddings, minCosine,
       graft.operators.DedupOps.autoCells(embeddings.count()))
 
+  /** Binary-quantized ANN: every vector compresses to 64 sign bits in
+    * one BIGINT (bit j set iff v[j+1] > 0), candidates are ranked by
+    * HAMMING distance to the query's bits (bit_count(xor) — one codegen'd
+    * instruction pair per pair), and only the `nCand` Hamming-nearest
+    * are scored with the exact cosine. This is the modern
+    * binary-embedding retrieval shape: the corpus scan touches 8 BYTES
+    * per vector instead of dims*4, so the pre-filter is memory-bandwidth
+    * cheap at billions of vectors, and the exact re-rank restores
+    * ranking quality on the short candidate list. Differs from the LSH
+    * bucket path (lshTopK): buckets require exact signature equality,
+    * Hamming RANKING tolerates any number of flipped bits and needs no
+    * probing schedule. Output: (q_id, vec_id, ham, cosine, rk). */
+  def binaryHammingRerank(embeddings: DataFrame, queries: DataFrame,
+                          k: Int, nCand: Int): DataFrame = {
+    val bits = (0 until 64).map { j =>
+      when(element_at(col("v"), j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val p = prepared(embeddings).withColumn("bits", bits)
+    val qs = prepared(queries).withColumn("bits", bits)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bits").as("qbits"))
+    val wH = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val cand = p.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        bit_count(col("bits").bitwiseXOR(col("qbits"))).cast("long"))
+      .withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= nCand)
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand
+      .withColumn("cosine",
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"),
+          col("qnrm")))
+      .withColumn("rk", row_number().over(wC).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("ham"), col("cosine"),
+        col("rk"))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
     * 1998): greedily select `k` of the top-`nCand` hits for `queryId`,
     * each step maximizing lambda*rel(c) - (1-lambda)*max sim(c, s) over

@@ -771,8 +771,52 @@ object Similarity {
         SELECT q_id, vec_id, cosine, rk FROM (
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 5""")),
+
+    // ---- binary-quantized Hamming pre-filter + exact re-rank -----------
+    //      the modern binary-embedding retrieval shape: 64 sign bits per
+    //      vector (8 bytes — memory-bandwidth cheap at billions of
+    //      vectors), candidates RANKED by bit_count(xor), the 32
+    //      Hamming-nearest re-ranked by exact cosine. Unlike the s02
+    //      LSH-bucket path this tolerates any number of flipped bits —
+    //      no probing schedule. Everything is integer (bits, xor,
+    //      popcount) or bit-identical left-fold doubles, so the oracle
+    //      replays the full pipeline value-for-value.
+    Q("s21_binary_hamming_rerank",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.binaryHammingRerank(emb,
+          emb.filter(col("vec_id") < 5), k = 5, nCand = 32)
+      },
+      Some(normCte + s"""
+        , bq AS (SELECT vec_id, v, nrm, ${signBits64Sql("v")} AS bits
+                 FROM n),
+        qb AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm,
+                 bits AS qbits FROM bq WHERE vec_id < 5),
+        hc AS (SELECT q_id, vec_id, v, nrm, qv, qnrm, ham FROM (
+                 SELECT bq.vec_id, bq.v, bq.nrm, qb.q_id, qb.qv, qb.qnrm,
+                   CAST(bit_count(xor(bq.bits, qb.qbits)) AS BIGINT)
+                     AS ham,
+                   ROW_NUMBER() OVER (PARTITION BY qb.q_id
+                     ORDER BY bit_count(xor(bq.bits, qb.qbits)) ASC,
+                       bq.vec_id ASC) AS hr
+                 FROM bq CROSS JOIN qb WHERE bq.vec_id <> qb.q_id)
+               WHERE hr <= 32),
+        sc AS (SELECT q_id, vec_id, ham,
+                 ${dotSql("hc.v", "hc.qv")} / (hc.nrm * hc.qnrm) AS cosine
+               FROM hc)
+        SELECT q_id, vec_id, ham, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
   )
+
+  /** s21 oracle: the 64-term sign-bit sum — literal values identical to
+    * the engine's (1L << j) terms incl. the negative bit-63 literal. */
+  private def signBits64Sql(v: String): String =
+    (0 until 64).map { j =>
+      s"CASE WHEN $v[${j + 1}] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", "\n                 + ", ")")
 
   /** s18 oracle: the jlSignMatrix rows as DuckDB VALUES tuples, from the
     * SAME Scala call the engine embeds as plan literals. */

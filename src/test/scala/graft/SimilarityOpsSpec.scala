@@ -192,4 +192,23 @@ class SimilarityOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(ivf == bf)
   }
+
+  test("binaryHammingRerank: full candidate list equals brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val n = emb.count().toInt
+    val qs = emb.filter(col("vec_id") < 3)
+    // nCand >= corpus: the Hamming pre-filter passes everything, so the
+    // exact re-rank must reproduce the brute-force top-k
+    val bin = SimilarityOps.binaryHammingRerank(emb, qs, k = 5, nCand = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    val bf = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(bin == bf)
+    // tight nCand still returns k rows per query with ham populated
+    val tight = SimilarityOps.binaryHammingRerank(emb, qs, k = 5, nCand = 8)
+      .collect()
+    assert(tight.length == 15)
+    assert(tight.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 64))
+  }
 }
