@@ -328,4 +328,71 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Perceptual difference hash (dHash, Krawetz 2013) of each decoded
+    * image: sample a 9x8 luminance grid by pure index arithmetic
+    * (sample (gx, gy) reads pixel (gx*w/9, gy*h/8) — nearest-neighbor,
+    * no interpolation kernel, bit-deterministic like resizeImage), set
+    * bit gy*8+gx iff the left sample is brighter than its right
+    * neighbor. Near-identical images differ in a few bits; crops and
+    * re-encodes survive because the hash tracks gradients, not values.
+    * Undecodable payloads get a null hash (flagged, not dropped).
+    * Row-local mapPartitions through the REAL codec — no shuffle. */
+  def dHash64(assets: Dataset[MediaAsset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { a =>
+        val img = readImageOrNull(a.content)
+        if (img == null) (a.asset_id, Option.empty[Long])
+        else {
+          val r = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val bands = r.getNumBands
+          var hash = 0L
+          var gy = 0
+          while (gy < 8) {
+            val sy = gy * h / 8
+            var gx = 0
+            while (gx < 8) {
+              val p0 = lum(r, bands, gx * w / 9, sy)
+              val p1 = lum(r, bands, (gx + 1) * w / 9, sy)
+              if (p0 > p1) hash |= (1L << (gy * 8 + gx))
+              gx += 1
+            }
+            gy += 1
+          }
+          (a.asset_id, Some(hash))
+        }
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs by dHash Hamming distance <= maxHamming,
+    * candidates generated by 16-bit LSH BANDING (4 bands of 16 bits)
+    * before the exact popcount verify. For maxHamming <= 3 banding is
+    * EXACT by pigeonhole: 3 flipped bits damage at most 3 of 4 bands,
+    * so every true pair shares at least one intact band — candidates
+    * are bounded by band-bucket sizes, never all-pairs. (At production
+    * scale cap hot band-buckets the way substring dedup caps grams —
+    * a uniform-background band value is the boilerplate of images.) */
+  def dHashNearDups(assets: Dataset[MediaAsset], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is exact only for maxHamming <= 3, got $maxHamming")
+    val dh = dHash64(assets).filter(col("dhash").isNotNull)
+    val banded = dh.select(col("asset_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey", expr("shiftright(dhash, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("asset_id").as("id_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("asset_id").as("id_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("ham"))
+      .filter(col("ham") <= maxHamming)
+      .distinct()
+  }
 }

@@ -296,6 +296,53 @@ object Multimodal {
           CAST(len(list_filter(range(1, len(cs)),
               i -> (cs[i] >= 64) <> (cs[i + 1] >= 64))) AS BIGINT)
             AS n_crossings
-        FROM a"""))
+        FROM a""")),
+
+    // ---- perceptual-hash (dHash) image near-dup -------------------------
+    //      the multimodal twin of s21: every REAL-decoded PNG hashes to
+    //      64 gradient bits over a 9x8 nearest-neighbor luminance grid,
+    //      candidate pairs come from 16-bit LSH bands (EXACT for
+    //      Hamming <= 3 by pigeonhole — see MultimodalOps.dHashNearDups),
+    //      verified by popcount. Gray PNG is lossless and the sample
+    //      grid is index arithmetic, so the oracle recomputes every
+    //      hash from the ORIGINAL text bytes (zero-padded grid, m08's
+    //      convention) and pairs all-pairs — banding + verify must
+    //      equal the all-pairs filter exactly, which is the pigeonhole
+    //      claim the gate pins. Corpus duplicates surface as ham=0.
+    Q("m11_image_dhash_neardup",
+      (s, d) => {
+        import s.implicits._
+        MultimodalOps.dHashNearDups(MultimodalOps.encodePng(
+          MultimodalOps.buildAssets(Tables.documents(s, d))
+            .as[MultimodalOps.MediaAsset]), maxHamming = 3)
+      },
+      Some(s"""
+        WITH a AS (SELECT doc_id,
+                     GREATEST(CAST(CEIL(LENGTH(text) / 32.0) AS BIGINT), 1)
+                       AS h,
+                     list_transform(string_split(text, ''), x -> ascii(x))
+                       AS cs
+                   FROM documents),
+        dh AS (SELECT doc_id, ${dhashTermsSql()} AS hash FROM a)
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+          CAST(bit_count(xor(x.hash, y.hash)) AS BIGINT) AS ham
+        FROM dh x JOIN dh y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.hash, y.hash)) <= 3"""))
   )
+
+  /** m11 oracle: the 64 dHash gradient bits as explicit CASE terms —
+    * per-bit literal values from Scala (DuckDB raises on 1 << 63), grid
+    * columns precomputed (width fixed at encodePng's 32), the row
+    * offset (gy*h//8)*32 left dynamic per document. Pixel (sx, sy) is
+    * byte sy*32+sx of the text, zero beyond the end (the PNG pad). */
+  private def dhashTermsSql(): String =
+    (for (gy <- 0 until 8; gx <- 0 until 8) yield {
+      val sx0 = gx * 32 / 9
+      val sx1 = (gx + 1) * 32 / 9
+      val bit = 1L << (gy * 8 + gx)
+      s"""CASE WHEN COALESCE(cs[($gy*h//8)*32 + ${sx0 + 1}], 0)
+         |  > COALESCE(cs[($gy*h//8)*32 + ${sx1 + 1}], 0)
+         |  THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        .stripMargin
+    }).mkString("(", "\n          + ", ")")
 }

@@ -161,4 +161,27 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(rf.n_bytes == 4 && rf.mean_byte == 200.0,
       s"resized n=${rf.n_bytes} mean=${rf.mean_byte}")
   }
+
+  test("dHashNearDups: near-identical images pair, different ones don't") {
+    import org.apache.spark.sql.functions._
+    val base = ("The quick brown fox jumps over the lazy dog. " * 8).getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(40) = 'X'.toByte // one-pixel change
+    val other = ("0123456789" * 36).getBytes("UTF-8")
+    def asset(id: Long, bytes: Array[Byte]) = MultimodalOps.MediaAsset(
+      id, bytes, MultimodalOps.MediaMeta("application/octet-stream",
+        bytes.length.toLong, "x"))
+    val assets = MultimodalOps.encodePng(
+      Seq(asset(1L, base), asset(2L, tweaked), asset(3L, other),
+        asset(4L, base)).toDS())
+    val pairs = MultimodalOps.dHashNearDups(assets, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 4L)).contains(0L), s"exact dup missed: $pairs")
+    assert(pairs.contains((1L, 2L)), s"near dup missed: $pairs") // <=3 bits
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image paired: $pairs")
+    // corrupt payloads get a null hash and are excluded, not crashed on
+    val withCorrupt = Seq(asset(9L, Array[Byte](1, 2, 3))).toDS()
+    val dh = MultimodalOps.dHash64(withCorrupt).collect().head
+    assert(dh.isNullAt(1))
+  }
 }
