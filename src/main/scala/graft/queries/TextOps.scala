@@ -973,6 +973,90 @@ object TextOps {
           CAST(SUM(nlq) AS BIGINT) AS nll_q,
           CAST(SUM(nlq) AS DOUBLE) / 1e9 / COUNT(*) AS mean_nll
         FROM sc GROUP BY doc_id
-        ORDER BY mean_nll DESC, doc_id ASC LIMIT 20"""))
+        ORDER BY mean_nll DESC, doc_id ASC LIMIT 20""")),
+
+    // ---- decontaminated train/test split --------------------------------
+    //      t16's portable md5 split, HARDENED: any train document that is
+    //      a near-duplicate (3-gram Jaccard >= 0.6, the d02 exact
+    //      verifier) of a TEST document is evicted from train — the
+    //      benchmark-leakage guard every serious pretraining mix runs
+    //      (a test answer hiding in train, verbatim or lightly edited,
+    //      inflates eval). Output: per split, sizes before/after and the
+    //      eviction count. Scale shape: the split is a row-local md5
+    //      projection; contamination pairs come from the bounded-bucket
+    //      shingle join (never all-pairs at production settings); the
+    //      eviction is one broadcast-able anti-set.
+    Q("t28_decontam_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val h = md5(col("doc_id").cast("string").cast("binary"))
+        val cut80 = "cccccc" + "0" * 26
+        val cut90 = "e66666" + "0" * 26
+        val sp = docs.withColumn("split",
+          when(h < lit(cut80), "train")
+            .when(h < lit(cut90), "validation")
+            .otherwise("test"))
+          .select(col("doc_id"), col("split"))
+        val pairs = graft.operators.DedupOps
+          .ngramJaccardPairs(docs, n = 3, minJaccard = 0.6)
+          .select("doc_a", "doc_b")
+        val labeled = pairs
+          .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+            "doc_a")
+          .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+            "doc_b")
+        val evict = labeled
+          .filter(col("sa") === "train" && col("sb") === "test")
+          .select(col("doc_a").as("doc_id"))
+          .union(labeled
+            .filter(col("sb") === "train" && col("sa") === "test")
+            .select(col("doc_b").as("doc_id")))
+          .distinct()
+        val removed = evict.join(sp, "doc_id")
+          .groupBy("split").agg(count(lit(1)).as("n_removed"))
+        sp.groupBy("split").agg(count(lit(1)).as("n_before"))
+          .join(removed, Seq("split"), "left")
+          .select(col("split"), col("n_before"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            (col("n_before") - coalesce(col("n_removed"), lit(0L)))
+              .as("n_after"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        g AS (SELECT doc_id,
+                list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) grams
+              FROM t),
+        p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                len(list_intersect(a.grams, b.grams)) AS common,
+                len(a.grams) AS sa_n, len(b.grams) AS sb_n
+              FROM g a JOIN g b ON a.doc_id < b.doc_id),
+        nd AS (SELECT doc_a, doc_b FROM p
+               WHERE CAST(common AS DOUBLE) / (sa_n + sb_n - common) >= 0.6),
+        sp AS (SELECT doc_id, CASE
+                 WHEN md5(CAST(doc_id AS VARCHAR)) < 'cccccc${"0" * 26}'
+                   THEN 'train'
+                 WHEN md5(CAST(doc_id AS VARCHAR)) < 'e66666${"0" * 26}'
+                   THEN 'validation'
+                 ELSE 'test' END AS split
+               FROM documents),
+        ev AS (SELECT DISTINCT doc_id FROM (
+                 SELECT nd.doc_a AS doc_id FROM nd
+                   JOIN sp a ON a.doc_id = nd.doc_a
+                   JOIN sp b ON b.doc_id = nd.doc_b
+                 WHERE a.split = 'train' AND b.split = 'test'
+                 UNION ALL
+                 SELECT nd.doc_b FROM nd
+                   JOIN sp a ON a.doc_id = nd.doc_a
+                   JOIN sp b ON b.doc_id = nd.doc_b
+                 WHERE b.split = 'train' AND a.split = 'test')),
+        rm AS (SELECT sp.split, COUNT(*) AS n_removed FROM ev
+               JOIN sp USING (doc_id) GROUP BY 1)
+        SELECT sp.split, COUNT(*) AS n_before,
+          COALESCE(ANY_VALUE(rm.n_removed), 0) AS n_removed,
+          COUNT(*) - COALESCE(ANY_VALUE(rm.n_removed), 0) AS n_after
+        FROM sp LEFT JOIN rm ON sp.split = rm.split
+        GROUP BY sp.split"""))
   )
 }
