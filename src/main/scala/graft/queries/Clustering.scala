@@ -411,5 +411,43 @@ object Clustering {
             AS BIGINT) AS smp_rank
           FROM a0)
         WHERE smp_rank <= 5"""))
+    ,
+
+    // ---- elbow curve: within-cluster SSE across k -----------------------
+    //      the k-selection diagnostic: total within-cluster squared
+    //      distance at k in {2,4,8,16} seed centroids — the curve whose
+    //      knee picks k. Per-row min-distances are exact left-fold
+    //      doubles quantized to 1e-6 integers BEFORE the corpus sum, so
+    //      the total is shuffle-order-free and replays exactly. One
+    //      broadcast-argmin scan per k; the four branches share the
+    //      cached corpus and union into one frame.
+    Q("c09_elbow_sse",
+      (s, d) => {
+        val emb = corpus(s, d)
+        Seq(2, 4, 8, 16).map { k =>
+          assignTo(emb, seeds(emb, k))
+            .select(lit(k.toLong).as("k"),
+              floor(col("d2") * lit(1e6)).cast("long").as("sq"))
+        }.reduce(_ unionByName _)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("sq")).as("sse_q"),
+            (sum(col("sq")).cast("double") / lit(1e6)).as("sse"))
+      },
+      Some {
+        val branches = Seq(2, 4, 8, 16).map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS k, COUNT(*) AS n,
+             CAST(SUM(sq) AS BIGINT) AS sse_q,
+             CAST(SUM(sq) AS DOUBLE) / 1e6 AS sse
+           FROM (SELECT CAST(FLOOR(m * 1e6) AS BIGINT) AS sq FROM (
+             SELECT e.vec_id,
+               MIN(${l2sqSql("e.v", "c.cv")}) AS m
+             FROM e CROSS JOIN
+               (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $k) c
+             GROUP BY e.vec_id))"""
+        }
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                      FROM embeddings)
+        """ + branches.mkString("\n        UNION ALL\n        ")
+      })
   )
 }
