@@ -199,6 +199,31 @@ object SimilarityOps {
     ivfNearDups(embeddings, minCosine,
       graft.operators.DedupOps.autoCells(embeddings.count()))
 
+  /** FILTERED vector search: exact cosine top-k where corpus candidates
+    * must match the query's value in `attr` (here: the embeddings
+    * `label` column) — the metadata-predicate + vector composition
+    * ("filtered ANN") that trips dedicated vector stores, and that a
+    * relational engine gets for free: the predicate joins INTO candidate
+    * generation (broadcast query set keyed by attr), so low-selectivity
+    * filters shrink the scan instead of post-filtering a top-k that may
+    * then come up short. Output: (q_id, vec_id, cosine, rk). */
+  def filteredTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   attr: String): DataFrame = {
+    VectorExpressions.registerAll(embeddings.sparkSession)
+    def prep(df: DataFrame) =
+      df.select(col("vec_id"), col(attr), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(call_function("vec_dot", col("v"), col("v"))))
+    val corpus = prep(embeddings)
+    val qs = prep(queries).select(col("vec_id").as("q_id"),
+      col(attr).as("q_attr"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairs = corpus.join(broadcast(qs),
+        col(attr) === col("q_attr") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"),
+          col("qnrm")).as("cosine"))
+    topK(pairs, k)
+  }
+
   /** Binary-quantized ANN: every vector compresses to 64 sign bits in
     * one BIGINT (bit j set iff v[j+1] > 0), candidates are ranked by
     * HAMMING distance to the query's bits (bit_count(xor) — one codegen'd

@@ -809,7 +809,35 @@ object Similarity {
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
-  )
+  ) :+ filteredAnnEntry
+
+  private lazy val filteredAnnEntry: Q =
+    // ---- filtered vector search (metadata predicate + top-k) -----------
+    //      candidates must share the query's label: the predicate joins
+    //      INTO candidate generation (broadcast query set keyed by
+    //      label), so the filter SHRINKS the scan — post-filtering a
+    //      global top-k instead can come up short on selective
+    //      predicates, the classic filtered-ANN failure. Exact cosine,
+    //      keyed top-5, oracle replays join + fold + rank.
+    Q("s22_filtered_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        SimilarityOps.filteredTopK(emb, emb.filter(col("vec_id") < 5),
+          k = 5, attr = "label")
+      },
+      Some(normCte + s"""
+        , lab AS (SELECT vec_id, label FROM embeddings),
+        q AS (SELECT n.vec_id AS q_id, lab.label AS q_attr,
+                n.v AS qv, n.nrm AS qnrm
+              FROM n JOIN lab USING (vec_id) WHERE n.vec_id < 5),
+        p AS (SELECT q.q_id, c.vec_id,
+                ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+              FROM n c JOIN lab cl ON cl.vec_id = c.vec_id
+              JOIN q ON cl.label = q.q_attr AND c.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM p)
+        WHERE rk <= 5"""))
 
   /** s21 oracle: the 64-term sign-bit sum — literal values identical to
     * the engine's (1L << j) terms incl. the negative bit-63 literal. */
