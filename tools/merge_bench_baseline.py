@@ -80,11 +80,19 @@ def main():
     # structural change (>= 1 node x rounds) still clears.
     def shuffle_disagrees(a, b):
         return abs(a - b) > 1.0 and abs(a - b) > 0.1 * max(a, b)
+    # exchanges: ±2, not ±1 — ONE borderline AQE broadcast decision flips
+    # a join between SMJ (two exchanges) and BHJ (zero), so a single
+    # replan moves the count by 2, and the same flip swaps ~10 plan
+    # nodes (sorts + exchanges + AQE wrappers: s08 measured 5 vs 7
+    # exchanges and 78 vs 88 nodes across clean same-commit runs); the
+    # baseline stores the MIN either way, and the in-run tracker's own
+    # regression bars (any exchange increase; >25% and >5 nodes vs the
+    # baseline MIN) remain the actual structural gate.
     for axis, disagrees in (
             ("shuffle_mb", shuffle_disagrees),
-            ("exchanges", lambda a, b: abs(a - b) > 1),
+            ("exchanges", lambda a, b: abs(a - b) > 2),
             ("plan_nodes",
-             lambda a, b: abs(a - b) > 5 and abs(a - b) > 0.03 * max(a, b))):
+             lambda a, b: abs(a - b) > 12 and abs(a - b) > 0.03 * max(a, b))):
         base = runs[0].get(axis, {})
         for p, r in zip(paths[1:], runs[1:]):
             cur = r.get(axis, {})
