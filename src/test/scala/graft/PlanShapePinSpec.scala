@@ -27,8 +27,12 @@ class PlanShapePinSpec extends SparkSpec {
     "m10_image_resize" -> 0,     // three codec passes, all row-local
     "t25_bpe_encode" -> 1,       // encode row-local; one token agg
     "d16_substring_dedup" -> 7,  // distinct, df cap, semi, pair join, agg
-    "g10_kcore" -> 4)            // rounds pre-checkpointed; one tagged
+    "g10_kcore" -> 4,            // rounds pre-checkpointed; one tagged
                                  // distinct-count + anchor join tail
+    "d18_weighted_sample" -> 0,  // scan + TakeOrdered: keys are row-local
+    "s18_jl_distortion" -> 2,    // projection row-local; pair join + agg
+    "s22_filtered_ann" -> 1,     // predicate joins broadcast; one window
+    "ds08_join_size_estimate" -> 7) // 3 sketch aggs + 2 exact sides + union
 
   private def exchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).size +
