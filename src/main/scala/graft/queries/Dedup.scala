@@ -671,6 +671,47 @@ object Dedup {
                   AS DOUBLE) / 4503599627370496.0)
               / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS kq
           FROM documents WHERE n_chars > 0)
-        ORDER BY kq DESC, doc_id ASC LIMIT 50"""))
+        ORDER BY kq DESC, doc_id ASC LIMIT 50""")),
+
+    // ---- dedup yield vs threshold (the tuning curve) --------------------
+    //      pair counts and doc-touch counts at minJaccard in
+    //      {0.5, 0.6, 0.7, 0.8} from ONE shingle-join pass — the curve a
+    //      curation run reads before committing to a threshold (too low
+    //      merges topical neighbors, too high misses light edits). The
+    //      expensive pair generation runs once at the loosest threshold;
+    //      the per-threshold rollup is conditional aggregation over the
+    //      already-bounded pair set. (On this synthetic corpus the curve
+    //      is flat — the jaccard distribution is bimodal, <0.15 or
+    //      >=0.8, so every grid point sees the same 25 pairs; that IS
+    //      the diagnostic working: it says the threshold choice is
+    //      insensitive here, which a real crawl's long near-dup tail
+    //      would not.)
+    Q("d19_threshold_curve",
+      (s, d) => {
+        val pairs = DedupOps.ngramJaccardPairs(Tables.documents(s, d),
+          n = 3, minJaccard = 0.5)
+        Seq(0.5, 0.6, 0.7, 0.8).map { t =>
+          pairs.filter(col("jaccard") >= t)
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+            .agg(lit(t).as("threshold"),
+              (count(lit(1)) / 2).cast("long").as("n_pairs"),
+              count_distinct(col("doc_id")).as("n_docs_touched"))
+        }.reduce(_ unionByName _)
+      },
+      Some(jaccardCte + """
+        , nd AS (SELECT doc_a, doc_b,
+                   CAST(common AS DOUBLE) / (sa + sb - common) AS j
+                 FROM p
+                 WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.5),
+        th AS (SELECT t FROM (VALUES (0.5e0), (0.6e0), (0.7e0), (0.8e0))
+               v(t)),
+        x AS (SELECT th.t, nd.doc_a, nd.doc_b FROM th
+              JOIN nd ON nd.j >= th.t)
+        SELECT CAST(t AS DOUBLE) AS threshold,
+          CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_touched
+        FROM (SELECT t, doc_a AS doc_id FROM x
+              UNION ALL SELECT t, doc_b FROM x)
+        GROUP BY t"""))
   )
 }
