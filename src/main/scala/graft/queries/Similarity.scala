@@ -809,7 +809,75 @@ object Similarity {
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
-  ) :+ filteredAnnEntry
+  ) :+ filteredAnnEntry :+ ivfRecallEntry
+
+  private lazy val ivfRecallEntry: Q =
+    // ---- IVF recall@5 vs nProbe (the s14 curve for the IVF index) ------
+    //      how much of the exact top-5 the celled index recovers at
+    //      probes 1/2/4 of 8 seed cells — the quality dial a deployment
+    //      reads against its latency budget. One exact pass + one ANN
+    //      branch per probe depth; every branch is the s06 shape and
+    //      all arithmetic replays bit-for-bit, so the recall fractions
+    //      are exact on both engines.
+    Q("s23_ivf_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        Seq(1, 2, 4).map { p =>
+          val ann = SimilarityOps.ivfTopK(emb, qs, k = 5, nCells = 8,
+            nProbe = p).select(col("q_id"), col("vec_id"))
+          exact.join(ann.withColumn("hit", lit(1)), Seq("q_id", "vec_id"),
+              "left")
+            .groupBy(col("q_id"))
+            .agg(count(col("hit")).as("hits"))
+            .select(lit(p.toLong).as("probes"), col("q_id"), col("hits"),
+              (col("hits").cast("double") / lit(5)).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        def annBranch(p: Int): String = s"""
+        qa$p AS (SELECT q_id, qv, qnrm, cell FROM (
+          SELECT c.vec_id AS q_id, c.v AS qv, c.nrm AS qnrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS pr
+          FROM n c CROSS JOIN cents t WHERE c.vec_id < 5) WHERE pr <= $p),
+        ann$p AS (SELECT q_id, vec_id FROM (
+          SELECT qa$p.q_id, a.vec_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY qa$p.q_id ORDER BY
+              ${dotSql("a.v", s"qa$p.qv")} / (a.nrm * qa$p.qnrm) DESC,
+              a.vec_id ASC) AS BIGINT) AS rk
+          FROM asg a JOIN qa$p USING (cell)
+          WHERE a.vec_id <> qa$p.q_id) WHERE rk <= 5),
+        rec$p AS (SELECT CAST($p AS BIGINT) AS probes, ex.q_id,
+            COUNT(ann$p.vec_id) AS hits,
+            CAST(COUNT(ann$p.vec_id) AS DOUBLE) / 5 AS recall
+          FROM ex LEFT JOIN ann$p
+            ON ex.q_id = ann$p.q_id AND ex.vec_id = ann$p.vec_id
+          GROUP BY ex.q_id)"""
+        normCte + s"""
+        , cents AS (SELECT vec_id AS cell, v AS cv FROM n WHERE vec_id < 8),
+        asg AS (SELECT vec_id, v, nrm, cell FROM (
+          SELECT c.vec_id, c.v, c.nrm, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN cents t) WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+              WHERE vec_id < 5),
+        ex AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, c.vec_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+              ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) DESC,
+              c.vec_id ASC) AS BIGINT) AS rk
+          FROM n c, q WHERE c.vec_id <> q.q_id) WHERE rk <= 5),
+        ${annBranch(1).stripPrefix("\n")},
+        ${annBranch(2).stripPrefix("\n")},
+        ${annBranch(4).stripPrefix("\n")}
+        SELECT probes, q_id, hits, recall FROM rec1
+        UNION ALL SELECT probes, q_id, hits, recall FROM rec2
+        UNION ALL SELECT probes, q_id, hits, recall FROM rec4"""
+      })
 
   private lazy val filteredAnnEntry: Q =
     // ---- filtered vector search (metadata predicate + top-k) -----------
