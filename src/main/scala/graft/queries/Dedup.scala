@@ -688,15 +688,20 @@ object Dedup {
     //      would not.)
     Q("d19_threshold_curve",
       (s, d) => {
+        import s.implicits._
         val pairs = DedupOps.ngramJaccardPairs(Tables.documents(s, d),
           n = 3, minJaccard = 0.5)
-        Seq(0.5, 0.6, 0.7, 0.8).map { t =>
-          pairs.filter(col("jaccard") >= t)
-            .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-            .agg(lit(t).as("threshold"),
-              (count(lit(1)) / 2).cast("long").as("n_pairs"),
-              count_distinct(col("doc_id")).as("n_docs_touched"))
-        }.reduce(_ unionByName _)
+        val th = Seq(0.5, 0.6, 0.7, 0.8).toDF("threshold")
+        // ONE pass over the pair set: the broadcast threshold grid
+        // fans each pair out to the grid points it clears, then a
+        // single keyed aggregation rolls the curve up (a filter+union
+        // per threshold would recompute the shingle join per point)
+        pairs.join(broadcast(th), col("jaccard") >= col("threshold"))
+          .select(col("threshold"),
+            explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .groupBy(col("threshold"))
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+            count_distinct(col("doc_id")).as("n_docs_touched"))
       },
       Some(jaccardCte + """
         , nd AS (SELECT doc_a, doc_b,
