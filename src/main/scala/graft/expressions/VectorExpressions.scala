@@ -192,9 +192,14 @@ case class CharModHist(child: Expression, dims: Int)
   * element per pair. Same left-to-right order, so in-domain results are
   * identical; domain = count vectors (elements bounded by chunk size),
   * where products cannot overflow. (Out of domain the HOF fold RAISES
-  * under ANSI where this loop wraps — neither caller can reach it.) */
+  * under ANSI where this loop wraps — neither caller can reach it.)
+  * Mismatched-length arrays return NULL, as the HOF formulation does
+  * (zip_with pads the shorter array with nulls, which null the fold). */
 case class DotProductLong(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // nullable even over non-null inputs: length mismatch yields NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -212,7 +217,8 @@ case class DotProductLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0L
     var i = 0
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
@@ -225,12 +231,16 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -242,6 +252,9 @@ case class DotProductLong(left: Expression, right: Expression)
 /** see [[DotProductLong]] */
 case class L2SquaredDistanceLong(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // nullable even over non-null inputs: length mismatch yields NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -259,7 +272,8 @@ case class L2SquaredDistanceLong(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0L
     var i = 0
     while (i < n) {
@@ -277,13 +291,17 @@ case class L2SquaredDistanceLong(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $s += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -124,7 +124,11 @@ object BpeOps {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(merges.toArray)
     val enc = udf { (text: String) =>
-      val t = if (text == null) "" else text.toLowerCase
+      // Locale.ROOT, not the JVM default: Spark's lower() (used by
+      // encode/train) is locale-independent, and a Turkish/Azeri default
+      // locale would map 'I' to dotless 'ı' here, breaking the documented
+      // bit-identity between encodeBulk and encode.
+      val t = if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT)
       val sb = new java.lang.StringBuilder(t.length * 2 + 2)
       val present = new java.util.HashSet[String]()
       sb.append(' ')

@@ -353,15 +353,39 @@ object DedupOps {
     * per cluster, not per pair: A~B, B~C must collapse to ONE cluster
     * even when A~C was never emitted).
     *
-    * Min-label propagation to fixpoint: per iteration one shuffle join
-    * (edges x labels) + one keyed min-agg; iterations = component
-    * diameter, and near-dup clusters are shallow (dup chains, not long
-    * paths). Each round's labels are persisted and the previous round
-    * unpersisted, so lineage stays O(1) instead of growing per iteration.
-    * At web scale you'd swap in the large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) — same contract, fewer rounds on adversarial graphs. */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    * Default path (`contraction = true`): the large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) via [[GraphOps.connectedComponents]] —
+    * O(log n) rounds on ANY graph shape, which is what survives
+    * adversarial near-dup inputs (template families forming long
+    * chains, where propagation's round count is the component
+    * DIAMETER). Both paths produce the identical deterministic label
+    * (minimum reachable doc_id), spec-asserted on chains and forests.
+    *
+    * `contraction = false` keeps the min-label propagation fixpoint:
+    * per iteration one shuffle join (edges x labels) + one keyed
+    * min-agg; iterations = component diameter. Cheaper per round than
+    * a star step (no degree join), so it can win on corpora whose dup
+    * clusters are known-shallow (exact-copy farms); it is the
+    * ground-truth twin the spec pins the contraction path against. */
+  def nearDupClusters(pairs: DataFrame,
+                      contraction: Boolean = true): DataFrame =
+    nearDupClustersWithRounds(pairs, contraction)._1
+
+  /** (labels, rounds) — rounds exposed so the adversarial-chain spec can
+    * assert contraction's O(log n) against propagation's O(diameter). */
+  private[graft] def nearDupClustersWithRounds(
+      pairs: DataFrame, contraction: Boolean): (DataFrame, Int) = {
+    if (contraction) {
+      val und = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val (labels, rounds) = GraphOps.ccWithRounds(und, maxRounds = 30)
+      (labels.select(col("id").as("doc_id"),
+        col("component").as("cluster_id")), rounds)
+    } else nearDupClustersPropagation(pairs)
+  }
+
+  private def nearDupClustersPropagation(
+      pairs: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -381,6 +405,7 @@ object DedupOps {
         lit(java.math.BigDecimal.ZERO))).head.getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
+    var rounds = 0
     while (!converged) {
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("label"))
@@ -404,9 +429,11 @@ object DedupOps {
       prevSum = s
       labels.unpersist()
       labels = next
+      rounds += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+      rounds)
   }
 
   /** SimHash near-dups, exact-verified by n-gram Jaccard (same contract

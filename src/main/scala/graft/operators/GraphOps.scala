@@ -371,7 +371,15 @@ object GraphOps {
     * round count is FIXED (deterministic replay), not convergence-
     * gated; at 100 TB the per-round cost is |settled ⋈ edges| keyed by
     * dst, and the localCheckpoint rotation keeps lineage O(1) deep
-    * exactly as bfsHops/connectedComponents do. */
+    * exactly as bfsHops/connectedComponents do.
+    *
+    * Cache contract: the edge frame is persisted MEMORY_AND_DISK here
+    * and — because the lazy-checkpoint design defers all work to the
+    * caller's action — is OWNED BY THE CALLER (the same contract as
+    * [[DedupOps.containmentPairs]]): run your action while it is live,
+    * then `spark.catalog.clearCache()` (Bench/Verify do) or unpersist
+    * it; repeated library calls without either will accumulate one
+    * pinned cached frame per invocation. */
   def boundedSssp(edges: DataFrame, start: Long, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"), col("w"))

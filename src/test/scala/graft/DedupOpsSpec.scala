@@ -95,6 +95,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("nearDupClusters: contraction and propagation agree on a forest") {
+    // two chains, one triangle-with-tail, one isolated pair — labels
+    // from both paths must be the identical min-reachable doc_id map
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L),         // chain
+      (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L), // triangle + tail
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val viaContraction = asMap(DedupOps.nearDupClusters(pairs, contraction = true))
+    val viaPropagation = asMap(DedupOps.nearDupClusters(pairs, contraction = false))
+    assert(viaContraction == viaPropagation)
+    assert(viaContraction == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("nearDupClusters: adversarial 64-doc chain — contraction O(log n), " +
+      "propagation ~diameter") {
+    // a 64-doc template-family chain i~i+1: the worst case for min-label
+    // propagation (the min label crawls one hop per round, so rounds ~
+    // diameter 63) and the case the large-star/small-star contraction
+    // was designed for (each round roughly halves path lengths)
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (contracted, contractionRounds) =
+      DedupOps.nearDupClustersWithRounds(pairs, contraction = true)
+    val (propagated, propagationRounds) =
+      DedupOps.nearDupClustersWithRounds(pairs, contraction = false)
+    val cm = contracted.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val pm = propagated.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cm == pm && cm == (0L to 63L).map(_ -> 0L).toMap)
+    assert(contractionRounds <= 10,
+      s"contraction should need O(log 64) rounds, took $contractionRounds")
+    assert(propagationRounds >= 30,
+      s"propagation on a 64-chain should need ~diameter rounds, " +
+        s"took $propagationRounds")
+    assert(contractionRounds * 3 < propagationRounds)
+  }
+
   test("chunkNearDups finds a cross-doc chunk dup and never all-pairs") {
     // docs 1 and 2 share an identical long passage (one chunk window's
     // worth); doc 3 is alphabet noise with a disjoint char profile
@@ -248,6 +290,24 @@ class DedupOpsSpec extends SparkSpec {
     r.foreach { row =>
       assert(row.getLong(0) == row.getLong(1))
       assert(row.getLong(2) == row.getLong(3))
+    }
+  }
+
+  test("vec_dot_long / vec_l2sq_long: length mismatch -> NULL, like the HOF") {
+    graft.expressions.VectorExpressions.registerAll(spark)
+    // zip_with pads the shorter array with nulls, which null the fold;
+    // the native expressions must diverge the same way rather than
+    // silently truncating to the common prefix
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L))).toDF("a", "b")
+    val r = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)").as("dh"),
+      call_function("vec_dot_long", col("a"), col("b")).as("dn"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x)").as("lh"),
+      call_function("vec_l2sq_long", col("a"), col("b")).as("ln"))
+      .collect()
+    r.foreach { row =>
+      assert(row.isNullAt(0) && row.isNullAt(1), "dot: HOF and native must both be NULL")
+      assert(row.isNullAt(2) && row.isNullAt(3), "l2sq: HOF and native must both be NULL")
     }
   }
 }
