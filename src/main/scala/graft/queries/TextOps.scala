@@ -1057,6 +1057,85 @@ object TextOps {
           COALESCE(ANY_VALUE(rm.n_removed), 0) AS n_removed,
           COUNT(*) - COALESCE(ANY_VALUE(rm.n_removed), 0) AS n_after
         FROM sp LEFT JOIN rm ON sp.split = rm.split
-        GROUP BY sp.split"""))
+        GROUP BY sp.split""")),
+
+    // ---- HTML boilerplate extraction (the crawl entry point) ------------
+    //      every pretraining corpus starts from crawled HTML; this gate
+    //      wraps the documents' text in a deterministic synthetic page
+    //      (head + script/style, a link-dense nav, the body paragraph,
+    //      an optional "related links" farm on doc_id%3, a link+legal
+    //      footer) and runs HtmlOps.extractText — jusText-shaped block
+    //      segmentation with integer-permille link/stopword densities.
+    //      The oracle rebuilds the SAME page in SQL and replays every
+    //      block decision with DuckDB regexp/list lambdas, so the gate
+    //      pins segmentation, tag stripping, both density rules, the
+    //      long-block rescue, page-order reassembly, and the all-docs-
+    //      retained contract (all-boilerplate pages come back empty,
+    //      not missing). Row-local until one doc_id groupBy — a pure
+    //      map at 100 TB.
+    Q("t29_html_extract",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val boiler = when(col("doc_id") % 3 === 0,
+          lit("""<div>Related: <a href="/a">one link</a> <a href="/b">two</a> <a href="/c">three</a></div>"""))
+          .otherwise(lit(""))
+        val html = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("""</title><style>body{color:#000}</style><script>var x = 1 < 2;</script></head><body>"""),
+          lit("""<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>"""),
+          lit("<p>"), col("text"), lit("</p>"), boiler,
+          lit("""<div class="footer"><a href="/privacy">Privacy</a> | <a href="/terms">Terms</a> | Copyright 2024 Example Corp</div></body></html>"""))
+        graft.operators.HtmlOps.extractText(
+          docs.select(col("doc_id"), html.as("html")))
+      },
+      Some(s"""
+        WITH h AS (SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>body{color:#000}</style><script>var x = 1 < 2;</script></head><body>' ||
+          '<div class="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>' ||
+          '<p>' || text || '</p>' ||
+          CASE WHEN doc_id % 3 = 0
+            THEN '<div>Related: <a href="/a">one link</a> <a href="/b">two</a> <a href="/c">three</a></div>'
+            ELSE '' END ||
+          '<div class="footer"><a href="/privacy">Privacy</a> | <a href="/terms">Terms</a> | Copyright 2024 Example Corp</div></body></html>'
+          AS html FROM documents),
+        st AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(html,
+            '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g') AS h
+          FROM h),
+        b0 AS (SELECT doc_id, unnest(arr) AS block,
+                 unnest(range(1, len(arr) + 1)) AS pos
+               FROM (SELECT doc_id, regexp_split_to_array(h,
+                 '(?i)</?(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|br|table|tr|td|th|section|article|header|footer|nav|blockquote|aside|main|form)[^>]*>') AS arr
+                 FROM st)),
+        b AS (SELECT doc_id, pos,
+                trim(regexp_replace(block, '(?s)<[^>]*>', '', 'g')) AS txt,
+                COALESCE(list_sum(list_transform(
+                  regexp_extract_all(block, '(?is)<a[^>]*>(.*?)</a>', 1),
+                  x -> length(x))), 0) AS link_chars
+              FROM b0),
+        c AS (SELECT doc_id, pos, txt, link_chars,
+                regexp_extract_all(txt, '[A-Za-z0-9]+') AS toks
+              FROM b WHERE length(txt) > 0),
+        k AS (SELECT doc_id, pos, txt,
+                (link_chars * 1000 <= length(txt) * 200
+                 AND len(toks) > 0
+                 AND (len(list_filter(toks, x -> x IN ($stopSql))) * 1000
+                        >= len(toks) * 150
+                      OR length(txt) >= 100)) AS keep
+              FROM c),
+        a AS (SELECT doc_id,
+                string_agg(CASE WHEN keep THEN txt END, chr(10)
+                  ORDER BY pos) AS clean_text,
+                SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_blocks_kept,
+                SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_blocks_dropped
+              FROM k GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(a.clean_text, '') AS clean_text,
+          CAST(COALESCE(a.n_blocks_kept, 0) AS BIGINT) AS n_blocks_kept,
+          CAST(COALESCE(a.n_blocks_dropped, 0) AS BIGINT) AS n_blocks_dropped
+        FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"""))
   )
 }
