@@ -446,13 +446,23 @@ object SimilarityOps {
   // the encode/ADC contract is oracle-replayable.
   // ------------------------------------------------------------------
 
-  /** corpus exploded to (vec_id, sub, sv): row-local, no shuffle */
-  private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
-    prepared(emb)
+  /** corpus exploded to (vec_id, sub, sv): row-local, no shuffle.
+    * normalize=true divides by the L2 norm BEFORE slicing — the
+    * cosine-metric PQ convention (normalized L2² = 2 − 2·cos, monotone
+    * in cosine, so ADC ranking aligns with the exact-cosine gates). */
+  private def subVectorsOf(emb: DataFrame, m: Int, subDim: Int,
+                           normalize: Boolean): DataFrame = {
+    val base = prepared(emb)
+    val vv = if (normalize) expr("transform(v, x -> x / nrm)") else col("v")
+    base.select(col("vec_id"), vv.as("v"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("v"))
       .select(col("vec_id"), col("sub"),
         expr(s"slice(v, sub * $subDim + 1, $subDim)").as("sv"))
+  }
+
+  private def subVectors(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    subVectorsOf(emb, m, subDim, normalize = false)
 
   /** deterministic seed codebook: (sub, cell, cv), m × nCodes rows —
     * tiny at any corpus size, always broadcast */
@@ -472,6 +482,90 @@ object SimilarityOps {
       .agg(min(struct(col("d2"), col("cell"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.cell").as("code"),
         col("best.d2").as("qerr2"))
+
+  /** Composed IVF-PQ search (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS
+    * IVFPQ shape): the query probes its `nProbe` nearest coarse cells
+    * (the trained-IVF half, s20), and ONLY the codes of vectors living
+    * in those cells are ADC-scored against the query's per-subspace
+    * distance table (the PQ half, s15). This is the production
+    * billion-vector index: per query the corpus-side work is
+    * |corpus| * nProbe / nCells CODE rows (m small ints per vector,
+    * bytes in a real layout — never raw vectors), and everything
+    * query-sized (probe list, m×nCodes distance table) is broadcast.
+    * The cell assignment and code table are index-build artifacts —
+    * computed once here for self-containment, precomputed offline in a
+    * deployment — joined key-by-vec_id (co-partitioned single shuffle).
+    * ADC sums are integer-quantized (floor(x*1e9+0.5)) so ranking is
+    * aggregation-order-free and the oracle replays it bit-for-bit.
+    *
+    * ADC is a PRE-RANKER here, not the final order: the `refine`
+    * ADC-nearest candidates per query are re-ranked by exact cosine
+    * (the FAISS IndexRefineFlat composition). That refinement is what
+    * makes the index usable on isotropic/near-random corpora — this
+    * fixture's top-5 cosine margins are ~0.01 while even a 256-code
+    * seed codebook's quantization noise dwarfs that (pure-ADC recall
+    * 0.12–0.28 in the round-11 probe, and more codes did NOT help), so
+    * raw vectors are fetched for `refine` rows per query (bounded,
+    * broadcast-joined) and recall climbs back to the flat-IVF band
+    * (spec-pinned). Sub-vectors are L2-NORMALIZED before encoding
+    * (cosine-metric PQ: normalized L2² = 2 − 2·cos). */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+                cents: DataFrame, nProbe: Int,
+                m: Int, subDim: Int, nCodes: Int,
+                refine: Int = 64): DataFrame = {
+    // NORMALIZED sub-vectors on both sides (cosine-metric PQ): raw-L2
+    // ADC would rank by a metric the exact-cosine gates don't use, and
+    // on this corpus (unnormalized embeddings) that metric mismatch —
+    // not quantization — collapsed recall to 0.24 vs flat-IVF's 0.92
+    // in the round-11 probe; normalized it is quantization-only
+    val subsAll = subVectorsOf(embeddings, m, subDim, normalize = true)
+    val cb = subsAll.filter(col("vec_id") < nCodes)
+      .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
+    val codes = subsAll
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", call_function("vec_l2sq", col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cell").as("code"))
+    val cells = assignCells(prepared(embeddings), cents, take = 1)
+      .select(col("vec_id"), col("cell"))
+    val qcells = assignCells(prepared(queries), cents, take = nProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val qdist = subVectorsOf(queries, m, subDim, normalize = true)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell").as("code"),
+        floor(call_function("vec_l2sq", col("sv"), col("cv")) * lit(1e9)
+          + lit(0.5)).as("dq"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_q").asc, col("vec_id").asc)
+    val shortlist = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qdist), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("dq")).as("adc_q"))
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= refine)
+    // exact re-rank of the bounded shortlist: raw vectors join by
+    // vec_id (refine rows per query — the only place full vectors are
+    // read), query vectors broadcast
+    val corpus = prepared(embeddings).select(col("vec_id"), col("v"),
+      col("nrm"))
+    val qvec = prepared(queries).select(col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    shortlist.join(corpus, Seq("vec_id"))
+      .join(broadcast(qvec), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("adc_q").cast("double") / lit(1e9)).as("adc"),
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"),
+          col("qnrm")).as("cosine"))
+      .withColumn("rk", row_number().over(wCos).cast("long"))
+      .filter(col("rk") <= k)
+  }
 
   /** ADC top-k: the query's m×nCodes distance table (integer-quantized
     * by floor(x*1e9 + 0.5) so the per-vector sum is exact and

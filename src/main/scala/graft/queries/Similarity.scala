@@ -809,7 +809,83 @@ object Similarity {
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
-  ) :+ filteredAnnEntry :+ ivfRecallEntry
+  ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry
+
+  private lazy val ivfPqEntry: Q =
+    // ---- composed IVF-PQ (the FAISS IVFPQ production index) ------------
+    //      the two halves already gated separately compose: s20's
+    //      Lloyd-trained coarse cells pick WHICH vectors are candidates
+    //      (nProbe=2 of 8 cells), s15's PQ codes + ADC table PRE-RANK
+    //      them without touching raw corpus vectors, and the top-64
+    //      ADC shortlist is re-ranked by exact cosine (the FAISS
+    //      IndexRefineFlat composition — see the operator scaladoc for
+    //      why pure ADC cannot rank this near-isotropic fixture). The
+    //      oracle replays the full chain — Lloyd training, cell
+    //      assignment, probing, NORMALIZED sub-vector encode (argmin by
+    //      l2, ties to low code), the query's integer-quantized
+    //      distance table, the per-candidate ADC sum, the refine cut,
+    //      and the exact-cosine re-rank — value-for-value. The recall
+    //      band vs the s23 IVF-flat curve at equal probe depth is
+    //      pinned by SimilarityOpsSpec, not this gate.
+    Q("s24_ivf_pq",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val trained = Clustering.refreshCentroids(
+          Clustering.lloydPasses(Clustering.corpus(s, d), k = 8, iters = 2)
+            .last)
+        SimilarityOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          cents = trained, nProbe = 2, m = 4, subDim = 16, nCodes = 8,
+          refine = 64)
+      },
+      Some(normCte + Clustering.lloydBodySql(8, 3) + s"""
+        , asg AS (SELECT vec_id, cell FROM (
+          SELECT c.vec_id, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN c2 t) WHERE rn = 1),
+        qa AS (SELECT q_id, cell FROM (
+          SELECT c.vec_id AS q_id, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS pr
+          FROM n c CROSS JOIN c2 t WHERE c.vec_id < 5) WHERE pr <= 2),
+        subs AS (SELECT n.vec_id, t.sub,
+                   list_slice(list_transform(v, x -> x / nrm),
+                     t.sub * 16 + 1, t.sub * 16 + 16) AS sv
+                 FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) t(sub)),
+        cb AS (SELECT sub, vec_id AS cell, sv AS cv FROM subs
+               WHERE vec_id < 8),
+        enc AS (SELECT vec_id, sub, code FROM (
+                  SELECT s.vec_id, s.sub, cb.cell AS code,
+                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY ${l2sqSql("s.sv", "cb.cv")} ASC, cb.cell ASC)
+                      AS rn
+                  FROM subs s JOIN cb USING (sub)) WHERE rn = 1),
+        qd AS (SELECT s.vec_id AS q_id, s.sub, cb.cell AS code,
+                 CAST(FLOOR(${l2sqSql("s.sv", "cb.cv")} * 1e9 + 0.5)
+                   AS BIGINT) AS dq
+               FROM subs s JOIN cb USING (sub) WHERE s.vec_id < 5),
+        cand AS (SELECT qa.q_id, enc.vec_id, enc.sub, enc.code
+                 FROM enc JOIN asg ON enc.vec_id = asg.vec_id
+                   JOIN qa ON asg.cell = qa.cell
+                 WHERE enc.vec_id <> qa.q_id),
+        p AS (SELECT cand.q_id, cand.vec_id,
+                CAST(SUM(qd.dq) AS BIGINT) AS adc_q
+              FROM cand JOIN qd ON qd.q_id = cand.q_id
+                AND qd.sub = cand.sub AND qd.code = cand.code
+              GROUP BY 1, 2),
+        sl AS (SELECT q_id, vec_id, adc_q FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_q ASC, vec_id ASC) AS ar FROM p)
+               WHERE ar <= 64),
+        rr AS (SELECT sl.q_id, sl.vec_id,
+                 CAST(sl.adc_q AS DOUBLE) / 1e9 AS adc,
+                 ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm) AS cosine
+               FROM sl JOIN n c ON c.vec_id = sl.vec_id
+                 JOIN n q ON q.vec_id = sl.q_id)
+        SELECT q_id, vec_id, adc, cosine, rk FROM (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM rr)
+        WHERE rk <= 5"""))
 
   private lazy val ivfRecallEntry: Q =
     // ---- IVF recall@5 vs nProbe (the s14 curve for the IVF index) ------

@@ -211,4 +211,36 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(tight.length == 15)
     assert(tight.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 64))
   }
+
+  test("ivfPqTopK: recall@5 at nProbe=2 within the documented band of " +
+      "IVF-flat (s23/s24 contract)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val trained = graft.queries.Clustering.refreshCentroids(
+      graft.queries.Clustering.lloydPasses(
+        graft.queries.Clustering.corpus(spark, sfTiny), k = 8, iters = 2)
+        .last)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(SimilarityOps.bruteForceTopK(emb, qs, k = 5))
+    val flat = hits(SimilarityOps.ivfTopKWith(emb, qs, k = 5,
+      cents = trained, nProbe = 2))
+    val pq = hits(SimilarityOps.ivfPqTopK(emb, qs, k = 5,
+      cents = trained, nProbe = 2, m = 4, subDim = 16, nCodes = 8,
+      refine = 64))
+    val recallFlat = (exact & flat).size.toDouble / exact.size
+    val recallPq = (exact & pq).size.toDouble / exact.size
+    info(f"recall@5 nProbe=2: ivf-flat $recallFlat%.2f, ivf-pq $recallPq%.2f")
+    // PQ sees the same candidate set as flat (identical cells + probes)
+    // and can only lose the exact-top-5 members its ADC pre-rank pushes
+    // below the refine=64 cut. Measured on this fixture: flat 0.92,
+    // ivf-pq 0.88. Band: within 0.15 absolute of the flat curve and
+    // never below 0.6 (the refinement doing its job at all).
+    assert(recallPq >= recallFlat - 0.15,
+      f"ivf-pq recall $recallPq%.2f fell more than 0.15 below ivf-flat " +
+        f"$recallFlat%.2f at equal probe depth")
+    assert(recallPq >= 0.6)
+  }
 }
