@@ -248,22 +248,51 @@ object BpeOps {
     * simply skips the merge; without the guard the NULL scalar
     * subquery nulls the whole replace chain and the mismatch surfaces
     * as a confusing empty oracle rather than a no-op. */
-  def encodeOracleSql(rounds: Int, table: String = "documents"): String = {
+  def encodeOracleSql(rounds: Int, table: String = "documents"): String =
+    trainCtes(rounds, table) + s""",
+      enc AS (SELECT ${encodeChainSql(rounds)} AS seq FROM $table),
+      tok AS (SELECT unnest(string_split_regex(trim(seq), ' +')) AS token
+              FROM enc)
+      SELECT token, COUNT(*) AS n
+      FROM tok WHERE LENGTH(token) >= 2 GROUP BY 1"""
+
+  /** the per-document chained-replace encode expression shared by
+    * [[encodeOracleSql]] and [[encodePackOracleSql]] — see
+    * encodeOracleSql's scaladoc for the chr(1) no-op-merge guard */
+  private def encodeChainSql(rounds: Int): String = {
     val seq0 =
       s"' ' || array_to_string(string_split(lower(text), ''), ' ') || ' '"
-    val chained = (1 to rounds).foldLeft(seq0) { (acc, i) =>
+    (1 to rounds).foldLeft(seq0) { (acc, i) =>
       s"""replace($acc,
             COALESCE(' ' || (SELECT lft FROM b$i) || ' ' || (SELECT rgt FROM b$i) || ' ',
                      chr(1) || chr(1) || chr(1)),
             COALESCE(' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ', ''))"""
     }
-    trainCtes(rounds, table) + s""",
-      enc AS (SELECT $chained AS seq FROM $table),
-      tok AS (SELECT unnest(string_split_regex(trim(seq), ' +')) AS token
-              FROM enc)
-      SELECT token, COUNT(*) AS n
-      FROM tok WHERE LENGTH(token) >= 2 GROUP BY 1"""
   }
+
+  /** The TOKEN-BUDGET-PACKING replay (t30): learn the merge table, BPE-
+    * encode every document, count its tokens (ALL tokens — unmerged
+    * single characters cost context length too, unlike t26's merged-
+    * unit census), then replay t14's deterministic start-offset pack
+    * assignment over the BPE counts: per lang in doc_id order,
+    * pack_id = floor((cumsum − n_tok) / budget). */
+  def encodePackOracleSql(rounds: Int, budget: Long,
+                          table: String = "documents"): String =
+    trainCtes(rounds, table) + s""",
+      enc AS (SELECT doc_id, lang, ${encodeChainSql(rounds)} AS seq
+              FROM $table),
+      nt AS (SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(seq), ' +')) AS BIGINT)
+                 AS n_tok
+             FROM enc),
+      c AS (SELECT doc_id, lang, n_tok,
+              SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM nt)
+      SELECT lang, CAST(FLOOR((cum - n_tok) / $budget) AS BIGINT) AS pack_id,
+        COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM c GROUP BY 1, 2"""
 
   private def trainCtes(rounds: Int, table: String): String = {
     val head = s"""

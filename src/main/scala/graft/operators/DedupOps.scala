@@ -515,13 +515,20 @@ object DedupOps {
     math.max(16, math.ceil(math.sqrt(math.max(nVectors, 0L).toDouble)).toInt)
 
   /** chunkNearDups with the cell count derived from the actual chunk
-    * count via [[autoCells]] — one extra COUNT aggregate (a scalar to
-    * the driver, the bloomPreFilter lifecycle) buys the sqrt(N) cell
-    * growth that keeps per-cell pairing bounded at any corpus size. */
+    * count via [[autoCells]]. The chunk-vector frame is built ONCE,
+    * persisted, and shared: the sizing count() is the action that
+    * materializes the cache, and the dedup pipeline then reads the
+    * cached vectors instead of recomputing the explode + char_hist
+    * pass (the round-10 "extra full job" finding — the count now
+    * doubles as cache warm-up rather than a second build). Cache
+    * contract: caller-owned, as [[containmentPairs]] — run your
+    * action, then clearCache/unpersist (Bench/Verify do). */
   def chunkNearDupsAuto(docs: DataFrame, size: Int = 500, stride: Int = 400,
                         dims: Int = 16, t2: Double = 0.998): DataFrame = {
-    val n = chunkVectors(docs, size, stride, dims).count()
-    chunkNearDups(docs, size, stride, dims, autoCells(n), t2)
+    val e = chunkVectors(docs, size, stride, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = e.count()
+    chunkNearDupsOn(e, autoCells(n), t2)
   }
 
   /** Per-cell chunk-dedup audit: (cell, n_chunks, n_cand_pairs,
@@ -534,8 +541,14 @@ object DedupOps {
     * test-scale setting, not a production one. */
   def chunkNearDups(docs: DataFrame, size: Int = 500, stride: Int = 400,
                     dims: Int = 16, nCells: Int = 16,
-                    t2: Double = 0.998): DataFrame = {
-    val e = chunkVectors(docs, size, stride, dims)
+                    t2: Double = 0.998): DataFrame =
+    chunkNearDupsOn(chunkVectors(docs, size, stride, dims), nCells, t2)
+
+  /** [[chunkNearDups]] over a prebuilt (possibly cached) chunk-vector
+    * frame — the shared tail that lets chunkNearDupsAuto reuse the
+    * frame its sizing count materialized. */
+  private[graft] def chunkNearDupsOn(e: DataFrame, nCells: Int,
+                                     t2: Double): DataFrame = {
     val seeds = e.orderBy(col("ck")).limit(nCells)
       .select(col("ck").as("cell"), col("v").as("cv"))
     // broadcast-expand + partial-aggregated argmin (map-side combine

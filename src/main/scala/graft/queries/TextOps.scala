@@ -825,6 +825,42 @@ object TextOps {
       },
       Some(graft.operators.BpeOps.encodeOracleSql(8))),
 
+    // ---- sequence packing by REAL tokenizer counts (t14's twin) ---------
+    //      t14 packs by whitespace-token counts; a training-data builder
+    //      ships packs sized by the ACTUAL tokenizer, because context
+    //      budgets are spent in BPE tokens, not words. Same
+    //      deterministic start-offset assignment (per lang in doc_id
+    //      order, pack_id = floor(start/budget) — shuffle-once,
+    //      order-independent, docs never split), but n_tok comes from
+    //      encodeBulk with the t22-trained 8-round merge table: train is
+    //      a tiny driver-side model, the encode pass is row-local with
+    //      the merge table broadcast, and the only shuffles are the
+    //      per-lang cumsum window and the final pack rollup. Counts ALL
+    //      tokens (unmerged single chars cost context length too).
+    Q("t30_bpe_token_packs",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 4096L
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.BpeOps.train(docs, rounds = 8)
+          .orderBy(col("merge_rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        graft.operators.BpeOps.encodeBulk(docs, merges)
+          .select(col("doc_id"), col("lang"),
+            size(col("bpe_tokens")).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("pack_id",
+            floor((col("cum") - col("n_tok")) / budget).cast("long"))
+          .groupBy("lang", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("pack_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+      },
+      Some(graft.operators.BpeOps.encodePackOracleSql(8, 4096L))),
+
     // ---- BM25 retrieval (Okapi, k1=1.2 b=0.75) --------------------------
     //      the lexical twin of the s-family's ANN: score every document
     //      against a query (the distinct tokens of doc 1) over an
