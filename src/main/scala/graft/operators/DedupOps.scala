@@ -137,6 +137,29 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Dedup yield vs threshold from ONE pair pass (the d19 tuning
+    * curve): the expensive shingle join runs once at the LOOSEST grid
+    * point (the caller's minJaccard on `pairs`), then the broadcast
+    * threshold grid fans each pair out to every grid point it clears
+    * and a single keyed aggregation rolls the curve up — a
+    * filter+union per threshold would recompute the pair generation
+    * per grid point. Output: (threshold, n_pairs, n_docs_touched).
+    * On a corpus with a graded near-dup tail the curve strictly
+    * decreases (spec-pinned on a light-edit ladder); a flat curve is
+    * the diagnostic saying the threshold choice is insensitive. */
+  def thresholdYieldCurve(pairs: DataFrame,
+                          thresholds: Seq[Double]): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val th = thresholds.toDF("threshold")
+    pairs.join(broadcast(th), col("jaccard") >= col("threshold"))
+      .select(col("threshold"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("threshold"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        count_distinct(col("doc_id")).as("n_docs_touched"))
+  }
+
   /** directed n-gram containment: (contained, container) pairs where at
     * least num/den of the contained side's shingles appear in the other
     * doc — the asymmetric criterion that catches doc-inside-doc

@@ -687,22 +687,10 @@ object Dedup {
     //      insensitive here, which a real crawl's long near-dup tail
     //      would not.)
     Q("d19_threshold_curve",
-      (s, d) => {
-        import s.implicits._
-        val pairs = DedupOps.ngramJaccardPairs(Tables.documents(s, d),
-          n = 3, minJaccard = 0.5)
-        val th = Seq(0.5, 0.6, 0.7, 0.8).toDF("threshold")
-        // ONE pass over the pair set: the broadcast threshold grid
-        // fans each pair out to the grid points it clears, then a
-        // single keyed aggregation rolls the curve up (a filter+union
-        // per threshold would recompute the shingle join per point)
-        pairs.join(broadcast(th), col("jaccard") >= col("threshold"))
-          .select(col("threshold"),
-            explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .groupBy(col("threshold"))
-          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
-            count_distinct(col("doc_id")).as("n_docs_touched"))
-      },
+      (s, d) => DedupOps.thresholdYieldCurve(
+        DedupOps.ngramJaccardPairs(Tables.documents(s, d),
+          n = 3, minJaccard = 0.5),
+        Seq(0.5, 0.6, 0.7, 0.8)),
       Some(jaccardCte + """
         , nd AS (SELECT doc_a, doc_b,
                    CAST(common AS DOUBLE) / (sa + sb - common) AS j

@@ -137,6 +137,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(contractionRounds * 3 < propagationRounds)
   }
 
+  test("thresholdYieldCurve strictly decreases on a graded near-dup tail") {
+    // five isolated base/edit pairs on disjoint vocabularies, the edit
+    // replacing the last m of 22 words: word-3-gram jaccard =
+    // (n-m-2)/(n+m-2), so m = 1,3,4,6,8 lands one pair in each band
+    // 0.905 / 0.739 / 0.667 / 0.538 / 0.4 — the light-edit tail the
+    // driver fixture lacks (its jaccard distribution is bimodal, which
+    // is why the d19 gate's curve is legitimately flat there)
+    val n = 22
+    val rows = Seq(1 -> 1, 2 -> 3, 3 -> 4, 4 -> 6, 5 -> 8).flatMap {
+      case (k, m) =>
+        val base = (1 to n).map(i => s"p${k}w$i").mkString(" ")
+        val edit = ((1 to n - m).map(i => s"p${k}w$i") ++
+          (1 to m).map(i => s"p${k}x$i")).mkString(" ")
+        Seq((k * 10L, base), (k * 10L + 1, edit))
+    }
+    val pairs = DedupOps.ngramJaccardPairs(rows.toDF("doc_id", "text"),
+      n = 3, minJaccard = 0.5)
+    val curve = DedupOps.thresholdYieldCurve(pairs, Seq(0.5, 0.6, 0.7, 0.8))
+      .collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(curve == Map(0.5 -> ((4L, 8L)), 0.6 -> ((3L, 6L)),
+      0.7 -> ((2L, 4L)), 0.8 -> ((1L, 2L))),
+      s"curve must lose exactly one pair per grid step, got $curve")
+  }
+
   test("chunkNearDups finds a cross-doc chunk dup and never all-pairs") {
     // docs 1 and 2 share an identical long passage (one chunk window's
     // worth); doc 3 is alphabet noise with a disjoint char profile
