@@ -282,6 +282,16 @@ object GraphOps {
     // construction either way; with eager=false the materialization
     // rides the signature action that runs every round anyway, instead
     // of a separate eager pass — one materialization per round, not two.
+    //
+    // PER-ROUND materialization is itself load-bearing, not just the
+    // truncation: the round-11 probe ran 2 and 3 star-rounds per
+    // signature/checkpoint (the g01 CkptEvery idea) and wall time went
+    // 2.6 s -> 4.8 s -> ~50 s at sf0.1, because the unmaterialized
+    // first round's subtree is referenced by the second round's
+    // adjacency union AND degree join and re-executes per reference —
+    // the recompute blowup compounds exponentially with stride. Do not
+    // batch rounds here; the fixed-rank loops (g01) can batch because
+    // each iteration references its input once.
     var e = und.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
