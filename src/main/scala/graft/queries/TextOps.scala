@@ -861,6 +861,159 @@ object TextOps {
       },
       Some(graft.operators.BpeOps.encodePackOracleSql(8, 4096L))),
 
+    // ---- repetition quality filters (the Gopher rules) ------------------
+    //      the MassiveText repetition screens (Rae et al. 2021,
+    //      "Scaling Language Models: ... Gopher", table A1): documents
+    //      dominated by a single repeated n-gram or by duplicated
+    //      n-grams are template/boilerplate spam, not prose. Per doc:
+    //      the most-frequent word-2-gram's occurrence fraction and the
+    //      fraction of 3-gram occurrences belonging to duplicated
+    //      3-grams; keep = top2 <= 80 permille AND dup3 <= 20 permille
+    //      (integer-permille comparisons — no float at the decision
+    //      boundary; thresholds sit at the fixture's p90/p99 so the
+    //      gate exercises both branches). Scale shape: two row-bounded
+    //      explode+count passes keyed by (doc_id, gram) — work linear
+    //      in corpus tokens, no cross-doc joins at all.
+    Q("t31_repetition_filter",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens("text").as("toks"))
+        def gramStats(n: Int) = base
+          .select(col("doc_id"), explode(wordNgrams("toks", n)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("cnt")).as(s"top$n"), sum(col("cnt")).as(s"n$n"),
+            sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L))
+              .as(s"dup$n"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(gramStats(2).select(col("doc_id"), col("top2"), col("n2")),
+            Seq("doc_id"), "left")
+          .join(gramStats(3).select(col("doc_id"), col("dup3"), col("n3")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n2"), lit(0L)).as("n2"),
+            coalesce(col("top2"), lit(0L)).as("top2"),
+            when(coalesce(col("n2"), lit(0L)) > 0,
+              floor(col("top2") * lit(1e9) / col("n2")).cast("long"))
+              .otherwise(0L).as("top2_frac_q"),
+            coalesce(col("n3"), lit(0L)).as("n3"),
+            coalesce(col("dup3"), lit(0L)).as("dup3"),
+            when(coalesce(col("n3"), lit(0L)) > 0,
+              floor(col("dup3") * lit(1e9) / col("n3")).cast("long"))
+              .otherwise(0L).as("dup3_frac_q"),
+            (coalesce(col("top2"), lit(0L)) * 1000 <=
+              coalesce(col("n2"), lit(0L)) * 80 &&
+              coalesce(col("dup3"), lit(0L)) * 1000 <=
+                coalesce(col("n3"), lit(0L)) * 20).as("keep"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])) AS g
+               FROM t WHERE len(toks) >= 2),
+        c2 AS (SELECT doc_id, g, COUNT(*) cnt FROM g2 GROUP BY 1, 2),
+        m2 AS (SELECT doc_id, MAX(cnt) top2, SUM(cnt) n2
+               FROM c2 GROUP BY 1),
+        g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM t WHERE len(toks) >= 3),
+        c3 AS (SELECT doc_id, g, COUNT(*) cnt FROM g3 GROUP BY 1, 2),
+        m3 AS (SELECT doc_id,
+                 SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) dup3,
+                 SUM(cnt) n3
+               FROM c3 GROUP BY 1)
+        SELECT d.doc_id,
+          CAST(COALESCE(n2, 0) AS BIGINT) AS n2,
+          CAST(COALESCE(top2, 0) AS BIGINT) AS top2,
+          CAST(CASE WHEN COALESCE(n2, 0) > 0
+            THEN FLOOR(top2 * 1e9 / n2) ELSE 0 END AS BIGINT)
+            AS top2_frac_q,
+          CAST(COALESCE(n3, 0) AS BIGINT) AS n3,
+          CAST(COALESCE(dup3, 0) AS BIGINT) AS dup3,
+          CAST(CASE WHEN COALESCE(n3, 0) > 0
+            THEN FLOOR(dup3 * 1e9 / n3) ELSE 0 END AS BIGINT)
+            AS dup3_frac_q,
+          (COALESCE(top2, 0) * 1000 <= COALESCE(n2, 0) * 80
+           AND COALESCE(dup3, 0) * 1000 <= COALESCE(n3, 0) * 20) AS keep
+        FROM documents d LEFT JOIN m2 ON d.doc_id = m2.doc_id
+          LEFT JOIN m3 ON d.doc_id = m3.doc_id""")),
+
+    // ---- PII detection + redaction --------------------------------------
+    //      every distribution-grade corpus pass scrubs contact PII.
+    //      The fixture injects deterministic PII into each document
+    //      (an email, a second email on doc_id%3, a phone except on
+    //      doc_id%5, an IP — so counts VARY and both branches of every
+    //      rule fire); the scrubber finds emails / NANP-style phones /
+    //      IPv4s by RE2-compatible regex (no backrefs) and replaces
+    //      them with typed placeholders. Row-local map, zero shuffles —
+    //      the oracle rebuilds the same injected text and replays
+    //      detection and redaction byte-for-byte, so the gate pins the
+    //      exact regex semantics on both engines.
+    Q("t32_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b555-[0-9]{4}\\b"
+        val ipRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        val id = col("doc_id")
+        val pii = concat(
+          lit(" Contact user"), id.cast("string"), lit("@example.com"),
+          when(id % 3 === 0,
+            concat(lit(" cc admin"), id.cast("string"), lit("@mail.test")))
+            .otherwise(lit("")),
+          when(id % 5 =!= 0,
+            concat(lit(" call 555-"),
+              lpad((id % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          lit(" from 192.168."), (id % 256).cast("string"), lit("."),
+          ((id * 7) % 256).cast("string"), lit("."))
+        val raw = concat(col("text"), pii)
+        Tables.documents(s, d)
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            // Scala-API regexp_extract_all, NOT expr(): a single-quoted
+            // SQL literal would eat the \b escapes at parse time
+            size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+              .cast("long").as("n_phone"),
+            size(regexp_extract_all(col("raw"), lit(ipRe), lit(0)))
+              .cast("long").as("n_ip"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+                ipRe, "[IP]"),
+              phoneRe, "[PHONE]").as("clean_text"))
+      },
+      Some("""
+        WITH raw AS (SELECT doc_id,
+          text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@mail.test'
+                 ELSE '' END
+            || CASE WHEN doc_id % 5 <> 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+            || CAST((doc_id * 7) % 256 AS VARCHAR) || '.' AS raw
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(raw,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(raw, '\b555-[0-9]{4}\b')) AS BIGINT)
+            AS n_phone,
+          CAST(len(regexp_extract_all(raw,
+            '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '[EMAIL]', 'g'),
+              '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g'),
+            '\b555-[0-9]{4}\b', '[PHONE]', 'g') AS clean_text
+        FROM raw""")),
+
     // ---- BM25 retrieval (Okapi, k1=1.2 b=0.75) --------------------------
     //      the lexical twin of the s-family's ANN: score every document
     //      against a query (the distinct tokens of doc 1) over an
