@@ -448,6 +448,111 @@ object Clustering {
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
                       FROM embeddings)
         """ + branches.mkString("\n        UNION ALL\n        ")
+      }),
+
+    // ---- top principal component (power iteration) ----------------------
+    //      the embedding-space diagnostic behind whitening, drift
+    //      detection, and anisotropy checks: the covariance matrix's
+    //      dominant eigenvector by 3 fixed power iterations from the
+    //      uniform seed (1/sqrt(64) = 0.125 exactly in IEEE).
+    //      Distribution shape: means and the 64x64 covariance are
+    //      map-side-combined integer-quantized sums (the Gram-matrix
+    //      accumulation — 4096 cells however large the corpus; each
+    //      row's outer product is emitted row-locally); the 4096-entry
+    //      matrix then comes to the driver (a model-sized transfer, the
+    //      BPE-merge-table lifecycle) where the 3 iterations run with
+    //      the SAME quantized arithmetic the oracle replays in SQL.
+    //      Every sum that crosses a shuffle is floor(x*1e9+0.5) integer
+    //      — order-free and cross-engine exact; sqrt and division are
+    //      correctly-rounded IEEE on both engines.
+    Q("c10_pca_power",
+      (s, d) => {
+        val dims = 64
+        val e = corpus(s, d)
+        val n = e.count()
+        val x = e.select(posexplode(col("v")).as(Seq("j0", "x")))
+          .select((col("j0") + 1).as("j"), col("x"))
+        val mu = x.groupBy(col("j"))
+          .agg((sum(floor(col("x") * lit(1e9) + lit(0.5)).cast("long"))
+            .cast("double") / lit(1e9) / lit(n)).as("mu"))
+          .orderBy(col("j")).collect().map(_.getDouble(1)) // 64 scalars
+        val centered = e
+          .withColumn("mu", array(mu.map(lit): _*))
+          .withColumn("xc",
+            expr("transform(v, (x, i) -> x - element_at(mu, i + 1))"))
+        val cov = centered
+          .select(col("xc"), posexplode(col("xc")).as(Seq("i0", "xi")))
+          .select(col("i0"), col("xi"),
+            posexplode(col("xc")).as(Seq("j0", "xj")))
+          .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
+            floor(col("xi") * col("xj") * lit(1e9) + lit(0.5)).cast("long")
+              .as("q"))
+          .groupBy(col("i"), col("j"))
+          .agg((sum(col("q")).cast("double") / lit(1e9) / lit(n)).as("c"))
+          .collect() // 4096 entries — model-sized, documented above
+        val cm = Array.ofDim[Double](dims, dims)
+        cov.foreach(r => cm(r.getAs[Number]("i").intValue - 1)(
+          r.getAs[Number]("j").intValue - 1) = r.getAs[Double]("c"))
+        var v = Array.fill(dims)(0.125)
+        for (_ <- 1 to 3) {
+          val w = Array.tabulate(dims) { i =>
+            var acc = 0L
+            var j = 0
+            while (j < dims) {
+              acc += math.floor(cm(i)(j) * v(j) * 1e9 + 0.5).toLong
+              j += 1
+            }
+            acc / 1e9
+          }
+          var sq = 0L
+          w.foreach(wi => sq += math.floor(wi * wi * 1e9 + 0.5).toLong)
+          val nrm = math.sqrt(sq / 1e9)
+          v = w.map(_ / nrm)
+        }
+        var lamQ = 0L
+        for (i <- 0 until dims; j <- 0 until dims)
+          lamQ += math.floor(cm(i)(j) * v(i) * v(j) * 1e9 + 0.5).toLong
+        val lam = lamQ / 1e9
+        import s.implicits._
+        (1 to dims).map(i => (i.toLong, v(i - 1), lam))
+          .toDF("dim", "loading", "eigval")
+      },
+      Some {
+        def iter(t: Int): String = s"""
+        w$t AS (SELECT c.i AS j,
+                  CAST(SUM(CAST(FLOOR(c.c * v.v * 1e9 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e9 AS w
+                FROM c JOIN v${t - 1} v ON c.j2 = v.j GROUP BY 1),
+        nm$t AS (SELECT sqrt(CAST(SUM(CAST(FLOOR(w * w * 1e9 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1e9) AS nrm FROM w$t),
+        v$t AS MATERIALIZED (SELECT j, w / (SELECT nrm FROM nm$t) AS v
+                             FROM w$t)"""
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        nn AS (SELECT COUNT(*) AS n FROM e),
+        x AS (SELECT vec_id, t.j, v[t.j] AS x
+              FROM e CROSS JOIN unnest(range(1, 65)) t(j)),
+        m AS (SELECT j, CAST(SUM(CAST(FLOOR(x * 1e9 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e9 / (SELECT n FROM nn) AS mu
+              FROM x GROUP BY 1),
+        xc AS MATERIALIZED (SELECT vec_id, x.j, x - mu AS xc
+                            FROM x JOIN m ON x.j = m.j),
+        c AS MATERIALIZED (
+          SELECT a.j AS i, b.j AS j2,
+            CAST(SUM(CAST(FLOOR(a.xc * b.xc * 1e9 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1e9 / (SELECT n FROM nn) AS c
+          FROM xc a JOIN xc b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(0.125 AS DOUBLE) AS v),
+        ${iter(1).stripPrefix("\n")},
+        ${iter(2).stripPrefix("\n")},
+        ${iter(3).stripPrefix("\n")},
+        lam AS (SELECT CAST(SUM(CAST(FLOOR(c.c * vi.v * vj.v * 1e9 + 0.5)
+                  AS BIGINT)) AS DOUBLE) / 1e9 AS l
+                FROM c JOIN v3 vi ON c.i = vi.j JOIN v3 vj ON c.j2 = vj.j)
+        SELECT CAST(v3.j AS BIGINT) AS dim, v3.v AS loading,
+          (SELECT l FROM lam) AS eigval
+        FROM v3"""
       })
   )
 }

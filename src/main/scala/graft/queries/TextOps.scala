@@ -861,6 +861,61 @@ object TextOps {
       },
       Some(graft.operators.BpeOps.encodePackOracleSql(8, 4096L))),
 
+    // ---- causal-LM example assembly accounting --------------------------
+    //      the step AFTER packing: the per-lang doc stream (doc_id
+    //      order) is concatenated with a 1-token EOD separator and
+    //      sliced into fixed 512-token context windows — the op that
+    //      turns a corpus into training examples. Everything is exact
+    //      integer arithmetic off ONE per-lang cumsum window: total
+    //      tokens, window count ceil(T/ctx), the last window's fill,
+    //      and how many documents get SPLIT across a window boundary
+    //      (floor(start/ctx) != floor((end-1)/ctx)) — the
+    //      attention-fragmentation number a data builder watches when
+    //      choosing ctx vs mean doc length. Scale: one keyed window +
+    //      one rollup, no data movement beyond the lang shuffle.
+    Q("t33_context_windows",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ctx = 512L
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("lang"),
+            (tokenCount("toks") + 1L).as("n_tok")) // +1 EOD separator
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("split_doc",
+            (floor((col("cum") - col("n_tok")) / ctx) =!=
+              floor((col("cum") - 1) / ctx)).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("total_tokens"),
+            ceil(max(col("cum")).cast("double") / ctx).cast("long")
+              .as("n_windows"),
+            (max(col("cum")) - (ceil(max(col("cum")).cast("double") / ctx)
+              .cast("long") - 1L) * ctx).as("last_fill"),
+            sum(col("split_doc")).as("n_docs_split"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang,
+            len(string_split_regex(trim(text), ' +')) + 1 AS n_tok
+          FROM documents),
+        c AS (
+          SELECT doc_id, lang, n_tok,
+            SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+          CAST(CEIL(CAST(MAX(cum) AS DOUBLE) / 512) AS BIGINT) AS n_windows,
+          CAST(MAX(cum) - (CAST(CEIL(CAST(MAX(cum) AS DOUBLE) / 512)
+            AS BIGINT) - 1) * 512 AS BIGINT) AS last_fill,
+          CAST(SUM(CASE WHEN FLOOR((cum - n_tok) / 512)
+            <> FLOOR((cum - 1) / 512) THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_docs_split
+        FROM c GROUP BY 1""")),
+
     // ---- repetition quality filters (the Gopher rules) ------------------
     //      the MassiveText repetition screens (Rae et al. 2021,
     //      "Scaling Language Models: ... Gopher", table A1): documents
