@@ -861,6 +861,62 @@ object TextOps {
       },
       Some(graft.operators.BpeOps.encodePackOracleSql(8, 4096L))),
 
+    // ---- vocabulary growth curve (Heaps' law) ---------------------------
+    //      how fast the distinct-token vocabulary grows as the corpus
+    //      is consumed in doc_id order — the curve a tokenizer-training
+    //      run reads to size its vocab and decide how much corpus the
+    //      trainer actually needs. ONE pass (the d19 discipline): each
+    //      token's FIRST document (min doc_id) is computed once, then
+    //      the broadcast checkpoint grid counts tokens first seen at or
+    //      before each checkpoint — never one distinct-scan per
+    //      checkpoint. Output per checkpoint: cumulative docs, tokens,
+    //      distinct vocab, and type/token ratio (integer parts-per-1e9).
+    Q("t34_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        val checkpoints = Seq(50L, 100L, 200L, 500L).toDF("cp")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens("text")).as("term"))
+        val firstSeen = toks.groupBy(col("term"))
+          .agg(min(col("doc_id")).as("first_doc"))
+        val docTok = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), tokenCount("toks").as("n_tok"))
+        val vocabAt = firstSeen.join(broadcast(checkpoints),
+            col("first_doc") < col("cp"))
+          .groupBy(col("cp"))
+          .agg(count(lit(1)).as("vocab"))
+        val tokensAt = docTok.join(broadcast(checkpoints),
+            col("doc_id") < col("cp"))
+          .groupBy(col("cp"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        tokensAt.join(vocabAt, Seq("cp"))
+          .select(col("cp"), col("n_docs"), col("n_tokens"), col("vocab"),
+            // exact integer division (`div`) — a double divide + cast
+            // could land one off DuckDB's `//` at representability edges
+            expr("CAST(vocab * CAST(1000000000 AS BIGINT) div n_tokens AS BIGINT)")
+              .as("ttr_e9"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(trim(text), ' +')) AS term
+          FROM documents),
+        fs AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+        dt AS (SELECT doc_id,
+            len(string_split_regex(trim(text), ' +')) AS n_tok
+          FROM documents),
+        cp AS (SELECT CAST(t AS BIGINT) AS cp
+               FROM (VALUES (50), (100), (200), (500)) v(t)),
+        va AS (SELECT cp.cp, COUNT(*) AS vocab
+               FROM fs JOIN cp ON fs.first_doc < cp.cp GROUP BY 1),
+        ta AS (SELECT cp.cp, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+               FROM dt JOIN cp ON dt.doc_id < cp.cp GROUP BY 1)
+        SELECT ta.cp, ta.n_docs, ta.n_tokens, CAST(va.vocab AS BIGINT)
+            AS vocab,
+          CAST(va.vocab * 1000000000 // ta.n_tokens AS BIGINT) AS ttr_e9
+        FROM ta JOIN va ON ta.cp = va.cp""")),
+
     // ---- causal-LM example assembly accounting --------------------------
     //      the step AFTER packing: the per-lang doc stream (doc_id
     //      order) is concatenated with a 1-token EOD separator and
