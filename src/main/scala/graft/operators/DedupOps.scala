@@ -537,21 +537,22 @@ object DedupOps {
   def autoCells(nVectors: Long): Int =
     math.max(16, math.ceil(math.sqrt(math.max(nVectors, 0L).toDouble)).toInt)
 
-  /** chunkNearDups with the cell count derived from the actual chunk
-    * count via [[autoCells]]. The chunk-vector frame is built ONCE,
-    * persisted, and shared: the sizing count() is the action that
-    * materializes the cache, and the dedup pipeline then reads the
-    * cached vectors instead of recomputing the explode + char_hist
-    * pass (the round-10 "extra full job" finding — the count now
-    * doubles as cache warm-up rather than a second build). Cache
-    * contract: caller-owned, as [[containmentPairs]] — run your
-    * action, then clearCache/unpersist (Bench/Verify do). */
+  /** chunkNearDups with the cell count derived from the chunk count via
+    * [[autoCells]]. The sizing count is ARITHMETIC, not a second build:
+    * chunks per doc = ceil(max(len-size,0)/stride)+1 (the exact window
+    * rule chunkVectors implements, spec-pinned equal to its count()),
+    * so N comes from one narrow scan of text lengths — no explode, no
+    * char_hist, no cache. This replaced two earlier shapes: a full
+    * chunk-vector count() (round 10's "extra full job" finding) and a
+    * persist-and-share variant whose cache write cost MORE than the
+    * now-native-expression build it saved (round-11 bench: d17
+    * 1.04→1.38 s with the cache, back under with arithmetic N). */
   def chunkNearDupsAuto(docs: DataFrame, size: Int = 500, stride: Int = 400,
                         dims: Int = 16, t2: Double = 0.998): DataFrame = {
-    val e = chunkVectors(docs, size, stride, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = e.count()
-    chunkNearDupsOn(e, autoCells(n), t2)
+    val n = docs.agg(sum(expr(
+      s"int(ceil(greatest(length(text) - $size, 0) / $stride.0D)) + 1")))
+      .head().getLong(0)
+    chunkNearDups(docs, size, stride, dims, autoCells(n), t2)
   }
 
   /** Per-cell chunk-dedup audit: (cell, n_chunks, n_cand_pairs,

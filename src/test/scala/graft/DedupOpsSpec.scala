@@ -162,6 +162,20 @@ class DedupOpsSpec extends SparkSpec {
       s"curve must lose exactly one pair per grid step, got $curve")
   }
 
+  test("chunkNearDupsAuto's arithmetic chunk count equals chunkVectors") {
+    // the sizing rule must agree with the builder's window rule exactly:
+    // lengths straddling the size boundary, below it, and far above it
+    val docs2 = Seq(
+      (1L, "x" * 499), (2L, "x" * 500), (3L, "x" * 501),
+      (4L, "x" * 47), (5L, "x" * 2100), (6L, "")).toDF("doc_id", "text")
+    val built = DedupOps.chunkVectors(docs2, size = 500, stride = 400,
+      dims = 16).count()
+    val arith = docs2.agg(sum(expr(
+      "int(ceil(greatest(length(text) - 500, 0) / 400.0D)) + 1")))
+      .head().getLong(0)
+    assert(arith == built, s"arithmetic $arith != built $built")
+  }
+
   test("chunkNearDups finds a cross-doc chunk dup and never all-pairs") {
     // docs 1 and 2 share an identical long passage (one chunk window's
     // worth); doc 3 is alphabet noise with a disjoint char profile
