@@ -567,6 +567,83 @@ object SimilarityOps {
       .filter(col("rk") <= k)
   }
 
+  /** The s25 recall-curve shape: ONE shared index build (cells, codes,
+    * ADC sums at the DEEPEST probe depth), then each curve point is a
+    * filter + rank over the shared candidate frame — never a rebuild
+    * per branch. Works because a corpus vector lives in exactly one
+    * cell, so a candidate (q, x) belongs to depth p iff the rank of
+    * cell(x) in q's probe order is <= p: compute every candidate once
+    * at max(probes) tagged with that rank, and each depth is
+    * `filter(pr <= p)` before its refine cut. The shared frame is
+    * persisted (caller-owned cache, the [[DedupOps.containmentPairs]]
+    * contract). Returns (probeDepth, topK frame) per requested depth —
+    * each frame identical to [[ivfPqTopK]] at that depth
+    * (spec-asserted). */
+  def ivfPqBranches(embeddings: DataFrame, queries: DataFrame, k: Int,
+                    cents: DataFrame, probes: Seq[Int],
+                    m: Int, subDim: Int, nCodes: Int,
+                    refine: Int = 64): Seq[(Int, DataFrame)] = {
+    require(probes.nonEmpty && probes.forall(_ >= 1))
+    val maxP = probes.max
+    val subsAll = subVectorsOf(embeddings, m, subDim, normalize = true)
+    val cb = subsAll.filter(col("vec_id") < nCodes)
+      .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
+    val codes = subsAll
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", call_function("vec_l2sq", col("sv"), col("cv")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cell").as("code"))
+    val cells = assignCells(prepared(embeddings), cents, take = 1)
+      .select(col("vec_id"), col("cell"))
+    // probe list with the probe RANK retained (assignCells drops it)
+    val qc = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cell").asc)
+      prepared(queries).crossJoin(broadcast(cents))
+        .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
+        .withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= maxP)
+        .select(col("vec_id").as("q_id"), col("cell"), col("pr"))
+    }
+    val qdist = subVectorsOf(queries, m, subDim, normalize = true)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("cell").as("code"),
+        floor(call_function("vec_l2sq", col("sv"), col("cv")) * lit(1e9)
+          + lit(0.5)).as("dq"))
+    val adc = codes.join(cells, Seq("vec_id"))
+      .join(broadcast(qc), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qdist), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      // pr is constant within the group (one cell per corpus vector)
+      .agg(sum(col("dq")).as("adc_q"), min(col("pr")).as("pr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = prepared(embeddings).select(col("vec_id"), col("v"),
+      col("nrm"))
+    val qvec = prepared(queries).select(col("vec_id").as("q_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    probes.map { p =>
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_q").asc, col("vec_id").asc)
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      val top = adc.filter(col("pr") <= p)
+        .withColumn("ar", row_number().over(wAdc))
+        .filter(col("ar") <= refine)
+        .join(corpus, Seq("vec_id"))
+        .join(broadcast(qvec), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (col("adc_q").cast("double") / lit(1e9)).as("adc"),
+          cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"),
+            col("qnrm")).as("cosine"))
+        .withColumn("rk", row_number().over(wCos).cast("long"))
+        .filter(col("rk") <= k)
+      (p, top)
+    }
+  }
+
   /** ADC top-k: the query's m×nCodes distance table (integer-quantized
     * by floor(x*1e9 + 0.5) so the per-vector sum is exact and
     * aggregation-order-free) joins the code table on (sub, code) — the

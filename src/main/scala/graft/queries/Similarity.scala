@@ -834,17 +834,19 @@ object Similarity {
             .last)
         val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
           .select(col("q_id"), col("vec_id"))
-        Seq(1, 2, 4).map { p =>
-          val ann = SimilarityOps.ivfPqTopK(emb, qs, k = 5, cents = trained,
-              nProbe = p, m = 4, subDim = 16, nCodes = 8, refine = 64)
-            .select(col("q_id"), col("vec_id"))
-          exact.join(ann.withColumn("hit", lit(1)), Seq("q_id", "vec_id"),
-              "left")
-            .groupBy(col("q_id"))
-            .agg(count(col("hit")).as("hits"))
-            .select(lit(p.toLong).as("probes"), col("q_id"), col("hits"),
-              (col("hits").cast("double") / lit(5)).as("recall"))
-        }.reduce(_ unionByName _)
+        // ONE shared index build (cells/codes/ADC at the deepest probe),
+        // each depth a filter+rank over it — never a rebuild per branch
+        SimilarityOps.ivfPqBranches(emb, qs, k = 5, cents = trained,
+            probes = Seq(1, 2, 4), m = 4, subDim = 16, nCodes = 8,
+            refine = 64)
+          .map { case (p, ann) =>
+            exact.join(ann.select(col("q_id"), col("vec_id"))
+                .withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+              .groupBy(col("q_id"))
+              .agg(count(col("hit")).as("hits"))
+              .select(lit(p.toLong).as("probes"), col("q_id"), col("hits"),
+                (col("hits").cast("double") / lit(5)).as("recall"))
+          }.reduce(_ unionByName _)
       },
       Some {
         def branch(p: Int): String = s"""

@@ -243,4 +243,26 @@ class SimilarityOpsSpec extends SparkSpec {
         f"$recallFlat%.2f at equal probe depth")
     assert(recallPq >= 0.6)
   }
+
+  test("ivfPqBranches: each shared-build depth equals the standalone index") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+    val trained = graft.queries.Clustering.refreshCentroids(
+      graft.queries.Clustering.lloydPasses(
+        graft.queries.Clustering.corpus(spark, sfTiny), k = 8, iters = 2)
+        .last)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shared = SimilarityOps.ivfPqBranches(emb, qs, k = 5,
+      cents = trained, probes = Seq(1, 2, 4), m = 4, subDim = 16,
+      nCodes = 8, refine = 64).toMap
+    for (p <- Seq(1, 2, 4)) {
+      val solo = SimilarityOps.ivfPqTopK(emb, qs, k = 5, cents = trained,
+        nProbe = p, m = 4, subDim = 16, nCodes = 8, refine = 64)
+      assert(rows(shared(p)) == rows(solo), s"depth $p diverged")
+    }
+    spark.catalog.clearCache()
+  }
 }
