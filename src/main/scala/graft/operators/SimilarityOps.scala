@@ -130,6 +130,38 @@ object SimilarityOps {
     topK(pairs, k)
   }
 
+  /** Flat-IVF twin of [[ivfPqBranches]] (the s23 curve): corpus cell
+    * assignment and the exact within-cell cosine scores are computed
+    * ONCE at the deepest probe depth, each candidate tagged with the
+    * rank of its cell in the query's probe order; every curve point is
+    * then a filter + keyed rank over the shared persisted frame. Each
+    * returned frame equals [[ivfTopK]] at that depth (spec-asserted).
+    * Cache contract: caller-owned ([[DedupOps.containmentPairs]]). */
+  def ivfBranches(embeddings: DataFrame, queries: DataFrame, k: Int,
+                  nCells: Int, probes: Seq[Int]): Seq[(Int, DataFrame)] = {
+    require(probes.nonEmpty && probes.forall(_ >= 1))
+    val maxP = probes.max
+    val cents = centroids(embeddings, nCells)
+    val corpus = assignCells(prepared(embeddings), cents, take = 1)
+    val qc = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cell").asc)
+      prepared(queries).crossJoin(broadcast(cents))
+        .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
+        .withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= maxP)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("cell"), col("pr"))
+    }
+    val pairs = corpus.join(broadcast(qc), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("pr"),
+        cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"),
+          col("qnrm")).as("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probes.map(p => (p, topK(pairs.filter(col("pr") <= p).drop("pr"), k)))
+  }
+
   /** coarse centroids: the first `nCells` vectors by id (deterministic
     * seeds — a production index k-means-trains these offline) */
   private def centroids(embeddings: DataFrame, nCells: Int): DataFrame =

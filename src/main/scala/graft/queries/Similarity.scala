@@ -1010,16 +1010,18 @@ object Similarity {
         val qs = emb.filter(col("vec_id") < 5)
         val exact = SimilarityOps.bruteForceTopK(emb, qs, k = 5)
           .select(col("q_id"), col("vec_id"))
-        Seq(1, 2, 4).map { p =>
-          val ann = SimilarityOps.ivfTopK(emb, qs, k = 5, nCells = 8,
-            nProbe = p).select(col("q_id"), col("vec_id"))
-          exact.join(ann.withColumn("hit", lit(1)), Seq("q_id", "vec_id"),
-              "left")
-            .groupBy(col("q_id"))
-            .agg(count(col("hit")).as("hits"))
-            .select(lit(p.toLong).as("probes"), col("q_id"), col("hits"),
-              (col("hits").cast("double") / lit(5)).as("recall"))
-        }.reduce(_ unionByName _)
+        // shared assignment + within-cell scores at the deepest depth;
+        // each curve point filters the persisted candidate frame
+        SimilarityOps.ivfBranches(emb, qs, k = 5, nCells = 8,
+            probes = Seq(1, 2, 4))
+          .map { case (p, ann) =>
+            exact.join(ann.select(col("q_id"), col("vec_id"))
+                .withColumn("hit", lit(1)), Seq("q_id", "vec_id"), "left")
+              .groupBy(col("q_id"))
+              .agg(count(col("hit")).as("hits"))
+              .select(lit(p.toLong).as("probes"), col("q_id"), col("hits"),
+                (col("hits").cast("double") / lit(5)).as("recall"))
+          }.reduce(_ unionByName _)
       },
       Some {
         def annBranch(p: Int): String = s"""

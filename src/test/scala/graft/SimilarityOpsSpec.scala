@@ -265,4 +265,21 @@ class SimilarityOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("ivfBranches: each shared-build depth equals the standalone ivfTopK") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shared = SimilarityOps.ivfBranches(emb, qs, k = 5, nCells = 8,
+      probes = Seq(1, 2, 4)).toMap
+    for (p <- Seq(1, 2, 4)) {
+      val solo = SimilarityOps.ivfTopK(emb, qs, k = 5, nCells = 8,
+        nProbe = p)
+      assert(rows(shared(p)) == rows(solo), s"depth $p diverged")
+    }
+    spark.catalog.clearCache()
+  }
 }
