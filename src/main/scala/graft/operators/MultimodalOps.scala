@@ -329,6 +329,70 @@ object MultimodalOps {
     }
   }
 
+  case class VadStats(asset_id: Long, n_frames: Long, n_speech: Long,
+                      n_segments: Long, sum_energy: Long)
+
+  /** Frame-level energy voice-activity detection over the REAL-decoded
+    * PCM (the m12 gate): non-overlapping 100-sample frames, a frame is
+    * "speech" when its energy sum exceeds 100·10000 (i.e. a mean
+    * squared amplitude over 10000 — between the fixture's silence-like
+    * space runs and its letter-band amplitudes, so both branches
+    * fire), and contiguous speech frames merge into segments. The
+    * classic energy-gate VAD skeleton (Rabiner & Sammur 1975 shape)
+    * kept all-integer so the oracle replays it bit-exactly from the
+    * source text bytes (8-bit PCM is lossless). Row-local mapPartitions
+    * through javax.sound — zero shuffles at any corpus size.
+    * Undecodable payloads keep their row with n_frames = -1. */
+  def vadStats(assets: Dataset[MediaAsset], frameLen: Int = 100,
+               meanSqThreshold: Long = 10000L): Dataset[VadStats] = {
+    import assets.sparkSession.implicits._
+    require(frameLen >= 1 && meanSqThreshold >= 0)
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(a.content))
+          catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => null
+            case _: java.io.IOException => null
+          }
+        if (ais == null) VadStats(a.asset_id, -1L, 0L, 0L, 0L)
+        else {
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val nFrames = (pcm.length + frameLen - 1) / frameLen
+          var f = 0
+          var nSpeech = 0L
+          var nSegments = 0L
+          var sumEnergy = 0L
+          var prevSpeech = false
+          while (f < nFrames) {
+            var e = 0L
+            var i = f * frameLen
+            val end = math.min(i + frameLen, pcm.length)
+            while (i < end) {
+              val v = pcm(i) & 0xff
+              e += v.toLong * v
+              i += 1
+            }
+            sumEnergy += e
+            // threshold scales with the ACTUAL frame length so the
+            // short tail frame is judged by the same mean-sq bar
+            val speech = e > (end - f.toLong * frameLen) * meanSqThreshold
+            if (speech) {
+              nSpeech += 1
+              if (!prevSpeech) nSegments += 1
+            }
+            prevSpeech = speech
+            f += 1
+          }
+          VadStats(a.asset_id, nFrames.toLong, nSpeech, nSegments,
+            sumEnergy)
+        }
+      }
+    }
+  }
+
   /** Perceptual difference hash (dHash, Krawetz 2013) of each decoded
     * image: sample a 9x8 luminance grid by pure index arithmetic
     * (sample (gx, gy) reads pixel (gx*w/9, gy*h/8) — nearest-neighbor,

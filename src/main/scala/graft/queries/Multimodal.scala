@@ -327,7 +327,55 @@ object Multimodal {
         SELECT x.doc_id AS id_a, y.doc_id AS id_b,
           CAST(bit_count(xor(x.hash, y.hash)) AS BIGINT) AS ham
         FROM dh x JOIN dh y ON x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.hash, y.hash)) <= 3"""))
+        WHERE bit_count(xor(x.hash, y.hash)) <= 3""")),
+
+    // ---- energy-gate voice-activity detection (VAD) ---------------------
+    //      the audio-curation twin of the text quality filters: REAL
+    //      WAV decode, non-overlapping 100-sample frames, speech =
+    //      frame mean-squared amplitude over 10000 (between the
+    //      fixture's space runs and letter band, so both branches
+    //      fire), contiguous speech frames merged into segments — the
+    //      speech-fraction / segment-count numbers an audio-corpus
+    //      builder filters on. All-integer row-local mapPartitions;
+    //      8-bit PCM is lossless so the oracle replays every frame
+    //      decision from the source text bytes, segments via a lag
+    //      window over the frame table.
+    Q("m12_audio_vad",
+      (s, d) => {
+        import s.implicits._
+        MultimodalOps.vadStats(MultimodalOps.encodeWav(
+            MultimodalOps.buildAssets(Tables.documents(s, d))
+              .as[MultimodalOps.MediaAsset]))
+          .toDF()
+      },
+      Some("""
+        WITH a AS (SELECT doc_id AS asset_id,
+                     CAST(LENGTH(text) AS BIGINT) AS n,
+                     list_transform(string_split(text, ''), x -> ascii(x))
+                       AS cs
+                   FROM documents),
+        f AS (SELECT asset_id, t.f,
+                list_slice(cs, t.f * 100 + 1, t.f * 100 + 100) AS fr
+              FROM a CROSS JOIN LATERAL
+                unnest(range(0, (n + 99) // 100)) t(f)),
+        e AS (SELECT asset_id, f,
+                CAST(COALESCE(list_sum(list_transform(fr, x -> x * x)), 0)
+                  AS BIGINT) AS e,
+                len(fr) AS alen
+              FROM f),
+        g AS (SELECT asset_id, f, e, (e > alen * 10000) AS speech FROM e),
+        h AS (SELECT asset_id, e, speech,
+                CASE WHEN speech AND NOT COALESCE(LAG(speech) OVER (
+                  PARTITION BY asset_id ORDER BY f), FALSE)
+                  THEN 1 ELSE 0 END AS st
+              FROM g)
+        SELECT a.asset_id, CAST((a.n + 99) // 100 AS BIGINT) AS n_frames,
+          CAST(COALESCE(SUM(CASE WHEN h.speech THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_speech,
+          CAST(COALESCE(SUM(h.st), 0) AS BIGINT) AS n_segments,
+          CAST(COALESCE(SUM(h.e), 0) AS BIGINT) AS sum_energy
+        FROM a LEFT JOIN h USING (asset_id)
+        GROUP BY a.asset_id, a.n"""))
   )
 
   /** m11 oracle: the 64 dHash gradient bits as explicit CASE terms —

@@ -184,4 +184,30 @@ class MultimodalOpsSpec extends SparkSpec {
     val dh = MultimodalOps.dHash64(withCorrupt).collect().head
     assert(dh.isNullAt(1))
   }
+
+  test("vadStats: energy gate, segment merging, short-tail scaling, corrupt") {
+    // 'z' (122^2 = 14884) clears the 10000 mean-sq bar, ' ' (1024) does
+    // not; frames are 100 samples, so z*100 + ' '*100 + z*50 is
+    // speech / silence / speech -> 2 segments, and the 50-sample tail
+    // is judged by the SAME mean-sq bar (threshold scales with actual
+    // frame length)
+    val docs = Seq(
+      (1L, "z" * 100 + " " * 100 + "z" * 50),
+      (2L, "z" * 150),    // two contiguous speech frames -> 1 segment
+      (3L, " " * 120))    // all silence
+      .toDF("doc_id", "text")
+    val got = MultimodalOps.vadStats(MultimodalOps.encodeWav(
+        MultimodalOps.buildAssets(docs).as[MultimodalOps.MediaAsset]))
+      .collect().map(v => v.asset_id ->
+        ((v.n_frames, v.n_speech, v.n_segments))).toMap
+    assert(got(1L) == ((3L, 2L, 2L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1L)), s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L)), s"got ${got(3L)}")
+    // undecodable payloads keep their row, flagged
+    val corrupt = MultimodalOps.vadStats(Seq(
+      MultimodalOps.MediaAsset(9L, Array[Byte](1, 2, 3),
+        MultimodalOps.MediaMeta("application/octet-stream", 3L, "x")))
+      .toDS()).collect().head
+    assert(corrupt.n_frames == -1L)
+  }
 }
