@@ -164,6 +164,65 @@ object GraphOps {
     }
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the seed-restart
+    * variant behind domain-trust propagation in crawl curation): the
+    * teleport mass — and each round's dangling mass, same convention —
+    * returns to the SEED SET uniformly instead of to all nodes:
+    *   r'(n) = teleport·s(n) + damping·(Σ_{m→n} r(m)/outdeg(m) + DM·s(n))
+    * with s(n) = 1/|S| for seeds, 0 otherwise, and r0 = s. Ranks then
+    * measure proximity to the seeds, not global centrality.
+    *
+    * Same per-round shape and 1e-15 fixed-point portability discipline
+    * as [[pageRankDangling]] (one shuffle join + one keyed quantized
+    * aggregation + a one-row DM aggregate); the seed flag rides the
+    * persisted node frame as a broadcast-joined column. Seeds are
+    * intersected with the graph's nodes (absent ids are ignored);
+    * requires a non-empty intersection. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           teleport: Double = 0.15): DataFrame = {
+    require(iters >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("src"), col("dst"))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy(col("src"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("src").as("id"))
+      .union(adj.select(col("dst").as("id"))).distinct()
+    val dangling = nodes
+      .join(adj.select(col("src").as("id")), Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val flagged = nodes
+      .join(seeds.select(col("id")).distinct().withColumn("s", lit(1)),
+        Seq("id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sN = flagged.filter(col("s").isNotNull).count()
+    require(sN > 0, "seed set must intersect the graph's nodes")
+    val r0 = flagged.select(col("id"),
+      when(col("s").isNotNull, lit(1.0 / sN)).otherwise(lit(0.0))
+        .as("rank"))
+    (1 to iters).foldLeft(r0) { (r, i) =>
+      val contrib = adj.join(r, col("src") === col("id"))
+        .select(col("dst"),
+          floor(col("rank") / col("outdeg") * lit(1e15) + lit(0.5)).as("c"))
+        .groupBy(col("dst"))
+        .agg((sum(col("c")) / lit(1e15)).as("m"))
+      val dm = r.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(
+          sum(floor(col("rank") * lit(1e15) + lit(0.5))) / lit(1e15),
+          lit(0.0)).as("dm"))
+      val next = flagged
+        .join(contrib, flagged("id") === contrib("dst"), "left")
+        .crossJoin(dm)
+        .select(flagged("id"),
+          (when(col("s").isNotNull, lit(teleport / sN)).otherwise(lit(0.0))
+            + lit(damping) * (coalesce(col("m"), lit(0.0)) +
+              when(col("s").isNotNull, col("dm") / lit(sN.toDouble))
+                .otherwise(lit(0.0)))).as("rank"))
+      truncateEvery(i, iters, next)
+    }
+  }
+
   /** Triangle census of an undirected graph given as canonical edges
     * (u < v, deduplicated). Returns one row:
     * (n_nodes, n_edges, n_wedges, n_triangles, global_clustering).

@@ -389,8 +389,77 @@ object Graph {
             .union(p.select(col("v").as("src"), col("u").as("dst"))),
           k = 3, rounds = 5)
       },
-      Some(kcoreSql(3, 5)))
+      Some(kcoreSql(3, 5))),
+
+    // ---- personalized PageRank (seed-restart, the g07 twin) -------------
+    //      teleport AND dangling mass return to the seed customers
+    //      (ids < 100, even = customers) instead of all nodes, so ranks
+    //      measure proximity to the seeds — the domain-trust-from-seeds
+    //      propagation a crawl-curation pipeline runs. Same directed
+    //      customer->supplier graph, same 1e-15 fixed-point portability
+    //      as g07; the oracle replays the identical expression tree
+    //      with the seed CASE on every teleport/dangling term.
+    Q("g11_personalized_pagerank",
+      (s, d) => {
+        import s.implicits._
+        val seeds = (0L until 100L by 2).toDF("id")
+        GraphOps.personalizedPageRank(
+          bipartitePairs(s, d)
+            .select(col("a").as("src"), col("b").as("dst")),
+          seeds, iters = 3)
+          .select(col("id"),
+            when(col("id") % 2 === 0, "customer").otherwise("supplier")
+              .as("kind"),
+            col("rank"))
+      },
+      Some(pprSql(3)))
   )
+
+  /** CTE chain replaying `iters` personalized-PageRank rounds: the g07
+    * dangling replay with every teleport / dangling-mass term gated by
+    * the seed CASE (seeds = even ids < 100 present in the graph). */
+  private def pprSql(iters: Int): String = {
+    val sb = new StringBuilder("WITH" + directedSql + """,
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    dang AS (SELECT id FROM nodes
+             WHERE id NOT IN (SELECT src FROM edges)),
+    sd AS (SELECT id FROM nodes WHERE id % 2 = 0 AND id < 100),
+    sc AS (SELECT COUNT(*) AS sn FROM sd),
+    r0 AS (SELECT nd.id,
+             CASE WHEN sd.id IS NOT NULL
+               THEN CAST(1.0 AS DOUBLE) / (SELECT sn FROM sc)
+               ELSE CAST(0 AS DOUBLE) END AS rank
+           FROM nodes nd LEFT JOIN sd ON nd.id = sd.id)""")
+    for (i <- 0 until iters) sb ++= s""",
+    dm$i AS (
+      SELECT COALESCE(
+        SUM(CAST(FLOOR(rank * 1e15 + 0.5) AS BIGINT)) / 1e15,
+        CAST(0 AS DOUBLE)) AS dm
+      FROM r$i WHERE id IN (SELECT id FROM dang)),
+    r${i + 1} AS (
+      SELECT nd.id,
+        CASE WHEN sd.id IS NOT NULL
+          THEN CAST(0.15 AS DOUBLE) / (SELECT sn FROM sc)
+          ELSE CAST(0 AS DOUBLE) END
+        + CAST(0.85 AS DOUBLE) * (COALESCE(c.m, CAST(0 AS DOUBLE))
+            + CASE WHEN sd.id IS NOT NULL
+                THEN (SELECT dm FROM dm$i) / (SELECT sn FROM sc)
+                ELSE CAST(0 AS DOUBLE) END) AS rank
+      FROM nodes nd LEFT JOIN sd ON nd.id = sd.id
+      LEFT JOIN (
+        SELECT e.dst AS id,
+          SUM(CAST(FLOOR(r.rank / d.outdeg * 1e15 + 0.5) AS BIGINT)) / 1e15
+            AS m
+        FROM edges e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) c ON nd.id = c.id)"""
+    sb ++= s"""
+    SELECT id,
+      CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+      rank
+    FROM r$iters"""
+    sb.toString
+  }
 
   /** CTE chain replaying `rounds` k-core peel rounds over the
     * co-purchase graph (see g10). */

@@ -330,4 +330,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(curve(0L) == ((4L, 6L)))
     assert(curve(3L) == ((0L, 0L)), s"got $curve")
   }
+
+  test("personalizedPageRank: mass stays near the seeds, islands get zero") {
+    // 1 -> 3, 2 -> 3 (3 is a sink: its mass returns to the seed), and a
+    // disconnected island 4 -> 5 that no seed mass can ever reach
+    val edges = Seq((1L, 3L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val r = GraphOps.personalizedPageRank(edges, seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) > 0.0, "the seed keeps teleport mass")
+    assert(r(3L) > 0.0, "the seed's neighbor receives link mass")
+    assert(r(2L) == 0.0, "a non-seed source never receives anything")
+    assert(r(4L) == 0.0 && r(5L) == 0.0, s"island must stay at zero: $r")
+    val total = r.values.sum
+    assert(total > 0.9 && total <= 1.0 + 1e-9,
+      s"mass conserves to ~1 (teleport + dangling return), got $total")
+    // absent-seed ids are ignored; an all-absent seed set is an error
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges,
+        Seq(Tuple1(99L)).toDF("id"), iters = 1).collect()
+    }
+  }
 }
