@@ -610,6 +610,93 @@ object StreamingQueries {
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(scratchRoot.resolve(
           "st14-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-          .resolve("src").toString)))
+          .resolve("src").toString))),
+
+    // ---- LEFT OUTER stream-stream join (watermark-driven null rows) -----
+    //      st04's outer twin, and the semantically hard part of outer
+    //      stream joins: the null-padded row for an unmatched purchase
+    //      is emitted ONLY when the global watermark (the MIN of the
+    //      purchase-side and click-side watermarks) evicts its state.
+    //      Matched rows emit in the batch where both sides meet; the
+    //      unmatched tail whose purchase_ts the final watermark never
+    //      passes stays in state UNEMITTED — the st13 withheld-tail
+    //      honesty, extended from aggregates to join state, and the
+    //      oracle models exactly that cut:
+    //        emit iff matched OR p.ts < min(maxP, maxC) - 1 hour.
+    //      The staged source is two time-ranged files plus one EMPTY
+    //      trailing file: the empty batch carries the watermark update
+    //      derived from f2's data, so eviction runs inside a real
+    //      batch (AvailableNow does not reliably run a trailing
+    //      no-data batch). A far-future-sentinel design was tried and
+    //      rejected: any output filter that would hide the sentinels
+    //      gets PUSHED DOWN through the join into the scans and kills
+    //      them before the watermark node ever sees their event time.
+    Q("st15_stream_outer_join",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st15-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = child.readStream.schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base.resolve("src").toString)
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("c_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+        val joined = EventStreams.streamStreamJoin(purchases, clicks,
+          "c_user", "purchase_ts", "click_ts", windowSec = 3600,
+          watermarkDelay = "1 hour", joinType = "leftOuter")
+          .select(col("c_user").as("user_id"), col("purchase_id"),
+            col("click_id"))
+        val q = joined.writeStream.format("memory").queryName("st15")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        child.table("st15")
+      },
+      Some("""
+        WITH wm AS (
+          SELECT LEAST(
+              (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+              (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+            - INTERVAL 1 HOUR AS w)
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        FROM events p LEFT JOIN events c
+          ON p.user_id = c.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+          AND (c.event_id IS NOT NULL OR p.ts < (SELECT w FROM wm))"""),
+      setup = Some((s, d) => {
+        val base = scratchRoot.resolve(
+          "st15-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+        val src = base.resolve("src")
+        if (java.nio.file.Files.exists(base))
+          java.nio.file.Files.walk(base)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.delete(p))
+        java.nio.file.Files.createDirectories(src)
+        val ev = Tables.events(s, d)
+        def writeOne(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+          val tmp = base.resolve("tmp_" + name).toString
+          df.coalesce(1).write.mode("overwrite")
+            .option("compression", "zstd").parquet(tmp)
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+            .filter(p => p.getFileName.toString.startsWith("part-"))
+            .findFirst().get()
+          val dest = src.resolve(name)
+          java.nio.file.Files.move(part, dest,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+        }
+        val cut = lit("2024-01-13").cast("timestamp")
+        writeOne(ev.filter(col("ts") < cut), "f1.parquet", 1700000000000L)
+        writeOne(ev.filter(col("ts") >= cut), "f2.parquet", 1700000010000L)
+        // empty trailing file: a schema-only batch whose only job is to
+        // carry the f2-derived watermark update into a real batch
+        writeOne(ev.filter(lit(false)), "f3.parquet", 1700000020000L)
+      }))
   )
 }

@@ -111,16 +111,27 @@ object EventStreams {
     * condition that makes a stream-stream join runnable forever. All
     * references are side-qualified, so the two streams may share column
     * names (both sides named `ts` is the natural call). */
+  /** Two-sided watermarked interval join. `joinType` extends the inner
+    * default to the outer variants ("leftOuter"/"rightOuter"/
+    * "fullOuter"): Spark emits the null-padded row for an unmatched
+    * side only when the GLOBAL watermark (min across both sides)
+    * passes the row's join-window bound and its state is evicted —
+    * rows the final watermark never passes stay in state unemitted,
+    * which a bounded replay must account for (st15 advances the
+    * watermark past all real data with sentinel far-future events so
+    * the flush boundary is total). */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        windowSec: Long,
-                       watermarkDelay: String = "10 minutes"): DataFrame = {
+                       watermarkDelay: String = "10 minutes",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, watermarkDelay)
     val r = right.withWatermark(rightTime, watermarkDelay)
     l.join(r,
       l(key) === r(key) &&
         r(rightTime) >= l(leftTime) - expr(s"INTERVAL $windowSec SECONDS") &&
-        r(rightTime) <= l(leftTime))
+        r(rightTime) <= l(leftTime),
+      joinType)
       .drop(r(key))
   }
 }
