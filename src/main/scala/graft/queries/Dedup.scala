@@ -686,6 +686,124 @@ object Dedup {
     //      the diagnostic working: it says the threshold choice is
     //      insensitive here, which a real crawl's long near-dup tail
     //      would not.)
+    // ---- LSH banding tuning table (the b/r S-curve, measured) -----------
+    //      d19 tunes the VERIFY threshold; this tunes the CANDIDATE
+    //      GENERATOR: at fixed k = 16 signature functions, how many
+    //      candidate pairs — and how many true >= 0.5-Jaccard pairs
+    //      among them — each banding (b bands x r rows) produces. More
+    //      bands = higher collision probability 1-(1-J^r)^b = more
+    //      recall AND more junk candidates; the table is what a dedup
+    //      run reads to pick its banding. ONE portable signature pass
+    //      (d19's discipline): gram ids are md5-derived 60-bit integers
+    //      (NOT the production xxhash64 — 8 bytes narrower on the
+    //      shuffle, but opaque to an independent engine; the gate's job
+    //      is replaying the banding algebra, so it pays the portable
+    //      hash) and every banding reads the same 16 min-hash columns.
+    //      Band keys here are concatenated strings for the same
+    //      portability reason; production buckets hash them to 8 bytes
+    //      (DedupOps.minHashCandidates).
+    Q("d20_banding_curve",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, wordNgrams}
+        val k = 16
+        val mm = graft.expressions.MinHashAgg.M
+        val (has, hbs) = graft.expressions.MinHashAgg.hashFamily(k)
+        val docs = Tables.documents(s, d)
+        val gid31 = expr(
+          "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 15), 16, 10) " +
+            s"AS BIGINT) % $mm")
+        val sigs = docs.withColumn("toks", tokens("text"))
+          .select(col("doc_id"), explode(wordNgrams("toks", 3)).as("g"))
+          .distinct()
+          .withColumn("gid", gid31)
+          .groupBy(col("doc_id"))
+          .agg((0 until k).map(i =>
+            min((lit(has(i)) * col("gid") + lit(hbs(i))) % lit(mm))
+              .as(s"s$i")).head,
+            (1 until k).map(i =>
+              min((lit(has(i)) * col("gid") + lit(hbs(i))) % lit(mm))
+                .as(s"s$i")): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val truth = DedupOps.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        Seq((2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+          val bandCols = (0 until b).map { bnd =>
+            struct(lit(bnd).as("band"),
+              concat_ws(",", (0 until r).map(j =>
+                col(s"s${bnd * r + j}").cast("string")): _*).as("key"))
+          }
+          val buckets = sigs.select(col("doc_id"),
+            explode(array(bandCols: _*)).as("bk"))
+            .select(col("doc_id"), col("bk.band").as("band"),
+              col("bk.key").as("key"))
+          val cand = buckets.as("x")
+            .join(buckets.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.key") === col("y.key") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("doc_a"),
+              col("y.doc_id").as("doc_b"))
+            .distinct()
+          cand.join(truth.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
+              "left")
+            .agg(count(lit(1)).as("n_cand_pairs"),
+              count(col("hit")).as("n_true_pairs"))
+            .select(lit(b.toLong).as("bands"),
+              lit(r.toLong).as("rows_per_band"),
+              col("n_cand_pairs"), col("n_true_pairs"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val k = 16
+        val mm = graft.expressions.MinHashAgg.M
+        val (has, hbs) = graft.expressions.MinHashAgg.hashFamily(k)
+        val sigCols = (0 until k).map(i =>
+          s"MIN((${has(i)} * gid + ${hbs(i)}) % $mm) AS s$i")
+          .mkString(",\n             ")
+        def branch(b: Int, r: Int): String = {
+          val bandRows = (0 until b).map { bnd =>
+            val key = (0 until r).map(j => s"CAST(s${bnd * r + j} AS VARCHAR)")
+              .mkString(" || ',' || ")
+            s"SELECT doc_id, $bnd AS band, $key AS key FROM sig"
+          }.mkString("\n          UNION ALL ")
+          s"""
+        bk${b}_$r AS ($bandRows),
+        cd${b}_$r AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bk${b}_$r x JOIN bk${b}_$r y
+                   ON x.band = y.band AND x.key = y.key
+                     AND x.doc_id < y.doc_id),
+        rs${b}_$r AS (SELECT CAST($b AS BIGINT) AS bands,
+                   CAST($r AS BIGINT) AS rows_per_band,
+                   COUNT(*) AS n_cand_pairs,
+                   COUNT(tr.doc_a) AS n_true_pairs
+                 FROM cd${b}_$r
+                 LEFT JOIN tr ON cd${b}_$r.doc_a = tr.doc_a
+                   AND cd${b}_$r.doc_b = tr.doc_b)"""
+        }
+        jaccardCte + s"""
+        , tr AS (SELECT doc_a, doc_b FROM p
+                 WHERE CAST(common AS DOUBLE) / (sa + sb - common) >= 0.5),
+        gr AS (SELECT DISTINCT doc_id, unnest(list_distinct(
+                 list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                 AS g
+               FROM t),
+        gi AS (SELECT doc_id,
+                 CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $mm
+                   AS gid
+               FROM gr),
+        sig AS MATERIALIZED (
+          SELECT doc_id,
+             $sigCols
+          FROM gi GROUP BY doc_id),
+        ${branch(2, 8).stripPrefix("\n")},
+        ${branch(4, 4).stripPrefix("\n")},
+        ${branch(8, 2).stripPrefix("\n")},
+        ${branch(16, 1).stripPrefix("\n")}
+        SELECT * FROM rs2_8 UNION ALL SELECT * FROM rs4_4
+        UNION ALL SELECT * FROM rs8_2 UNION ALL SELECT * FROM rs16_1"""
+      }),
+
     Q("d19_threshold_curve",
       (s, d) => DedupOps.thresholdYieldCurve(
         DedupOps.ngramJaccardPairs(Tables.documents(s, d),

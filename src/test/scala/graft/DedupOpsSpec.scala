@@ -349,4 +349,25 @@ class DedupOpsSpec extends SparkSpec {
       assert(row.isNullAt(2) && row.isNullAt(3), "l2sq: HOF and native must both be NULL")
     }
   }
+
+  test("d20 banding curve: nested halvings give monotone candidate sets") {
+    // the four bandings (2x8, 4x4, 8x2, 16x1) are nested halvings of the
+    // SAME 16 signature columns: a collision on an r=8 band implies
+    // collisions on both of its r=4 halves, so candidate sets are nested
+    // by construction and both counts must be nondecreasing in bands —
+    // the structural property that makes the tuning table readable as an
+    // S-curve (more bands never loses a candidate, only adds junk)
+    val rows = SparkEntry.queries("d20_banding_curve")(spark, sfTiny)
+      .orderBy("bands").collect()
+      .map(r => (r.getAs[Long]("bands"), r.getAs[Long]("n_cand_pairs"),
+        r.getAs[Long]("n_true_pairs")))
+    assert(rows.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    rows.sliding(2).foreach { case Array((_, c1, t1), (b2, c2, t2)) =>
+      assert(c2 >= c1 && t2 >= t1,
+        s"candidate nesting violated at bands=$b2: cand $c1->$c2, true $t1->$t2")
+    }
+    rows.foreach { case (b, c, t) =>
+      assert(t <= c, s"true pairs exceed candidates at bands=$b")
+    }
+  }
 }
