@@ -804,6 +804,93 @@ object Dedup {
         UNION ALL SELECT * FROM rs8_2 UNION ALL SELECT * FROM rs16_1"""
       }),
 
+    // ---- corpus-level exact line dedup (C4 / RefinedWeb) ----------------
+    //      the d-family dedups DOCUMENTS; crawled corpora also need the
+    //      finer grain: drop every repeated LINE corpus-wide, keeping
+    //      only its first occurrence (C4, Raffel 2020 §2.2 "we discarded
+    //      ... any [line] occurring more than once"; RefinedWeb, Penedo
+    //      2023 §3.4 exact line dedup) — the screen that strips nav bars,
+    //      cookie banners and footers that repeat across a site. The
+    //      fixture manufactures what the single-line corpus lacks:
+    //      content lines = 8-token windows of each doc (near-dup docs
+    //      therefore collide on real lines), plus two injected
+    //      boilerplate lines (a newsletter plea on every doc, a
+    //      copyright notice on doc_id % 3 == 0) that dedup must strip
+    //      everywhere except their first carrier. First occurrence =
+    //      min (doc_id, line_no): ONE row_number window keyed by the
+    //      line (hash-shuffle only — no global sort), then one doc_id
+    //      rollup whose collect_list is bounded by the doc's own line
+    //      count. Scale note: the shuffle key here is the raw line text
+    //      (the oracle replays string equality); production swaps in a
+    //      128-bit fingerprint to cut shuffle width — same plan shape.
+    Q("d21_line_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextFunctions.tokens
+        val newsLine = "subscribe to our newsletter for daily updates now"
+        val copyLine = "all rights reserved contact the site administrator today"
+        val lineStruct = "struct<line_no:bigint,line:string>"
+        val withLines = Tables.documents(s, d)
+          .select(col("doc_id"), tokens("text").as("toks"))
+          .withColumn("nc", expr("CAST(ceil(size(toks) / 8.0) AS BIGINT)"))
+          .select(col("doc_id"), concat(
+            expr("""transform(sequence(0, CAST(nc AS INT) - 1),
+                    i -> named_struct(
+                      'line_no', CAST(i AS BIGINT),
+                      'line', array_join(slice(toks, 8*i + 1, 8), ' ')))"""),
+            array(struct(col("nc").as("line_no"),
+              lit(newsLine).as("line"))),
+            when(col("doc_id") % 3 === 0,
+              array(struct((col("nc") + 1).as("line_no"),
+                lit(copyLine).as("line"))))
+              .otherwise(array().cast(s"array<$lineStruct>"))).as("ls"))
+        val marked = withLines
+          .select(col("doc_id"), explode(col("ls")).as("l"))
+          .select(col("doc_id"), col("l.line_no").as("line_no"),
+            col("l.line").as("line"))
+          .withColumn("kept", row_number().over(
+            Window.partitionBy("line").orderBy("doc_id", "line_no")) === 1)
+        marked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+            sort_array(collect_list(struct(col("line_no"), col("kept"),
+              col("line")))).as("sorted"))
+          .select(col("doc_id"), col("n_lines"), col("n_kept"),
+            col("n_dropped"),
+            array_join(transform(filter(col("sorted"),
+              x => x.getField("kept")), x => x.getField("line")), "\n")
+              .as("clean_text"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        le AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nc
+               FROM t),
+        ls AS (SELECT doc_id, unnest(list_concat(list_concat(
+                 list_transform(range(0, nc), i -> {
+                   'line_no': i,
+                   'line': array_to_string(toks[8*i+1:8*i+8], ' ')}),
+                 [{'line_no': nc,
+                   'line': 'subscribe to our newsletter for daily updates now'}]),
+                 list_transform(range(0, CASE WHEN doc_id % 3 = 0
+                                              THEN 1 ELSE 0 END), i -> {
+                   'line_no': nc + 1,
+                   'line': 'all rights reserved contact the site administrator today'}))) AS l
+               FROM le),
+        mk AS (SELECT doc_id, l.line_no AS line_no, l.line AS line,
+                 row_number() OVER (PARTITION BY l.line
+                                    ORDER BY doc_id, l.line_no) = 1 AS kept
+               FROM ls)
+        SELECT doc_id,
+          COUNT(*) AS n_lines,
+          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+          COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+                              ORDER BY line_no), '') AS clean_text
+        FROM mk GROUP BY doc_id""")),
+
     Q("d19_threshold_curve",
       (s, d) => DedupOps.thresholdYieldCurve(
         DedupOps.ngramJaccardPairs(Tables.documents(s, d),

@@ -917,6 +917,240 @@ object TextOps {
           CAST(va.vocab * 1000000000 // ta.n_tokens AS BIGINT) AS ttr_e9
         FROM ta JOIN va ON ta.cp = va.cp""")),
 
+    // ---- DSIR importance resampling (Xie et al. 2023) -------------------
+    //      select raw documents whose hashed-n-gram distribution looks
+    //      like a TARGET corpus (here: the 'en' slice) — the data-
+    //      selection step run before pretraining when the target domain
+    //      is small and the crawl is huge. Features = unigrams ∪
+    //      bigrams hashed into 256 buckets (md5-derived, the portable-
+    //      hash discipline); target and raw bag-of-buckets models get
+    //      add-1 smoothing; a doc's log importance weight is the sum of
+    //      its features' log(p_tgt/p_raw), and selection is Gumbel
+    //      top-k on logw + G (G = -ln(-ln(u)), u md5-derived per doc,
+    //      ':gumbel'-salted so it is independent of d18's keys) — the
+    //      paper's sampling-without-replacement trick as pure column
+    //      arithmetic. All floats are 1e9-quantized BEFORE summation
+    //      (the t23 discipline) so aggregation is order-free and the
+    //      oracle replays bit-exactly. Scale shape: the bucket model is
+    //      a 256-row frame joined BROADCAST into the feature stream, so
+    //      the only real shuffles are the two bounded bucket rollups
+    //      and the per-doc sum; the final cut is a TakeOrdered, never a
+    //      global sort. At 100 TB the target fit, raw fit, and scoring
+    //      pass are each one scan — nothing grows with the corpus
+    //      except the embarrassingly parallel feature stream.
+    Q("t35_dsir_select",
+      (s, d) => {
+        val nb = 256
+        val docs = Tables.documents(s, d)
+        val feats = docs.withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("lang"),
+            explode(concat(col("toks"), wordNgrams("toks", 2))).as("f"))
+          .withColumn("b", expr(
+            "CAST(conv(substring(md5(CAST(f AS BINARY)), 1, 13), 16, 10) " +
+              s"AS BIGINT) % $nb"))
+          .select(col("doc_id"), col("lang"), col("b"))
+        val tgtC = feats.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val rawC = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val totals = feats.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_t"),
+          count(lit(1)).as("tot_r"))
+        val ratios = rawC.join(tgtC, Seq("b"), "left")
+          .crossJoin(broadcast(totals))
+          .select(col("b"), floor(
+            (log(coalesce(col("ct"), lit(0L)) + 1) -
+              log(col("tot_t") + nb) -
+              log(col("cr") + 1) + log(col("tot_r") + nb)) * 1e9 + 0.5)
+            .cast("long").as("lrq"))
+        val h = md5(concat(col("doc_id").cast("string"), lit(":gumbel"))
+          .cast("binary"))
+        val gumbel = docs.select(col("doc_id"), col("lang"),
+          floor(-log(-log(
+            (conv(substring(h, 1, 13), 16, 10).cast("long") + lit(1L))
+              .cast("double") / lit(4503599627370496.0))) * 1e9 + 0.5)
+            .cast("long").as("gq"))
+        feats.join(broadcast(ratios), Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("lrq")).as("logw_q"))
+          .join(gumbel, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("logw_q"),
+            (col("logw_q") + col("gq")).as("key_q"))
+          .orderBy(col("key_q").desc, col("doc_id").asc)
+          .limit(100)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        f AS (SELECT doc_id, lang, unnest(list_concat(toks,
+                list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1]))) AS f
+              FROM t),
+        fb AS (SELECT doc_id, lang,
+                 CAST(CONCAT('0x', substring(md5(f), 1, 13)) AS BIGINT)
+                   % 256 AS b
+               FROM f),
+        tc AS (SELECT b, COUNT(*) AS ct FROM fb WHERE lang = 'en'
+               GROUP BY b),
+        rc AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+        tot AS (SELECT CAST((SELECT COUNT(*) FROM fb WHERE lang = 'en')
+                  AS BIGINT) AS tot_t,
+                CAST((SELECT COUNT(*) FROM fb) AS BIGINT) AS tot_r),
+        lr AS (SELECT rc.b,
+                 CAST(FLOOR((ln(COALESCE(tc.ct, 0) + 1) - ln(tot_t + 256)
+                   - ln(rc.cr + 1) + ln(tot_r + 256)) * 1e9 + 0.5)
+                   AS BIGINT) AS lrq
+               FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+        w AS (SELECT doc_id, CAST(SUM(lrq) AS BIGINT) AS logw_q
+              FROM fb JOIN lr ON fb.b = lr.b GROUP BY doc_id),
+        g AS (SELECT doc_id, CAST(FLOOR(-ln(-ln(
+                (CAST(CONCAT('0x', substring(
+                    md5(CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 13))
+                  AS BIGINT) + 1) / 4503599627370496.0)) * 1e9 + 0.5)
+                AS BIGINT) AS gq
+              FROM t)
+        SELECT w.doc_id, d.lang, w.logw_q, w.logw_q + g.gq AS key_q
+        FROM w JOIN g ON w.doc_id = g.doc_id
+        JOIN documents d ON w.doc_id = d.doc_id
+        ORDER BY key_q DESC, w.doc_id ASC LIMIT 100""")),
+
+    // ---- trained quality probe (linear classifier, hashed features) -----
+    //      the discriminative twin of t35's generative ratio: a linear
+    //      probe TRAINED on the corpus by full-batch least-squares GD
+    //      (8 steps, lr = 32 exact) to score "looks like the target
+    //      domain" (label y = +1 for lang = 'en', -1 otherwise) from 64
+    //      hashed unigram+bigram frequency buckets + bias — the
+    //      CCNet/GPT-3 quality-classifier shape (Wenzek 2020 §4.3,
+    //      Brown 2020 A.2) with the c10 replay discipline. Features are
+    //      LENGTH-NORMALIZED counts (c_b / T per doc): unnormalized
+    //      counts make the top eigendirection "document length" and the
+    //      probe learns nothing (measured AUC 0.49); normalized, the
+    //      same 8 GD steps reach AUC 0.68 on the fixture (spec-pinned
+    //      > 0.6). The training-scale trick: the Gram matrix G = Σxxᵀ
+    //      and moment b = Σyx are 1e9-quantized integer sums (the c10
+    //      covariance pattern) accumulated map-side-combined in one
+    //      distributed pass each; the 65×65 model then iterates
+    //      DRIVER-side (c10's documented model-sized collect), every
+    //      step re-quantized so both engines walk the same IEEE path.
+    //      Scoring: score_q = Σ floor(w_b · x_b · 1e9 + 0.5) with w on
+    //      the 1e9 grid — order-free integer rollup under broadcast-
+    //      literal weights. At 100 TB: two Gram passes + one scoring
+    //      pass, model size constant.
+    Q("t36_quality_probe",
+      (s, d) => {
+        val nb = 64 // feature buckets 1..64; bucket 0 = bias
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val bucket = expr(
+          "CAST(conv(substring(md5(CAST(f AS BINARY)), 1, 13), 16, 10) " +
+            s"AS BIGINT) % $nb + 1")
+        val counts = docs.withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("lang"),
+            explode(concat(col("toks"), wordNgrams("toks", 2))).as("f"))
+          .withColumn("b", bucket)
+          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).cast("double").as("c"))
+          .unionByName(docs.select(col("doc_id"), col("lang"),
+            lit(0L).as("b"), lit(1.0).as("c")))
+        val fx = counts
+          .withColumn("t", sum(col("c"))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id")))
+          .select(col("doc_id"), col("lang"), col("b"),
+            (col("c") / col("t")).as("x"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val gram = fx.as("a").join(fx.as("c"), "doc_id")
+          .groupBy(col("a.b").as("i"), col("c.b").as("j"))
+          .agg(sum(floor(col("a.x") * col("c.x") * lit(1e9) + lit(0.5))
+            .cast("long")).as("gq"))
+          .collect() // (nb+1)^2 = 4225 cells — model-sized, like c10
+          .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt),
+            r.getLong(2))).toMap
+        val bvec = fx
+          .withColumn("y", when(col("lang") === "en", 1.0).otherwise(-1.0))
+          .groupBy(col("b"))
+          .agg(sum(floor(col("x") * col("y") * lit(1e9) + lit(0.5))
+            .cast("long")).as("bq"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        var w = Array.fill(nb + 1)(0.0)
+        for (_ <- 1 to 8) {
+          val gw = Array.tabulate(nb + 1) { i =>
+            var acc = 0L
+            var j = 0
+            while (j <= nb) {
+              acc += math.floor(
+                gram.getOrElse((i, j), 0L) / 1e9 * w(j) * 1e9 + 0.5).toLong
+              j += 1
+            }
+            acc
+          }
+          w = Array.tabulate(nb + 1) { i =>
+            math.floor((w(i) +
+              32.0 * (bvec.getOrElse(i, 0L) - gw(i)) / 1e9 / n) * 1e9
+              + 0.5).toLong / 1e9
+          }
+        }
+        fx.withColumn("wq", element_at(
+            array(w.map(x => lit(math.floor(x * 1e9 + 0.5).toLong)): _*),
+            col("b").cast("int") + 1))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(floor(col("wq").cast("double") / 1e9 * col("x") *
+            lit(1e9) + lit(0.5)).cast("long")).as("score_q"))
+          .select(col("doc_id"), col("lang"), col("score_q"))
+      },
+      Some {
+        def iter(t: Int): String = s"""
+        gw$t AS (SELECT g.i,
+                   CAST(SUM(CAST(FLOOR(g.gq / 1e9 * w.w * 1e9 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS gw
+                 FROM g JOIN w${t - 1} w ON g.j = w.i GROUP BY 1),
+        w$t AS MATERIALIZED (
+          SELECT gw.i,
+            CAST(FLOOR((w.w + 32.0 * (COALESCE(bv.bq, 0) - gw.gw) / 1e9
+                / (SELECT n FROM nn)) * 1e9 + 0.5) AS BIGINT) / 1e9 AS w
+          FROM gw$t gw JOIN w${t - 1} w ON gw.i = w.i
+          LEFT JOIN bv ON gw.i = bv.i)"""
+        s"""
+        WITH t AS (SELECT doc_id, lang,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        cts AS (SELECT doc_id, lang,
+                  CAST(CONCAT('0x', substring(md5(f), 1, 13)) AS BIGINT)
+                    % 64 + 1 AS b,
+                  CAST(COUNT(*) AS DOUBLE) AS c
+                FROM (SELECT doc_id, lang, unnest(list_concat(toks,
+                        list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1]))) AS f
+                      FROM t)
+                GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT doc_id, lang, 0 AS b, 1.0 AS c FROM documents),
+        fx AS MATERIALIZED (
+          SELECT doc_id, lang, b,
+            c / SUM(c) OVER (PARTITION BY doc_id) AS x
+          FROM cts),
+        g AS MATERIALIZED (
+          SELECT a.b AS i, c.b AS j,
+            CAST(SUM(CAST(FLOOR(a.x * c.x * 1e9 + 0.5) AS BIGINT))
+              AS BIGINT) AS gq
+          FROM fx a JOIN fx c ON a.doc_id = c.doc_id GROUP BY 1, 2),
+        bv AS (SELECT b AS i,
+                 CAST(SUM(CAST(FLOOR(x * (CASE WHEN lang = 'en'
+                     THEN 1.0 ELSE -1.0 END) * 1e9 + 0.5) AS BIGINT))
+                   AS BIGINT) AS bq
+               FROM fx GROUP BY 1),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        w0 AS (SELECT unnest(range(0, 65)) AS i, CAST(0 AS DOUBLE) AS w),
+        ${(1 to 8).map(iter).map(_.stripPrefix("\n")).mkString(",\n        ")},
+        wq AS (SELECT i, CAST(FLOOR(w * 1e9 + 0.5) AS BIGINT) AS wq
+               FROM w8)
+        SELECT fx.doc_id, fx.lang,
+          CAST(SUM(CAST(FLOOR(wq.wq / 1e9 * fx.x * 1e9 + 0.5) AS BIGINT))
+            AS BIGINT) AS score_q
+        FROM fx JOIN wq ON fx.b = wq.i
+        GROUP BY 1, 2"""
+      }),
+
     // ---- causal-LM example assembly accounting --------------------------
     //      the step AFTER packing: the per-lang doc stream (doc_id
     //      order) is concatenated with a 1-token EOD separator and

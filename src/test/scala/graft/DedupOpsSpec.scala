@@ -370,4 +370,21 @@ class DedupOpsSpec extends SparkSpec {
       assert(t <= c, s"true pairs exceed candidates at bands=$b")
     }
   }
+
+  test("d21 line dedup: every surviving line is globally unique") {
+    // the C4 contract: after corpus-level line dedup, each distinct line
+    // survives EXACTLY once across the whole corpus (its first carrier),
+    // so the concatenated kept text is duplicate-free — including the two
+    // injected boilerplate lines, which must survive on one doc only
+    val out = SparkEntry.queries("d21_line_dedup")(spark, sfTiny).collect()
+    val kept = out.flatMap(r => r.getAs[String]("clean_text")
+      .split("\n").filter(_.nonEmpty))
+    assert(kept.length == kept.distinct.length,
+      "a line survived dedup more than once")
+    assert(kept.length == out.map(_.getAs[Long]("n_kept")).sum)
+    val news = kept.count(_ == "subscribe to our newsletter for daily updates now")
+    val copy = kept.count(_ == "all rights reserved contact the site administrator today")
+    assert(news == 1 && copy == 1,
+      s"boilerplate must survive on exactly one carrier, got $news/$copy")
+  }
 }
