@@ -610,4 +610,49 @@ object GraphOps {
         coalesce(col("nodes"), lit(0L)).as("n_nodes"),
         coalesce(col("edges"), lit(0L)).as("n_dir_edges"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013): per-node t-hop ball-size estimates
+    * from mergeable HLL sketches — the algorithm that computes
+    * neighborhood functions, effective diameter, and closeness/harmonic
+    * centrality on graphs where exact per-node reachable sets are
+    * quadratically infeasible (it is how "four degrees of separation"
+    * was measured on a 700M-node graph). Output: (hop, id, est) for
+    * hop 0..`hops`, est = HLL estimate of |B(id, hop)|.
+    *
+    * Scale shape: state is ONE sketch per node (4 KB at lgK=12, 2^lgK
+    * registers), and each round is ONE shuffle join (sketches × edges
+    * on dst) + ONE keyed hll_union_agg by src — identical movement to a
+    * PageRank round, with sketch bytes instead of doubles. Rounds
+    * advance through LAZY localCheckpoints (the kcorePeel rotation):
+    * per-hop estimate frames are cheap checkpointed scans, so the whole
+    * curve aggregates in one final job. Determinism: DataSketches HLL
+    * has no RNG — same inputs give bit-identical sketches, so gates can
+    * pin estimate bands exactly; below the sparse→dense promotion
+    * (~2^lgK entries) the estimate is EXACT, which is what makes the
+    * fixture-scale oracle comparison strict rather than statistical. */
+  def hyperBall(edges: DataFrame, hops: Int, lgK: Int = 12): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
+    var sk = e.select(col("src").as("id")).distinct()
+      .groupBy(col("id"))
+      .agg(expr(s"hll_sketch_agg(id, $lgK)").as("sk"))
+      .localCheckpoint(false)
+    def estFrame(t: Int, f: DataFrame): DataFrame =
+      f.select(lit(t.toLong).as("hop"), col("id"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+    var out = estFrame(0, sk)
+    for (t <- 1 to hops) {
+      val nbr = e.join(sk, e("dst") === sk("id"))
+        .groupBy(e("src"))
+        .agg(expr("hll_union_agg(sk)").as("nsk"))
+        .select(col("src").as("nid"), col("nsk"))
+      sk = sk.join(nbr, col("id") === col("nid"), "left")
+        .select(col("id"),
+          when(col("nsk").isNull, col("sk"))
+            .otherwise(expr("hll_union(sk, nsk)")).as("sk"))
+        .localCheckpoint(false)
+      out = out.unionByName(estFrame(t, sk))
+    }
+    out
+  }
 }

@@ -412,7 +412,83 @@ object Graph {
               .as("kind"),
             col("rank"))
       },
-      Some(pprSql(3)))
+      Some(pprSql(3))),
+
+    // ---- HyperBall neighborhood function (Boldi & Vigna 2013) ----------
+    //      the sketch-based reachability curve: N(t) = Σ_root |B(root,t)|
+    //      for t = 0..2 over the bipartite trade graph, with per-node
+    //      ball sizes estimated by HLL sketches instead of exact
+    //      reachable sets (which are |V|² and infeasible at 100 TB —
+    //      HyperBall is THE centrality/diameter algorithm at that
+    //      scale). Gated the ds01 way: the curve is reported for a
+    //      DETERMINISTIC ADAPTIVE root sample — modulus m = the smallest
+    //      power of two with m·96 ≥ |V|, so ~100 roots at every SF (an
+    //      integer rule both engines replay exactly; a fixed modulus
+    //      would make the exact verification side quadratic at scale) —
+    //      alongside the EXACT multi-source-BFS ball count and a
+    //      within-band boolean. The accuracy/size dial is HyperBall's
+    //      own: lgK 12 with a 2% band when |V| ≤ 4096 (fixture scale —
+    //      sketches near-exact below/near sparse promotion, measured
+    //      ≤0.8% off), lgK 9 with a 10% band above (512 B registers,
+    //      measured ~3.5% off at sf0.1 — the bench-scale setting; the
+    //      gate SFs always take the tight branch). The exact side
+    //      exists ONLY to gate the sketch path (production runs
+    //      sketches alone); with ~100 roots it is O(100·|ball|), not
+    //      O(|V|·|ball|).
+    Q("g12_hyperball",
+      (s, d) => {
+        import s.implicits._
+        val e = bipartiteEdges(s, d).localCheckpoint(false)
+        val nNodes = e.select(col("src")).distinct().count()
+        val m = Iterator.iterate(2L)(_ * 2).find(_ * 96 >= nNodes).get
+        val (lgK, band) = if (nNodes <= 4096) (12, 0.02) else (9, 0.10)
+        val est = GraphOps.hyperBall(e, hops = 2, lgK = lgK)
+          .filter(col("id") % m === 0)
+          .groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_roots"), sum(col("est")).as("est_total"))
+        val roots = e.select(col("src").as("id")).distinct()
+          .filter(col("id") % m === 0)
+        var ball = roots
+          .select(col("id").as("root"), col("id"), lit(0L).as("mh"))
+          .localCheckpoint(false)
+        for (t <- 1 to 2) {
+          ball = ball.join(e, ball("id") === e("src"))
+            .select(col("root"), col("dst").as("id"), lit(t.toLong).as("mh"))
+            .unionByName(ball)
+            .groupBy(col("root"), col("id")).agg(min(col("mh")).as("mh"))
+            .localCheckpoint(false)
+        }
+        val grid = Seq(0L, 1L, 2L).toDF("hop")
+        val exact = grid.join(ball, ball("mh") <= grid("hop"))
+          .groupBy(col("hop")).agg(count(lit(1)).as("n_ball_exact"))
+        exact.join(est, Seq("hop"))
+          .select(col("hop"), col("n_roots"), col("n_ball_exact"),
+            (abs(col("est_total") - col("n_ball_exact")).cast("double") <=
+              col("n_ball_exact").cast("double") * band)
+              .as("est_within_band"))
+      },
+      Some("""
+        WITH RECURSIVE""" + bipartiteSql + """,
+        nodes AS (SELECT DISTINCT src FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        mm AS (SELECT MIN(p) AS m FROM (VALUES (2), (4), (8), (16), (32),
+                 (64), (128), (256), (512), (1024), (2048), (4096)) v(p)
+               WHERE p * 96 >= (SELECT n FROM nn)),
+        roots AS (SELECT src AS root FROM nodes
+                  WHERE src % (SELECT m FROM mm) = 0),
+        walk AS (
+          SELECT root, root AS id, CAST(0 AS BIGINT) AS hop FROM roots
+          UNION
+          SELECT w.root, e.dst, w.hop + 1 FROM walk w
+          JOIN edges e ON w.id = e.src
+          WHERE w.hop < 2),
+        mh AS (SELECT root, id, MIN(hop) AS mh FROM walk GROUP BY 1, 2),
+        grid AS (SELECT unnest(range(0, 3)) AS hop),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_roots FROM roots)
+        SELECT g.hop, (SELECT n_roots FROM nr) AS n_roots,
+          COUNT(*) AS n_ball_exact, TRUE AS est_within_band
+        FROM grid g JOIN mh ON mh.mh <= g.hop
+        GROUP BY 1"""))
   )
 
   /** CTE chain replaying `iters` personalized-PageRank rounds: the g07

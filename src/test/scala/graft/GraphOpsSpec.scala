@@ -351,4 +351,21 @@ class GraphOpsSpec extends SparkSpec {
         Seq(Tuple1(99L)).toDF("id"), iters = 1).collect()
     }
   }
+  test("hyperBall: sparse-mode estimates are exactly the ball sizes") {
+    // path graph 0-1-2-3-4-5 (bidirectional): |B(v,t)| is known in
+    // closed form, and at these cardinalities the HLL sketches are in
+    // sparse mode, so the estimates must be EXACT — the property that
+    // makes the g12 gate's band deterministic at fixture scale
+    val edges = undirected((0L to 4L).map(i => (i, i + 1)): _*)
+    val est = GraphOps.hyperBall(edges, hops = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("id")) -> r.getAs[Long]("est"))
+      .toMap
+    for (v <- 0L to 5L) {
+      assert(est((0L, v)) == 1L, s"hop0 ball of $v")
+      val b1 = 1L + (if (v > 0) 1 else 0) + (if (v < 5) 1 else 0)
+      assert(est((1L, v)) == b1, s"hop1 ball of $v: got ${est((1L, v))}")
+      val b2 = (math.max(0L, v - 2) to math.min(5L, v + 2)).size.toLong
+      assert(est((2L, v)) == b2, s"hop2 ball of $v: got ${est((2L, v))}")
+    }
+  }
 }
