@@ -7,8 +7,13 @@ import graft.expressions.VectorExpressions
   * available to ANY SparkSession via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — the standard
   * deployment route on a shared cluster, where you cannot call
-  * registration code inside someone else's driver. */
+  * registration code inside someone else's driver. Also injects
+  * [[graft.plans.VectorFoldRewrite]], the optimizer rule that turns the
+  * natural-but-interpreted HOF vector folds into the codegen'd native
+  * expressions (the 8x chunk-dedup win, applied automatically). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
+  }
 }

@@ -190,12 +190,20 @@ case class CharModHist(child: Expression, dims: Int)
   * integer counts, and folding them through the generic HOF
   * (`aggregate(zip_with(...))`) pays interpreted lambda dispatch per
   * element per pair. Same left-to-right order, so in-domain results are
-  * identical; domain = count vectors (elements bounded by chunk size),
-  * where products cannot overflow. (Out of domain the HOF fold RAISES
-  * under ANSI where this loop wraps — neither caller can reach it.)
-  * Mismatched-length arrays return NULL, as the HOF formulation does
-  * (zip_with pads the shorter array with nulls, which null the fold). */
-case class DotProductLong(left: Expression, right: Expression)
+  * identical. Overflow behavior follows `failOnError`, mirroring
+  * Spark's own arithmetic: true = raise ArithmeticException like the
+  * HOF fold does under ANSI (Math.*Exact), false = wrap like LEGACY.
+  * The SQL registry builder picks the session's ANSI setting at
+  * resolution time (as Spark's arithmetic builders do), and
+  * [[graft.plans.VectorFoldRewrite]] carries over the eval mode of the
+  * lambda it replaces — so the rewrite is semantics-preserving even at
+  * the overflow edge. Direct Scala constructions default to wrap (the
+  * engine's count-vector callers are in-domain by construction, where
+  * both modes agree bit-for-bit). Mismatched-length arrays return NULL,
+  * as the HOF formulation does (zip_with pads the shorter array with
+  * nulls, which null the fold). */
+case class DotProductLong(left: Expression, right: Expression,
+    failOnError: Boolean = false)
   extends BinaryExpression {
 
   // nullable even over non-null inputs: length mismatch yields NULL
@@ -221,7 +229,14 @@ case class DotProductLong(left: Expression, right: Expression)
     val n = x.numElements()
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    if (failOnError) {
+      while (i < n) {
+        s = Math.addExact(s, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        i += 1
+      }
+    } else {
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    }
     s
   }
 
@@ -230,6 +245,11 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val step =
+        if (failOnError)
+          s"$s = java.lang.Math.addExact($s, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else
+          s"$s += $a.getLong($i) * $b.getLong($i);"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -237,7 +257,7 @@ case class DotProductLong(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $a.getLong($i) * $b.getLong($i);
+         |    $step
          |  }
          |  ${ev.value} = $s;
          |}
@@ -250,7 +270,8 @@ case class DotProductLong(left: Expression, right: Expression)
 }
 
 /** see [[DotProductLong]] */
-case class L2SquaredDistanceLong(left: Expression, right: Expression)
+case class L2SquaredDistanceLong(left: Expression, right: Expression,
+    failOnError: Boolean = false)
   extends BinaryExpression {
 
   // nullable even over non-null inputs: length mismatch yields NULL
@@ -276,10 +297,18 @@ case class L2SquaredDistanceLong(left: Expression, right: Expression)
     val n = x.numElements()
     var s = 0L
     var i = 0
-    while (i < n) {
-      val d = x.getLong(i) - y.getLong(i)
-      s += d * d
-      i += 1
+    if (failOnError) {
+      while (i < n) {
+        val d = Math.subtractExact(x.getLong(i), y.getLong(i))
+        s = Math.addExact(s, Math.multiplyExact(d, d))
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
     }
     s
   }
@@ -290,6 +319,13 @@ case class L2SquaredDistanceLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val step =
+        if (failOnError)
+          s"""long $d = java.lang.Math.subtractExact($a.getLong($i), $b.getLong($i));
+             |    $s = java.lang.Math.addExact($s, java.lang.Math.multiplyExact($d, $d));""".stripMargin
+        else
+          s"""long $d = $a.getLong($i) - $b.getLong($i);
+             |    $s += $d * $d;""".stripMargin
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -297,8 +333,7 @@ case class L2SquaredDistanceLong(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $d = $a.getLong($i) - $b.getLong($i);
-         |    $s += $d * $d;
+         |    $step
          |  }
          |  ${ev.value} = $s;
          |}
@@ -334,14 +369,18 @@ object VectorExpressions {
         (args: Seq[Expression]) => {
           require(args.length == 2,
             s"vec_dot_long expects 2 arguments, got ${args.length}")
-          DotProductLong(args.head, args(1))
+          // session ANSI mode picked at resolution, like Spark's own
+          // arithmetic builders
+          DotProductLong(args.head, args(1),
+            org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
         }),
       (FunctionIdentifier("vec_l2sq_long"),
         new ExpressionInfo(classOf[L2SquaredDistanceLong].getName, "vec_l2sq_long"),
         (args: Seq[Expression]) => {
           require(args.length == 2,
             s"vec_l2sq_long expects 2 arguments, got ${args.length}")
-          L2SquaredDistanceLong(args.head, args(1))
+          L2SquaredDistanceLong(args.head, args(1),
+            org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
         }),
       (FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
