@@ -1014,6 +1014,91 @@ object TextOps {
         JOIN documents d ON w.doc_id = d.doc_id
         ORDER BY key_q DESC, w.doc_id ASC LIMIT 100""")),
 
+    // ---- exact n-gram benchmark contamination scan (GPT-3 App. C) ------
+    //      the decontamination twin of t28: where t28 evicts NEAR-dups
+    //      of test docs (MinHash bands), this is the exact-collision
+    //      screen GPT-3/FineWeb run — flag every train doc sharing any
+    //      13-gram with the benchmark set (source = 'src19'). The
+    //      fixture has no natural cross-source 13-gram collisions
+    //      (measured: 0/475), so the gate INJECTS them (the t32
+    //      discipline): every 7th train doc gets the first 13 tokens of
+    //      the lowest-id benchmark doc appended — both branches fire
+    //      and both engines replay the injection. Scale shape: the
+    //      dirty-gram set is TEST-set-sized, never corpus-sized — built
+    //      once, bloom-compressed to a KB-scale literal that pre-filters
+    //      the train gram stream IN ITS SCAN PARTITIONS (JoinOps
+    //      .bloomPreFilter, false negatives impossible), then the exact
+    //      broadcast join decides on the survivors; the corpus is
+    //      touched once and never shuffled by gram.
+    Q("t37_contamination_scan",
+      (s, d) => {
+        val n = 13
+        val docs = Tables.documents(s, d)
+        val bench = docs.filter(col("source") === "src19")
+        // lowest-id benchmark doc LONG ENOUGH to own a 13-gram (the
+        // fixture's shortest docs run 10 tokens)
+        val snip = bench.filter(size(tokens("text")) >= n)
+          .orderBy(col("doc_id")).limit(1)
+          .select(array_join(slice(tokens("text"), 1, n), " ").as("snip"))
+        val train = docs.filter(col("source") =!= "src19")
+          .crossJoin(broadcast(snip))
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 7 === 0, concat(lit(" "), col("snip")))
+                .otherwise(lit(""))).as("raw"))
+          .withColumn("toks", split(trim(col("raw")), " +"))
+        val testGrams = bench.withColumn("toks", tokens("text"))
+          .select(explode(wordNgrams("toks", n)).as("g")).distinct()
+        val trainGrams = train
+          .select(col("doc_id"),
+            explode(array_distinct(wordNgrams("toks", n))).as("g"))
+        val pre = graft.operators.JoinOps.bloomPreFilter(
+          trainGrams.withColumn("h", xxhash64(col("g"))), "h",
+          testGrams.select(xxhash64(col("g")).as("h")), "h",
+          expectedItems = 1000000L, fpp = 0.01)
+        val dirty = pre.join(broadcast(testGrams), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
+        train
+          .select(col("doc_id"),
+            size(array_distinct(wordNgrams("toks", n))).cast("long")
+              .as("n_grams"))
+          .join(dirty, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("nd"), lit(0L)).as("n_dirty_grams"),
+            (coalesce(col("nd"), lit(0L)) > 0).as("is_contaminated"))
+      },
+      Some("""
+        WITH b AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents WHERE source = 'src19'),
+        s AS (SELECT array_to_string(toks[1:13], ' ') AS snip
+              FROM b WHERE len(toks) >= 13 ORDER BY doc_id LIMIT 1),
+        tg AS (SELECT DISTINCT unnest(list_transform(
+                 range(1, len(toks) - 11),
+                 i -> array_to_string(toks[i:i+12], ' '))) AS g
+               FROM b),
+        tr AS (SELECT d.doc_id,
+                 d.text || CASE WHEN d.doc_id % 7 = 0
+                   THEN ' ' || (SELECT snip FROM s) ELSE '' END AS raw
+               FROM documents d WHERE d.source <> 'src19'),
+        tk AS (SELECT doc_id, string_split_regex(trim(raw), ' +') toks
+               FROM tr),
+        trg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, len(toks) - 11),
+                  i -> array_to_string(toks[i:i+12], ' ')))) AS g
+                FROM tk),
+        ng AS (SELECT doc_id,
+                 CAST(len(list_distinct(list_transform(
+                   range(1, len(toks) - 11),
+                   i -> array_to_string(toks[i:i+12], ' ')))) AS BIGINT)
+                   AS n_grams
+               FROM tk),
+        dirty AS (SELECT trg.doc_id, CAST(COUNT(*) AS BIGINT) AS nd
+                  FROM trg JOIN tg ON trg.g = tg.g GROUP BY 1)
+        SELECT ng.doc_id, ng.n_grams,
+          CAST(COALESCE(dirty.nd, 0) AS BIGINT) AS n_dirty_grams,
+          COALESCE(dirty.nd, 0) > 0 AS is_contaminated
+        FROM ng LEFT JOIN dirty ON ng.doc_id = dirty.doc_id""")),
+
     // ---- trained quality probe (linear classifier, hashed features) -----
     //      the discriminative twin of t35's generative ratio: a linear
     //      probe TRAINED on the corpus by full-batch least-squares GD

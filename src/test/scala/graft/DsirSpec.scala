@@ -37,4 +37,36 @@ class DsirSpec extends SparkSpec {
     val auc = wins / (enS.length.toDouble * restS.length)
     assert(auc > 0.6, f"probe failed to learn: AUC $auc%.3f (0.653 expected)")
   }
+
+  test("t37 flags exactly injected + natural contamination, nothing else") {
+    // ground truth recomputed independently in plain Scala: the flagged
+    // set must be the injected docs (doc_id % 7 == 0 gets the benchmark
+    // snippet) UNION docs sharing a 13-gram with src19 naturally (the
+    // sf0.001 fixture has two — near-dups that cross the source split,
+    // i.e. exactly what the scan exists to catch). Any other extra flag
+    // would be a bloom false positive leaking past the exact join.
+    val raw = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.split(" +")
+      (0 to toks.length - 13).map(i =>
+        toks.slice(i, i + 13).mkString(" ")).toSet
+    }
+    val testGrams = raw.filter(_._3 == "src19").map(t => grams(t._2))
+      .fold(Set.empty)(_ ++ _)
+    val natural = raw.filter(_._3 != "src19")
+      .filter(t => (grams(t._2) & testGrams).nonEmpty).map(_._1).toSet
+    val out = SparkEntry.queries("t37_contamination_scan")(spark, sfTiny)
+      .collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val injected = out.map(_.getAs[Long]("doc_id")).filter(_ % 7 == 0).toSet
+    assert(natural.nonEmpty, "fixture should have natural cross-source dups")
+    val expected = injected ++ natural
+    assert(flagged == expected,
+      s"extra: ${flagged -- expected}, missing: ${expected -- flagged}")
+    assert(out.forall(r =>
+      r.getAs[Long]("n_dirty_grams") <= r.getAs[Long]("n_grams")))
+  }
 }
