@@ -891,6 +891,100 @@ object Dedup {
                               ORDER BY line_no), '') AS clean_text
         FROM mk GROUP BY doc_id""")),
 
+    // ---- SemDeDup: semantic dedup via embedding clusters ---------------
+    //      (Abbas et al. 2023) the EMBEDDING-space dedup the d-family's
+    //      text-shingle operators can't see: k-means the corpus (the
+    //      c-family Lloyd loop, 2 fixed passes), generate pairs only
+    //      WITHIN clusters (the IVF bound — pair work is Σ|cell|², never
+    //      |corpus|²; the √N cell rule of d17 applies at scale), flag
+    //      pairs with cosine ≥ τ, and keep per duplicate group the
+    //      member FURTHEST from its centroid (the paper's
+    //      low-similarity-to-centroid keep rule, here as the pairwise
+    //      dominance form: drop a vector iff some τ-neighbor has
+    //      strictly greater (d2-to-centroid, vec_id)). The fixture's
+    //      embeddings are near-isotropic (max pairwise cosine 0.51,
+    //      measured), so the gate PLANTS exact semantic twins (vec_id %
+    //      10 == 0 duplicated at +100000 — identical vectors land in
+    //      the same cell and tie on d2, making the id tiebreak the
+    //      spec-visible branch); production τ ~0.95 catches near-twins
+    //      the same way. Oracle replays Lloyd + within-cell pairs +
+    //      dominance value-for-value.
+    Q("d22_semdedup",
+      (s, d) => {
+        val tau = 0.99
+        val base = graft.operators.SimilarityOps
+          .prepared(Tables.embeddings(s, d))
+        val twins = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("v"),
+            col("nrm"))
+        val emb = base.select(col("vec_id"), col("v"), col("nrm"))
+          .unionByName(twins)
+        val an = Clustering
+          .lloydPasses(emb.select(col("vec_id"), col("v")), k = 8,
+            iters = 2).last
+          .join(emb.select(col("vec_id"), col("nrm")), "vec_id")
+        val pairs = an.as("x").join(an.as("y"),
+            col("x.cell") === col("y.cell") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .filter(call_function("vec_dot", col("x.v"), col("y.v")) /
+            (col("x.nrm") * col("y.nrm")) >= tau)
+          .select(col("x.vec_id").as("a"), col("x.d2").as("da"),
+            col("y.vec_id").as("b"), col("y.d2").as("db"))
+        val nb = pairs
+          .select(col("a").as("vec_id"), col("db").as("nd2"),
+            col("b").as("nid"))
+          .unionByName(pairs.select(col("b").as("vec_id"),
+            col("da").as("nd2"), col("a").as("nid")))
+        val ag = nb.join(an.select(col("vec_id"), col("d2")), "vec_id")
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("n_dups"),
+            max(when(col("nd2") > col("d2") ||
+              (col("nd2") === col("d2") && col("nid") > col("vec_id")),
+              1L).otherwise(0L)).as("dom"))
+        an.select(col("vec_id"), col("cell"))
+          .join(ag, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            (coalesce(col("dom"), lit(0L)) === 0L).as("is_kept"))
+      },
+      Some {
+        val dot = """list_reduce(list_prepend(0.0,
+          list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])),
+          (p, q) -> p + q)"""
+        """
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                    FROM embeddings),
+        e AS (SELECT vec_id, v FROM e0
+              UNION ALL
+              SELECT vec_id + 100000, v FROM e0 WHERE vec_id % 10 = 0),
+        n AS (SELECT vec_id, v,
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(range(1, len(v) + 1), i -> v[i] * v[i])),
+                  (p, q) -> p + q)) AS nrm
+              FROM e)""" +
+          Clustering.lloydBodySql(8, 2) + s"""
+        , an AS (SELECT a1.vec_id, a1.cell, d1.d2, n.v, n.nrm
+                 FROM a1 JOIN d1 ON a1.vec_id = d1.vec_id
+                   AND a1.cell = d1.cell
+                 JOIN n ON a1.vec_id = n.vec_id),
+        p AS (SELECT x.vec_id AS a, x.d2 AS da, y.vec_id AS b, y.d2 AS db
+              FROM an x JOIN an y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE $dot / (x.nrm * y.nrm) >= 0.99),
+        nb AS (SELECT a AS vec_id, db AS nd2, b AS nid FROM p
+               UNION ALL SELECT b, da, a FROM p),
+        ag AS (SELECT nb.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                 CAST(MAX(CASE WHEN nb.nd2 > an.d2
+                     OR (nb.nd2 = an.d2 AND nb.nid > an.vec_id)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS dom
+               FROM nb JOIN an ON nb.vec_id = an.vec_id
+               GROUP BY nb.vec_id)
+        SELECT an.vec_id, an.cell,
+          CAST(COALESCE(ag.n_dups, 0) AS BIGINT) AS n_dups,
+          COALESCE(ag.dom, 0) = 0 AS is_kept
+        FROM an LEFT JOIN ag ON an.vec_id = ag.vec_id"""
+      }),
+
     Q("d19_threshold_curve",
       (s, d) => DedupOps.thresholdYieldCurve(
         DedupOps.ngramJaccardPairs(Tables.documents(s, d),

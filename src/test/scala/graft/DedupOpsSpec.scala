@@ -387,4 +387,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(news == 1 && copy == 1,
       s"boilerplate must survive on exactly one carrier, got $news/$copy")
   }
+
+  test("d22 SemDeDup: each planted twin pair keeps exactly one member") {
+    // identical vectors land in the same cell with identical d2, so the
+    // id tiebreak decides: the twin (higher id) survives, the original
+    // is dropped — and nothing WITHOUT a duplicate is ever dropped
+    val out = SparkEntry.queries("d22_semdedup")(spark, sfTiny).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_dups"),
+        r.getAs[Boolean]("is_kept")))
+    val byId = out.map(t => t._1 -> t).toMap
+    val originals = out.filter(t => t._1 < 100000 && t._1 % 10 == 0)
+    assert(originals.nonEmpty)
+    originals.foreach { case (id, nd, kept) =>
+      val (_, ndT, keptT) = byId(id + 100000)
+      assert(nd >= 1 && ndT >= 1, s"twin pair $id not detected as dups")
+      assert(!kept && keptT,
+        s"pair $id: expected original dropped / twin kept, got $kept/$keptT")
+    }
+    out.filter(_._2 == 0).foreach { case (id, _, kept) =>
+      assert(kept, s"vec $id has no duplicates but was dropped")
+    }
+  }
 }
