@@ -256,6 +256,26 @@ object BpeOps {
       SELECT token, COUNT(*) AS n
       FROM tok WHERE LENGTH(token) >= 2 GROUP BY 1"""
 
+  /** The ROUND-TRIP INTEGRITY replay (t38): learn the merge table,
+    * encode every document, and check the invariant a tokenizer ships
+    * with — detokenization loses nothing: the tokens concatenated back
+    * together equal lower(text) with spaces removed (space is the BPE
+    * word boundary here, spent by tokenization itself), plus the
+    * chars-per-1000-tokens compression diagnostic as exact integers. */
+  def roundtripOracleSql(rounds: Int, table: String = "documents"): String =
+    trainCtes(rounds, table) + s""",
+      enc AS (SELECT doc_id, text, ${encodeChainSql(rounds)} AS seq
+              FROM $table),
+      tok AS (SELECT doc_id, text,
+                string_split_regex(trim(seq), ' +') AS toks
+              FROM enc)
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        array_to_string(toks, '') = replace(lower(text), ' ', '')
+          AS roundtrip_ok,
+        CAST(length(replace(lower(text), ' ', '')) * 1000 // len(toks)
+          AS BIGINT) AS chars_per_kilo_token
+      FROM tok"""
+
   /** the per-document chained-replace encode expression shared by
     * [[encodeOracleSql]] and [[encodePackOracleSql]] — see
     * encodeOracleSql's scaladoc for the chr(1) no-op-merge guard */

@@ -1014,6 +1014,34 @@ object TextOps {
         JOIN documents d ON w.doc_id = d.doc_id
         ORDER BY key_q DESC, w.doc_id ASC LIMIT 100""")),
 
+    // ---- BPE round-trip integrity (lossless detokenization) ------------
+    //      the invariant a tokenizer ships with: decode(encode(x)) == x.
+    //      Train the merge table (8 rounds), bulk-encode the corpus, and
+    //      check per doc that the tokens concatenated back together equal
+    //      lower(text) minus spaces (space is the word boundary the
+    //      character-level BPE spends during tokenization itself — every
+    //      other byte must survive), plus the chars-per-1000-tokens
+    //      compression diagnostic as an exact integer. Row-local after
+    //      the (already-gated) training pass; the oracle replays train +
+    //      encode + the round-trip equality byte-for-byte.
+    Q("t38_bpe_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.BpeOps.train(docs, rounds = 8)
+          .orderBy(col("merge_rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.BpeOps.encodeBulk(docs, merges)
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).cast("long").as("n_tokens"),
+            (array_join(col("bpe_tokens"), "") ===
+              regexp_replace(lower(col("text")), " ", ""))
+              .as("roundtrip_ok"),
+            expr("""CAST(length(replace(lower(text), ' ', ''))
+                    * CAST(1000 AS BIGINT) div size(bpe_tokens)
+                    AS BIGINT)""").as("chars_per_kilo_token"))
+      },
+      Some(graft.operators.BpeOps.roundtripOracleSql(8))),
+
     // ---- exact n-gram benchmark contamination scan (GPT-3 App. C) ------
     //      the decontamination twin of t28: where t28 evicts NEAR-dups
     //      of test docs (MinHash bands), this is the exact-collision
