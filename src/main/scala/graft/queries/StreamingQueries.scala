@@ -697,6 +697,70 @@ object StreamingQueries {
         // empty trailing file: a schema-only batch whose only job is to
         // carry the f2-derived watermark update into a real batch
         writeOne(ev.filter(lit(false)), "f3.parquet", 1700000020000L)
-      }))
+      })),
+
+    // ---- streaming novelty filter against the historical corpus --------
+    //      the ingestion-dedup loop that ties the st and d families
+    //      together: "admit only what the lake has never seen". History =
+    //      all events before the midpoint of the fixture's time range
+    //      (cut computed in exact integer MICROseconds — both engines
+    //      replay the same floor-divided epoch arithmetic); arrivals =
+    //      the stream filtered to ts >= cut; novelty key = (user_id,
+    //      props) — the content identity (fixture: 3770 of 5171 arrivals
+    //      novel at sf0.01, so both branches fire). The plan is the
+    //      production shape end to end — the textbook anti-join bloom
+    //      split: the historical key set is compressed into a KB-scale
+    //      bloom literal evaluated INSIDE the stream's per-batch scan;
+    //      rows the bloom has NEVER seen are DEFINITELY novel (no false
+    //      negatives) and bypass the join entirely, while only the
+    //      maybe-seen minority reaches the stream-static LEFT ANTI join
+    //      that makes the exact call (catching the ~fpp false
+    //      positives). Note the direction: `bloomPreFilter` (keep
+    //      probable matches) composes with SEMI joins; an ANTI join
+    //      needs this keep-both-paths split or it drops exactly the
+    //      novel traffic it exists to admit. Nothing stateful grows
+    //      with stream history (the history frame is static, re-planned
+    //      per micro-batch); stateless append mode, no watermark.
+    Q("st16_stream_novelty_filter",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val Array(mn, mx) = ev
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = mn + (mx - mn) / 2
+        replay(s, "st16", mode = "append") { c =>
+          graft.expressions.VectorExpressions.registerAll(c)
+          val hist = Tables.events(c, d)
+            .filter(unix_micros(col("ts")) < cut)
+            .select(col("user_id"), col("props")).distinct()
+          val bloomBytes = hist
+            .agg(call_function("bloom_agg",
+              xxhash64(col("user_id"), col("props")),
+              lit(1000000L), lit(0.01)).as("bf"))
+            .head().getAs[Array[Byte]](0)
+          val seen = call_function("bloom_contains", lit(bloomBytes),
+            xxhash64(col("user_id"), col("props")))
+          val arrivals = eventsStream(c, d)
+            .filter(unix_micros(col("ts")) >= cut)
+          val out = Seq(
+            arrivals.filter(!seen),
+            arrivals.filter(seen)
+              .join(hist, Seq("user_id", "props"), "left_anti"))
+            .map(_.select(col("event_id"), col("user_id"),
+              col("event_type"), col("props")))
+          out.head.unionByName(out.last)
+        }
+      },
+      Some("""
+        WITH c AS (SELECT epoch_us(MIN(ts))
+                     + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS cut
+                   FROM events),
+        h AS (SELECT DISTINCT user_id, props FROM events
+              WHERE epoch_us(ts) < (SELECT cut FROM c))
+        SELECT e.event_id, e.user_id, e.event_type, e.props
+        FROM events e
+        WHERE epoch_us(e.ts) >= (SELECT cut FROM c)
+          AND NOT EXISTS (SELECT 1 FROM h
+            WHERE h.user_id = e.user_id AND h.props = e.props)"""))
   )
 }

@@ -122,4 +122,21 @@ class EventStreamsSpec extends SparkSpec {
         (7L, "2024-01-01 09:00:00.0", "2024-01-01 09:05:00.0", 2L)))
     } finally q.stop()
   }
+  test("st16 novelty filter: both bloom branches carry traffic") {
+    // the split direction matters: keep-probable-matches (the semi-join
+    // bloom composition) would drop exactly the novel traffic — this
+    // pins that the gate admits novel arrivals AND suppresses seen ones
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("st16_stream_novelty_filter")(spark, sfTiny)
+    val novel = out.count()
+    val ev = graft.io.Tables.events(spark, sfTiny)
+    val Array(mn, mx) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val cut = mn + (mx - mn) / 2
+    val arrivals = ev.filter(unix_micros(col("ts")) >= cut).count()
+    assert(novel > 0, "no novel arrivals admitted")
+    assert(novel < arrivals,
+      s"nothing suppressed: $novel of $arrivals arrivals emitted")
+  }
 }
