@@ -488,7 +488,86 @@ object Graph {
         SELECT g.hop, (SELECT n_roots FROM nr) AS n_roots,
           COUNT(*) AS n_ball_exact, TRUE AS est_within_band
         FROM grid g JOIN mh ON mh.mh <= g.hop
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- truncated harmonic centrality (HyperBall's payload) -----------
+    //      what the g12 sketches are FOR: per-root harmonic centrality
+    //      H(v) = Σ_t (|B(v,t)| − |B(v,t−1)|)/t truncated at 2 hops —
+    //      the centrality Boldi & Vigna compute at web scale because
+    //      exact closeness needs all-pairs distances. Doubled to stay
+    //      integer (h2x = 2·ΔB₁ + ΔB₂: hop-1 neighbors count double,
+    //      the 1/t discount), EXACT from the sampled-root multi-source
+    //      BFS (same adaptive modulus rule as g12), with the
+    //      sketch-side estimate checked per root inside a 2% band
+    //      (sparse-mode sketches are exact at fixture scale, so the
+    //      booleans are deterministic; at bench scale the g12 lgK/band
+    //      dial applies). Output: top 15 roots by exact centrality —
+    //      rank by (h2x DESC, root ASC), a TakeOrdered cut.
+    Q("g13_harmonic_centrality",
+      (s, d) => {
+        import s.implicits._
+        val e = bipartiteEdges(s, d).localCheckpoint(false)
+        val nNodes = e.select(col("src")).distinct().count()
+        val m = Iterator.iterate(2L)(_ * 2).find(_ * 96 >= nNodes).get
+        val (lgK, band) = if (nNodes <= 4096) (12, 0.02) else (9, 0.10)
+        val est = GraphOps.hyperBall(e, hops = 2, lgK = lgK)
+          .filter(col("id") % m === 0)
+          .groupBy(col("id"))
+          .pivot("hop", Seq(0, 1, 2))
+          .agg(first(col("est")))
+          .select(col("id").as("root"),
+            (lit(2L) * (col("1") - col("0")) + (col("2") - col("1")))
+              .as("h2x_est"))
+        val roots = e.select(col("src").as("id")).distinct()
+          .filter(col("id") % m === 0)
+        var ball = roots
+          .select(col("id").as("root"), col("id"), lit(0L).as("mh"))
+          .localCheckpoint(false)
+        for (t <- 1 to 2) {
+          ball = ball.join(e, ball("id") === e("src"))
+            .select(col("root"), col("dst").as("id"), lit(t.toLong).as("mh"))
+            .unionByName(ball)
+            .groupBy(col("root"), col("id")).agg(min(col("mh")).as("mh"))
+            .localCheckpoint(false)
+        }
+        val exact = ball.groupBy(col("root"))
+          .agg((lit(2L) * sum(when(col("mh") === 1L, 1L).otherwise(0L)) +
+            sum(when(col("mh") === 2L, 1L).otherwise(0L))).as("h2x"))
+        exact.join(est, Seq("root"))
+          .select(col("root"), col("h2x"),
+            (abs(col("h2x_est") - col("h2x")).cast("double") <=
+              col("h2x").cast("double") * band).as("est_within_band"))
+          .orderBy(col("h2x").desc, col("root").asc)
+          .limit(15)
+          .withColumn("rk", expr(
+            "row_number() OVER (ORDER BY h2x DESC, root ASC)").cast("long"))
+      },
+      Some("""
+        WITH RECURSIVE""" + bipartiteSql + """,
+        nodes AS (SELECT DISTINCT src FROM edges),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        mm AS (SELECT MIN(p) AS m FROM (VALUES (2), (4), (8), (16), (32),
+                 (64), (128), (256), (512), (1024), (2048), (4096)) v(p)
+               WHERE p * 96 >= (SELECT n FROM nn)),
+        roots AS (SELECT src AS root FROM nodes
+                  WHERE src % (SELECT m FROM mm) = 0),
+        walk AS (
+          SELECT root, root AS id, CAST(0 AS BIGINT) AS hop FROM roots
+          UNION
+          SELECT w.root, e.dst, w.hop + 1 FROM walk w
+          JOIN edges e ON w.id = e.src
+          WHERE w.hop < 2),
+        mh AS (SELECT root, id, MIN(hop) AS mh FROM walk GROUP BY 1, 2),
+        hx AS (SELECT root,
+                 CAST(2 * SUM(CASE WHEN mh = 1 THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN mh = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS h2x
+               FROM mh GROUP BY 1)
+        SELECT root, h2x, TRUE AS est_within_band,
+          CAST(ROW_NUMBER() OVER (ORDER BY h2x DESC, root ASC) AS BIGINT)
+            AS rk
+        FROM hx
+        ORDER BY h2x DESC, root ASC LIMIT 15"""))
   )
 
   /** CTE chain replaying `iters` personalized-PageRank rounds: the g07
