@@ -549,8 +549,11 @@ object DedupOps {
     * 1.04→1.38 s with the cache, back under with arithmetic N). */
   def chunkNearDupsAuto(docs: DataFrame, size: Int = 500, stride: Int = 400,
                         dims: Int = 16, t2: Double = 0.998): DataFrame = {
-    val n = docs.agg(sum(expr(
-      s"int(ceil(greatest(length(text) - $size, 0) / $stride.0D)) + 1")))
+    // coalesce: SUM over an empty frame is NULL, which must fall through
+    // to autoCells' floor of 16 (the pre-arithmetic count() shape did)
+    val n = docs.agg(coalesce(sum(expr(
+      s"int(ceil(greatest(length(text) - $size, 0) / $stride.0D)) + 1")),
+      lit(0L)))
       .head().getLong(0)
     chunkNearDups(docs, size, stride, dims, autoCells(n), t2)
   }

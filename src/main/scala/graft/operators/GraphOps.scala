@@ -633,7 +633,13 @@ object GraphOps {
   def hyperBall(edges: DataFrame, hops: Int, lgK: Int = 12): DataFrame = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
-    var sk = e.select(col("src").as("id")).distinct()
+    // seed over src UNION dst: sink nodes (dst-only, no out-edges) must
+    // still get a singleton sketch — they appear in the output with
+    // |B(id,t)| = 1 for all t, and their sketch is what in-neighbors
+    // union in. Seeding from src alone silently drops sinks on any
+    // non-symmetrized directed graph.
+    var sk = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
       .groupBy(col("id"))
       .agg(expr(s"hll_sketch_agg(id, $lgK)").as("sk"))
       .localCheckpoint(false)

@@ -471,9 +471,17 @@ object Graph {
         WITH RECURSIVE""" + bipartiteSql + """,
         nodes AS (SELECT DISTINCT src FROM edges),
         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        mm AS (SELECT MIN(p) AS m FROM (VALUES (2), (4), (8), (16), (32),
-                 (64), (128), (256), (512), (1024), (2048), (4096)) v(p)
-               WHERE p * 96 >= (SELECT n FROM nn)),
+        -- powers of 2 through 2^30: covers |V| up to ~10^11 so MIN(p)
+        -- can never be NULL on any input this oracle will see (a NULL
+        -- modulus would silently select zero roots)
+        mm AS (SELECT MIN(CAST(p AS BIGINT)) AS m
+               FROM (VALUES (2), (4), (8), (16), (32),
+                 (64), (128), (256), (512), (1024), (2048), (4096),
+                 (8192), (16384), (32768), (65536), (131072), (262144),
+                 (524288), (1048576), (2097152), (4194304), (8388608),
+                 (16777216), (33554432), (67108864), (134217728),
+                 (268435456), (536870912), (1073741824)) v(p)
+               WHERE CAST(p AS BIGINT) * 96 >= (SELECT n FROM nn)),
         roots AS (SELECT src AS root FROM nodes
                   WHERE src % (SELECT m FROM mm) = 0),
         walk AS (
@@ -546,9 +554,17 @@ object Graph {
         WITH RECURSIVE""" + bipartiteSql + """,
         nodes AS (SELECT DISTINCT src FROM edges),
         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
-        mm AS (SELECT MIN(p) AS m FROM (VALUES (2), (4), (8), (16), (32),
-                 (64), (128), (256), (512), (1024), (2048), (4096)) v(p)
-               WHERE p * 96 >= (SELECT n FROM nn)),
+        -- powers of 2 through 2^30: covers |V| up to ~10^11 so MIN(p)
+        -- can never be NULL on any input this oracle will see (a NULL
+        -- modulus would silently select zero roots)
+        mm AS (SELECT MIN(CAST(p AS BIGINT)) AS m
+               FROM (VALUES (2), (4), (8), (16), (32),
+                 (64), (128), (256), (512), (1024), (2048), (4096),
+                 (8192), (16384), (32768), (65536), (131072), (262144),
+                 (524288), (1048576), (2097152), (4194304), (8388608),
+                 (16777216), (33554432), (67108864), (134217728),
+                 (268435456), (536870912), (1073741824)) v(p)
+               WHERE CAST(p AS BIGINT) * 96 >= (SELECT n FROM nn)),
         roots AS (SELECT src AS root FROM nodes
                   WHERE src % (SELECT m FROM mm) = 0),
         walk AS (

@@ -103,23 +103,26 @@ object EventStreams {
                    joinCols: Seq[String]): DataFrame =
     events.join(broadcast(dim), joinCols)
 
-  /** watermarked stream-stream join: each left event matched to right
-    * events on the same key within `windowSec` BEFORE it. Both sides
-    * carry watermarks and the join condition bounds right-time on both
-    * ends, so Spark can evict buffered rows once the watermark passes
+  /** Two-sided watermarked interval join: each left event matched to
+    * right events on the same key within `windowSec` BEFORE it. Both
+    * sides carry watermarks and the join condition bounds right-time on
+    * both ends, so Spark evicts buffered rows once the watermark passes
     * their horizon — state is bounded by rate x (delay + window), the
     * condition that makes a stream-stream join runnable forever. All
     * references are side-qualified, so the two streams may share column
-    * names (both sides named `ts` is the natural call). */
-  /** Two-sided watermarked interval join. `joinType` extends the inner
-    * default to the outer variants ("leftOuter"/"rightOuter"/
-    * "fullOuter"): Spark emits the null-padded row for an unmatched
-    * side only when the GLOBAL watermark (min across both sides)
-    * passes the row's join-window bound and its state is evicted —
-    * rows the final watermark never passes stay in state unemitted,
-    * which a bounded replay must account for (st15 advances the
-    * watermark past all real data with sentinel far-future events so
-    * the flush boundary is total). */
+    * names (both sides named `ts` is the natural call). `joinType`
+    * extends the inner default to the outer variants ("leftOuter"/
+    * "rightOuter"/"fullOuter"): Spark emits the null-padded row for an
+    * unmatched side only when the GLOBAL watermark (min across both
+    * sides) passes the row's join-window bound and its state is
+    * evicted — rows the final watermark never passes stay in state
+    * unemitted, which a bounded replay must account for. st15 handles
+    * this with an empty trailing input file (the empty batch carries
+    * the watermark update so eviction runs inside a real batch) plus
+    * an oracle that withholds the tail rows the watermark never
+    * flushes; a far-future-sentinel design was rejected there because
+    * the output filter hiding the sentinels gets pushed down into the
+    * scans and removes them before the watermark node sees them. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTime: String, rightTime: String,
                        windowSec: Long,

@@ -174,6 +174,11 @@ class DedupOpsSpec extends SparkSpec {
       "int(ceil(greatest(length(text) - 500, 0) / 400.0D)) + 1")))
       .head().getLong(0)
     assert(arith == built, s"arithmetic $arith != built $built")
+    // empty input: SUM is NULL — the coalesce must fall through to
+    // autoCells' floor instead of throwing on getLong (ADVICE r11)
+    val none = DedupOps.chunkNearDupsAuto(
+      docs2.filter(lit(false))).count()
+    assert(none == 0L, s"empty corpus must yield zero dup pairs, got $none")
   }
 
   test("chunkNearDups finds a cross-doc chunk dup and never all-pairs") {

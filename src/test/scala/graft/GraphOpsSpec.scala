@@ -368,4 +368,17 @@ class GraphOpsSpec extends SparkSpec {
       assert(est((2L, v)) == b2, s"hop2 ball of $v: got ${est((2L, v))}")
     }
   }
+  test("hyperBall: sink nodes get sketches and feed predecessors' balls") {
+    // directed chain 0->1->2: 2 is a sink (dst-only). It must appear in
+    // the output with |B(2,t)| = 1, and 1's hop-1 ball must include it —
+    // seeding sketches from src alone would drop both (ADVICE r11).
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val est = GraphOps.hyperBall(edges, hops = 2).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("id")) -> r.getAs[Long]("est"))
+      .toMap
+    assert(est((0L, 2L)) == 1L && est((1L, 2L)) == 1L &&
+      est((2L, 2L)) == 1L, "sink's own ball stays a singleton")
+    assert(est((1L, 1L)) == 2L, "1's hop-1 ball reaches the sink")
+    assert(est((2L, 0L)) == 3L, "0's hop-2 ball spans the whole chain")
+  }
 }
