@@ -583,7 +583,158 @@ object Graph {
           CAST(ROW_NUMBER() OVER (ORDER BY h2x DESC, root ASC) AS BIGINT)
             AS rk
         FROM hx
-        ORDER BY h2x DESC, root ASC LIMIT 15"""))
+        ORDER BY h2x DESC, root ASC LIMIT 15""")),
+
+    // ---- modularity of the detected communities -------------------------
+    //      the quality metric for g06's partition (Newman & Girvan 2004):
+    //      Q = sum_c [ e_c/(2m) - (deg_c/(2m))^2 ] over the directed
+    //      both-ways edge list (2m = |E_dir|, e_c = intra-community
+    //      directed edges, deg_c = community degree sum). Emitted as the
+    //      per-community INTEGER numerator q_num = e_c*2m - deg_c^2
+    //      (so Q = sum(q_num)/(2m)^2) — exact, shuffle-order-free, no
+    //      double summation to align across engines. Scale shape: labels
+    //      come from the bounded-round LPA; the rest is two node-keyed
+    //      joins (edge endpoints -> labels) + two keyed aggregations —
+    //      PageRank-round data movement, nothing driver-side but the 2m
+    //      scalar.
+    Q("g14_modularity",
+      (s, d) => {
+        val p = coPurchasePairs(s, d)
+        val e = p.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(p.select(col("v").as("src"), col("u").as("dst")))
+          .localCheckpoint(false)
+        val labels = GraphOps.labelPropagation(e, rounds = 2)
+        val m2 = e.count()
+        val deg = e.groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("deg"))
+        val degC = deg.join(labels, Seq("id"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+        val la = labels.select(col("id").as("sid"), col("label").as("sl"))
+        val lb = labels.select(col("id").as("did"), col("label").as("dl"))
+        val intra = e.join(la, e("src") === la("sid"))
+          .join(lb, e("dst") === lb("did"))
+          .filter(col("sl") === col("dl"))
+          .groupBy(col("sl").as("label"))
+          .agg(count(lit(1)).as("e_in"))
+        degC.join(intra, Seq("label"), "left")
+          .select(col("label"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in_dir"), col("deg_sum"),
+            (coalesce(col("e_in"), lit(0L)) * lit(m2) -
+              col("deg_sum") * col("deg_sum")).as("q_num"))
+      },
+      Some("WITH " + coPurchaseSql + """,
+        e AS (SELECT u AS src, v AS dst FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+        l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+        r1 AS (
+          SELECT id, label FROM (
+            SELECT e.dst AS id, l.label, COUNT(*) AS c,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM e JOIN l0 l ON e.src = l.id GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        r2 AS (
+          SELECT id, label FROM (
+            SELECT e.dst AS id, l.label, COUNT(*) AS c,
+              ROW_NUMBER() OVER (PARTITION BY e.dst
+                ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM e JOIN r1 l ON e.src = l.id GROUP BY e.dst, l.label)
+          WHERE rn = 1),
+        m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM e),
+        deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY 1),
+        ns AS (SELECT r2.label, COUNT(*) AS n_nodes,
+                 CAST(SUM(deg.deg) AS BIGINT) AS deg_sum
+               FROM r2 JOIN deg ON r2.id = deg.id GROUP BY 1),
+        ie AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_in
+               FROM e JOIN r2 la ON e.src = la.id
+                      JOIN r2 lb ON e.dst = lb.id
+               WHERE la.label = lb.label GROUP BY 1)
+        SELECT ns.label, ns.n_nodes,
+          COALESCE(ie.e_in, CAST(0 AS BIGINT)) AS e_in_dir, ns.deg_sum,
+          COALESCE(ie.e_in, CAST(0 AS BIGINT)) * (SELECT m2 FROM m2)
+            - ns.deg_sum * ns.deg_sum AS q_num
+        FROM ns LEFT JOIN ie ON ns.label = ie.label""")),
+
+    // ---- common-neighbors link prediction -------------------------------
+    //      the recommendation primitive: for NON-adjacent node pairs,
+    //      score by shared-neighbor count and capped-Jaccard — "parts
+    //      often co-ordered with both u and v, though u,v never co-occur".
+    //      Candidate generation is bounded on BOTH sides (the neighbor-
+    //      sampling discipline of Suri & Vassilvitskii 2011): each node
+    //      keeps its 8 lowest-id out-neighbors (row_number cap), each
+    //      wedge CENTER keeps its 12 lowest-id in-spokes — so one center
+    //      yields <= 66 wedges regardless of how popular the part is,
+    //      and the whole pair frame is O(12^2/2 * |V|) instead of the
+    //      posting-squared blowup a raw shared-neighbor self-join has on
+    //      power-law graphs. Degrees and Jaccard are over the SAME capped
+    //      adjacency (documented estimator semantics, exact-replayable);
+    //      jac_e6 = cn*1e6 div (du+dv-cn) keeps the output integer.
+    //      Existing co-purchase edges are removed by an anti-join; final
+    //      cut is top-15 by (cn DESC, u, v) — a TakeOrdered, never a
+    //      global sort.
+    Q("g15_link_prediction",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = coPurchasePairs(s, d)
+        val e = p.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(p.select(col("v").as("src"), col("u").as("dst")))
+        val adj = e
+          .withColumn("rn_out", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("dst").asc)))
+          .filter(col("rn_out") <= 8)
+          .withColumn("rn_in", row_number().over(
+            Window.partitionBy(col("dst")).orderBy(col("src").asc)))
+          .filter(col("rn_in") <= 12)
+          .select(col("src"), col("dst"))
+          .localCheckpoint(false)
+        val cdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
+        val wedges = adj.as("x")
+          .join(adj.as("y"),
+            col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+          .groupBy(col("x.src").as("u"), col("y.src").as("v"))
+          .agg(count(lit(1)).as("cn"))
+        val cand = wedges.join(p, Seq("u", "v"), "left_anti")
+        cand
+          .join(cdeg.select(col("src").as("u"), col("cdeg").as("du")),
+            Seq("u"))
+          .join(cdeg.select(col("src").as("v"), col("cdeg").as("dv")),
+            Seq("v"))
+          .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+            expr("cn * CAST(1000000 AS BIGINT) div (du + dv - cn)")
+              .as("jac_e6"))
+          .orderBy(col("cn").desc, col("u").asc, col("v").asc)
+          .limit(15)
+          .withColumn("rk", expr(
+            "row_number() OVER (ORDER BY cn DESC, u ASC, v ASC)")
+            .cast("long"))
+      },
+      Some("WITH " + coPurchaseSql + """,
+        e AS (SELECT u AS src, v AS dst FROM pairs
+              UNION ALL SELECT v, u FROM pairs),
+        a1 AS (SELECT src, dst FROM (
+                 SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY dst ASC) AS rn FROM e) WHERE rn <= 8),
+        adj AS (SELECT src, dst FROM (
+                 SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY dst
+                   ORDER BY src ASC) AS rn FROM a1) WHERE rn <= 12),
+        cd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS cdeg
+               FROM adj GROUP BY 1),
+        wg AS (SELECT x.src AS u, y.src AS v, CAST(COUNT(*) AS BIGINT) AS cn
+               FROM adj x JOIN adj y
+                 ON x.dst = y.dst AND x.src < y.src
+               GROUP BY 1, 2),
+        cand AS (SELECT wg.* FROM wg
+                 LEFT JOIN pairs p ON wg.u = p.u AND wg.v = p.v
+                 WHERE p.u IS NULL)
+        SELECT c.u, c.v, c.cn, du.cdeg AS du, dv.cdeg AS dv,
+          c.cn * CAST(1000000 AS BIGINT) // (du.cdeg + dv.cdeg - c.cn)
+            AS jac_e6,
+          CAST(ROW_NUMBER() OVER (ORDER BY c.cn DESC, c.u ASC, c.v ASC)
+            AS BIGINT) AS rk
+        FROM cand c JOIN cd du ON c.u = du.src JOIN cd dv ON c.v = dv.src
+        ORDER BY c.cn DESC, c.u ASC, c.v ASC LIMIT 15"""))
   )
 
   /** CTE chain replaying `iters` personalized-PageRank rounds: the g07
