@@ -365,6 +365,91 @@ object Sketches {
         SELECT 'lineitem_join_orders',
           (SELECT COUNT(*) FROM lineitem JOIN orders
              ON l_orderkey = o_orderkey),
-          TRUE, TRUE"""))
+          TRUE, TRUE""")),
+
+    // ---- cross-corpus overlap from per-source MinHash signatures --------
+    //      the dedup PLANNING primitive: before running cross-corpus
+    //      dedup at 100 TB you estimate HOW MUCH two sources overlap —
+    //      one KB-sized MinHash signature per source (Broder 1997:
+    //      matching-coordinate fraction estimates Jaccard), built in ONE
+    //      pass by the native minhash_agg TypedImperativeAggregate (its
+    //      documented sweet spot: few groups, wide k), then an all-pairs
+    //      compare of ~20 signatures — a broadcast cross of a provably
+    //      tiny frame. The exact side re-joins the gram sets pair-wise
+    //      (gram strings, collision-free) as ground truth; at production
+    //      scale you'd ship ONLY the sketches. Items are the sources'
+    //      distinct word-3-gram sets over the portable md5-based 31-bit
+    //      gram id (the d20 convention, replayable in any engine);
+    //      output is integer-only (matches of k=64, exact set sizes).
+    Q("ds09_source_overlap",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, wordNgrams}
+        graft.expressions.VectorExpressions.registerAll(s)
+        val k = 64
+        val mm = graft.expressions.MinHashAgg.M
+        val gsets = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("source"), explode(wordNgrams("toks", 3)).as("g"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigs = gsets
+          .withColumn("gid", expr(
+            "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 15), 16, 10) " +
+              s"AS BIGINT) % $mm"))
+          .groupBy(col("source"))
+          .agg(expr(s"minhash_agg(gid, $k)").as("sig"),
+            count(lit(1)).as("n_set"))
+        val exact = gsets.as("x")
+          .join(gsets.as("y"),
+            col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("n_common"))
+        val pairs = sigs.as("a")
+          .join(sigs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            col("a.n_set").as("n_a"), col("b.n_set").as("n_b"),
+            expr("CAST(size(filter(zip_with(a.sig, b.sig, " +
+              "(x, y) -> x = y), m -> m)) AS BIGINT)").as("est_matches"))
+        val out = pairs.join(exact, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            col("est_matches"))
+        out
+      },
+      Some {
+        val k = 64
+        val mm = graft.expressions.MinHashAgg.M
+        val (has, hbs) = graft.expressions.MinHashAgg.hashFamily(k)
+        val sigCols = (0 until k).map(i =>
+          s"MIN((${has(i)} * gid + ${hbs(i)}) % $mm) AS s$i")
+          .mkString(",\n                 ")
+        val matchSum = (0 until k).map(i =>
+          s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""
+        WITH t AS (SELECT source, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        gs AS (SELECT DISTINCT source, unnest(list_transform(
+                 range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM t),
+        gi AS (SELECT source, g,
+                 CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $mm
+                   AS gid
+               FROM gs),
+        sig AS (SELECT source, COUNT(*) AS n_set,
+                 $sigCols
+                FROM gi GROUP BY source),
+        ex AS (SELECT x.source AS src_a, y.source AS src_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+               FROM gs x JOIN gs y
+                 ON x.g = y.g AND x.source < y.source
+               GROUP BY 1, 2)
+        SELECT a.source AS src_a, b.source AS src_b,
+          CAST(a.n_set AS BIGINT) AS n_a, CAST(b.n_set AS BIGINT) AS n_b,
+          COALESCE(ex.n_common, CAST(0 AS BIGINT)) AS n_common,
+          CAST($matchSum AS BIGINT) AS est_matches
+        FROM sig a JOIN sig b ON a.source < b.source
+        LEFT JOIN ex ON ex.src_a = a.source AND ex.src_b = b.source"""
+      })
   )
 }

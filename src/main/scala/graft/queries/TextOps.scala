@@ -1783,6 +1783,87 @@ object TextOps {
           COALESCE(a.clean_text, '') AS clean_text,
           CAST(COALESCE(a.n_blocks_kept, 0) AS BIGINT) AS n_blocks_kept,
           CAST(COALESCE(a.n_blocks_dropped, 0) AS BIGINT) AS n_blocks_dropped
-        FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id"""))
+        FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""")),
+
+    // ---- token-budget selection WITHOUT a global sort --------------------
+    //      the curation finale: "take the best documents until the token
+    //      budget is spent" — semantically a prefix of the corpus ordered
+    //      by (quality DESC, doc_id), i.e. exactly the plan shape
+    //      (rangepartitioning exchange + running-sum window) PlanAudit
+    //      bans, because at 100 TB every row would flow through the sort.
+    //      The scale-right two-phase form used here: (1) one keyed
+    //      aggregation histograms token mass per quality bucket (the
+    //      bucket key q9 div 4e6 is monotone in the integer quality
+    //      surrogate q9 = floor(quality*1e9), so bucket-desc order
+    //      refines selection order); the <=251-row histogram is the ONLY
+    //      thing the driver sees, and walking it finds the boundary
+    //      bucket; (2) buckets strictly above the boundary are selected
+    //      by a pushed-down FILTER (no ordering at all), and only the
+    //      boundary bucket's rows — corpus/nBuckets in expectation —
+    //      flow through an exact running-sum window to spend the
+    //      remaining budget. Identical to the full-sort semantics
+    //      (the oracle IS the full cumsum) because within-bucket order
+    //      is the same global tiebreak. A near-constant-quality corpus
+    //      degenerates the boundary bucket toward the whole corpus; the
+    //      production path re-applies the same histogram split
+    //      recursively inside the bucket. Budget = 2/5 of corpus tokens
+    //      (integer arithmetic both sides).
+    Q("t39_token_budget_select",
+      (s, d) => {
+        val quality =
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            (wordlistCount("toks", EnglishStopwords).cast("double") /
+              tokenCount("toks")) * 0.2 +
+            (distinctTokenCount("toks").cast("double") /
+              tokenCount("toks")) * 0.4
+        val scored = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), tokenCount("toks").cast("long").as("n_tok"),
+            floor(quality * lit(1000000000.0)).cast("long").as("q9"))
+          .withColumn("qb", expr("q9 div 4000000"))
+        // bounded driver collect: <= 251 (bucket, token-mass) rows
+        val hist = scored.groupBy(col("qb"))
+          .agg(sum(col("n_tok")).as("btok"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1)
+        val total = hist.map(_._2).sum
+        val budget = total * 2 / 5
+        var above = 0L
+        var boundary = Long.MinValue
+        for ((qb, btok) <- hist if boundary == Long.MinValue)
+          if (above + btok <= budget) above += btok else boundary = qb
+        val out =
+          if (boundary == Long.MinValue) scored // everything fits
+          else {
+            val w = Window.partitionBy(col("qb"))
+              .orderBy(col("q9").desc, col("doc_id").asc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            scored.filter(col("qb") > boundary).unionByName(
+              scored.filter(col("qb") === boundary)
+                .withColumn("cum", sum(col("n_tok")).over(w))
+                .filter(col("cum") <= budget - above)
+                .drop("cum"))
+          }
+        out.select(col("doc_id"), col("n_tok"), col("q9"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                CAST(FLOOR((LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                  + CAST(len(list_filter(toks, x -> x IN ($stopSql)))
+                      AS DOUBLE) / len(toks) * 0.2
+                  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      * 0.4) * 1000000000.0) AS BIGINT) AS q9
+              FROM t),
+        b AS (SELECT CAST(SUM(n_tok) AS BIGINT) * 2 // 5 AS budget FROM q),
+        c AS (SELECT doc_id, n_tok, q9,
+                SUM(n_tok) OVER (ORDER BY q9 DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM q)
+        SELECT doc_id, n_tok, q9 FROM c
+        WHERE cum <= (SELECT budget FROM b)"""))
   )
 }

@@ -112,4 +112,24 @@ class SketchProbeSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("minhash signature match fraction estimates Jaccard (ds09 band)") {
+    VectorExpressions.registerAll(spark)
+    // A = 0..999, B = 500..1499: J = 500/1500 = 1/3 exactly. k=64 gives
+    // sigma = sqrt(J(1-J)/64) ~ 0.059; the +-0.18 band is 3 sigma, and
+    // the whole check is DETERMINISTIC (fixed hash family, fixed sets)
+    // so it can never flake — it pins that the estimator is wired to
+    // the right sets, not a probabilistic property.
+    val items = (0L to 999L).map(x => ("a", x)) ++
+      (500L to 1499L).map(x => ("b", x))
+    val sigs = items.toDF("src", "x")
+      .groupBy("src").agg(expr("minhash_agg(x, 64)").as("sig"))
+    val est = sigs.as("l").join(sigs.as("r"), expr("l.src < r.src"))
+      .select(expr("size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y)," +
+        " m -> m))").as("m"))
+      .head().getInt(0)
+    val j = est / 64.0
+    assert(math.abs(j - 1.0 / 3.0) <= 0.18,
+      s"match fraction $j ($est/64) outside the 3-sigma band of 1/3")
+  }
 }
