@@ -116,6 +116,55 @@ object DedupOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtered EXACT similarity join (the AllPairs/PPJoin family:
+    * Chaudhuri et al. 2006, Xiao et al. 2008) — the deterministic
+    * alternative to MinHash LSH when the dedup contract forbids missed
+    * pairs: result is EXACTLY the pairs with Jaccard >= `minJaccard`
+    * (no probabilistic recall), but candidate generation never goes
+    * all-pairs. The filter: under one GLOBAL token order (rarest gram
+    * first — df ASC, gram_id tiebreak), two sets with J >= t must share
+    * a gram within each set's first |d| - ceil(t*|d|) + 1 grams (if
+    * J(a,b) >= t then |a∩b| >= t*|a|, so a's last ceil(t*|a|) - 1 grams
+    * alone cannot hold the whole intersection) — so the candidate join
+    * runs on the PREFIX postings only, and the rarest-first order makes
+    * those postings the shortest ones in the corpus. The PPJoin length
+    * filter (t*max(|a|,|b|) <= min(|a|,|b|), integer-exact here) prunes
+    * inside the join condition before the pair ever materializes.
+    *
+    * Scale shape: one df aggregation (keyed by gram), one per-doc rank
+    * window (keyed by doc), a self-join on PREFIX postings (sum of
+    * prefix-df^2, << full-postings df^2 — spec-pinned under 20% of
+    * all-pairs on the fixture), then the shared exact verifier on the
+    * surviving candidates. Hot grams land at the END of the global
+    * order, so the quadratic term runs over rare grams by construction
+    * — the skew story LSH solves probabilistically, solved exactly. */
+  def prefixFilterJaccardPairs(docs: DataFrame, n: Int,
+                               minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      s"minJaccard must be in (0,1), got $minJaccard")
+    import org.apache.spark.sql.expressions.Window
+    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = posts.groupBy("gram_id").agg(count(lit(1)).as("df"))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("gram_id").asc)
+    val pre = posts.join(df, "gram_id")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("doc_id"), col("gram_id"), col("sz"))
+    val cands = pre.as("a")
+      .join(pre.as("b"),
+        col("a.gram_id") === col("b.gram_id") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= ceil(col("b.sz") * minJaccard) &&
+          col("b.sz") >= ceil(col("a.sz") * minJaccard))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccardOnPosts(cands, posts, minJaccard)
+  }
+
   /** exact pairwise n-gram Jaccard >= minJaccard over all doc pairs.
     * At 100 TB run this only on LSH candidates (see minHashCandidates) —
     * kept as its own operator because it IS the exact verifier. */

@@ -1004,6 +1004,21 @@ object Dedup {
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_touched
         FROM (SELECT t, doc_a AS doc_id FROM x
               UNION ALL SELECT t, doc_b FROM x)
-        GROUP BY t"""))
+        GROUP BY t""")),
+
+    // ---- prefix-filtered EXACT similarity join (PPJoin family) ----------
+    //      the deterministic counterpart to d03's MinHash LSH: same
+    //      output contract as d02 (ALL pairs with J >= 0.6, no recall
+    //      loss) but candidates come from a self-join on PREFIX postings
+    //      under the rarest-gram-first global order, never from all
+    //      pairs — the oracle is therefore the SAME exact all-pairs SQL
+    //      as d02/d03, and equality with it proves completeness. The
+    //      candidate bound itself is spec-pinned (DedupOpsSpec: result
+    //      identical to ngramJaccardPairs, candidate count a fraction of
+    //      n*(n-1)/2 on the fixture).
+    Q("d23_prefix_filter_join",
+      (s, d) => DedupOps.prefixFilterJaccardPairs(Tables.documents(s, d),
+        n = 3, minJaccard = 0.6),
+      Some(jaccardCte + jaccardSelect))
   )
 }

@@ -181,6 +181,60 @@ class DedupOpsSpec extends SparkSpec {
     assert(none == 0L, s"empty corpus must yield zero dup pairs, got $none")
   }
 
+  test("prefixFilterJaccardPairs equals the exact all-pairs join") {
+    // near-dup family (light edits of one base), plus distinct noise
+    // docs sharing common words — the shape where hot grams would blow
+    // up a naive postings self-join but land OUTSIDE the rare-first
+    // prefixes
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, base.replace("delta", "DELTA")),
+      (4L, "alpha beta unrelated words here that share stop grams alpha beta"),
+      (5L, "completely different content with its own vocabulary set"),
+      (6L, "another unrelated document full of common alpha beta filler")) ++
+      (7L to 40L).map(i =>
+        (i, s"noise doc $i alpha beta " + ("filler" + i + " ") * 8))
+      ).toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccardPairs(docs, n = 3, minJaccard = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = DedupOps
+      .prefixFilterJaccardPairs(docs, n = 3, minJaccard = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain true near-dup pairs")
+    assert(viaPrefix == exact,
+      s"prefix-filtered join must be EXACT: got $viaPrefix vs $exact")
+  }
+
+  test("prefix filter generates far fewer candidates than all-pairs") {
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val posts = DedupOps.shinglePostings(docs, 3)
+      .select("doc_id", "gram_id")
+    // replicate the operator's candidate stage standalone
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = posts.groupBy("gram_id").agg(count(lit(1)).as("df"))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("gram_id").asc)
+    val pre = posts.join(dfreq, "gram_id")
+      .withColumn("rk", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * 0.6) + 1)
+      .select(col("doc_id"), col("gram_id"), col("sz"))
+    val nCand = pre.as("a")
+      .join(pre.as("b"),
+        col("a.gram_id") === col("b.gram_id") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= ceil(col("b.sz") * 0.6) &&
+          col("b.sz") >= ceil(col("a.sz") * 0.6))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val nDocs = docs.count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    assert(nCand * 5 < allPairs,
+      s"prefix candidates $nCand not < 20% of all-pairs $allPairs")
+  }
+
   test("chunkNearDups finds a cross-doc chunk dup and never all-pairs") {
     // docs 1 and 2 share an identical long passage (one chunk window's
     // worth); doc 3 is alphabet noise with a disjoint char profile
