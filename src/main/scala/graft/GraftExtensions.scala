@@ -15,5 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExpressions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
+    // whole-operator tier: plans the graft.plans.AsOfJoin logical node
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
   }
 }

@@ -50,7 +50,12 @@ object JoinOps {
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
       .select(l.columns.map(col).toSeq: _*)
 
+    // SQL join null semantics: a NULL key or time never matches. Without
+    // this filter the window partitioning would group null-key rows
+    // TOGETHER (groupBy-style null equality) and happily as-of-match
+    // them — the divergence the native exec's equality spec caught.
     val merged = l.unionByName(rAligned)
+      .filter(col("_k").isNotNull && col("_t").isNotNull)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -59,6 +64,46 @@ object JoinOps {
       .filter(col("_is_left") === 1 && col("_p").isNotNull)
       .select(leftCols.map(col) ++
         rightVals.map(v => col(s"_p.$v").as(s"asof_$v")): _*)
+  }
+
+  /** [[asOfJoinBackward]] through the NATIVE whole-operator plan
+    * ([[graft.plans.AsOfJoin]] → AsOfJoinExec): same inner backward
+    * as-of semantics and the same (leftCols..., asof_<v>...) output
+    * shape, but planned as a co-partitioned two-sided sort + one O(1)-
+    * state streaming merge per partition instead of union + window —
+    * no null padding through the shuffle, no window buffering. Key
+    * columns must be bigint and time columns bigint/timestamp (the
+    * exec's contract). The spec pins result equality with the composed
+    * form; e24 gates it against the DuckDB ASOF JOIN oracle. */
+  def asOfJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String,
+                     rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = left.sparkSession
+    val lPlan = left.queryExecution.analyzed
+    // fresh-alias the right side: when both inputs derive from the same
+    // source (the self-join case), their outputs share exprIds, and the
+    // analyzer's DeduplicateRelations only rewrites built-in Join nodes —
+    // without this the optimizer resolves right-side references against
+    // the LEFT's identical ids and prunes the right child's columns away
+    val rAliases = right.queryExecution.analyzed.output
+      .map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, right.queryExecution.analyzed)
+    def attr(out: Seq[Attribute], n: String) =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val plan = graft.plans.AsOfJoin(lPlan, rPlan,
+      attr(lPlan.output, leftKey), attr(rPlan.output, rightKey),
+      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
+    // positional rename: output = left columns ++ right columns, which
+    // may share names — rename right side to asof_<name>, then cut to
+    // the requested payload
+    val renamed = org.apache.spark.sql.GraftPlanBridge.ofRows(spark, plan)
+      .toDF(left.columns.toSeq ++ right.columns.map("asof_" + _): _*)
+    renamed.select(left.columns.map(col).toSeq ++
+      rightVals.map(v => col(s"asof_$v")): _*)
   }
 
   /** Binned range join: pairs (l, r) with

@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Native backward as-of join — the whole-operator Catalyst tier
+  * (logical node + strategy + physical exec, injected through
+  * SparkSessionExtensions): for each left row, the latest right row with
+  * rightTime <= leftTime on the same key, INNER semantics (unmatched
+  * left rows drop).
+  *
+  * Why a physical operator when JoinOps.asOfJoinBackward already
+  * composes it from stock pieces: the composition UNIONS both inputs
+  * through one exchange and runs a window with a last(ignoreNulls)
+  * frame, which means (a) every left row is padded with a null struct
+  * and every right row is padded with null left columns before the
+  * shuffle, (b) the window operator buffers each key group and
+  * materializes a running payload column, and (c) the unioned frame
+  * must be filtered back apart afterwards. The native exec shuffles
+  * each side as-is (same total rows moved, no padding), sorts each
+  * side by (key, time) — both via EnsureRequirements, so AQE still
+  * plans the exchanges — and then streams BOTH sorted iterators once
+  * per partition with O(1) state (one lookahead row + one matched-row
+  * copy). No buffering, no padding, no re-filtering.
+  *
+  * Contract and bounds:
+  *  - key expressions must be LongType, time expressions LongType or
+  *    TimestampType (micros-backed long) — the require() in the
+  *    constructor, matching the engine's key/event-time conventions;
+  *  - rows with a NULL key or time never match (skipped on both sides,
+  *    the composed operator's na-semantics);
+  *  - ties: among right rows with equal (key, time) the one latest in
+  *    the sort order wins — same pick as the composed window form;
+  *  - volcano-mode (no codegen): the merge is a per-partition streaming
+  *    pass whose cost is (|L|+|R|) comparisons after the sorts, which
+  *    dominate; a doProduce() would only fuse the final projection.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule mapping the logical [[AsOfJoin]] to [[AsOfJoinExec]];
+  * injected by [[graft.GraftExtensions]]. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  private def isTime(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == TimestampType
+  require(leftKey.dataType == LongType && rightKey.dataType == LongType,
+    s"as-of keys must be bigint, got ${leftKey.dataType.sql} / " +
+      rightKey.dataType.sql)
+  require(isTime(leftTime) && isTime(rightTime),
+    s"as-of times must be bigint or timestamp, got " +
+      s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // both sides clustered by their key: EnsureRequirements co-partitions
+  // the two shuffles (the SortMergeJoin mechanism), so zipPartitions
+  // below sees aligned key ranges
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = BindReferences.bindReference(leftKey, lOut)
+    val lt = BindReferences.bindReference(leftTime, lOut)
+    val rk = BindReferences.bindReference(rightKey, rOut)
+    val rt = BindReferences.bindReference(rightTime, rOut)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      new Iterator[InternalRow] {
+        // O(1) merge state: the right lookahead + the latest matching
+        // right row (copied — iterators reuse row objects)
+        private var rHead: InternalRow = _
+        private var rHeadKey = 0L
+        private var rHeadTime = 0L
+        private var rHeadValid = false
+        private var matched: InternalRow = _
+        private var matchedKey = 0L
+        private var nextOut: InternalRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rHeadValid = false
+          while (!rHeadValid && rIter.hasNext) {
+            val r = rIter.next()
+            val k = rk.eval(r)
+            val t = rt.eval(r)
+            if (k != null && t != null) {
+              rHead = r
+              rHeadKey = k.asInstanceOf[Long]
+              rHeadTime = t.asInstanceOf[Long]
+              rHeadValid = true
+            }
+          }
+        }
+
+        private def findNext(): Unit = {
+          nextOut = null
+          while (nextOut == null && lIter.hasNext) {
+            val l = lIter.next()
+            val kRaw = lk.eval(l)
+            val tRaw = lt.eval(l)
+            if (kRaw != null && tRaw != null) {
+              val k = kRaw.asInstanceOf[Long]
+              val t = tRaw.asInstanceOf[Long]
+              // consume right rows up to (k, t]; the LAST one with the
+              // same key becomes (or stays) the match
+              while (rHeadValid && (rHeadKey < k ||
+                  (rHeadKey == k && rHeadTime <= t))) {
+                if (rHeadKey == k) {
+                  matched = rHead.copy()
+                  matchedKey = k
+                }
+                advanceRight()
+              }
+              if (matched != null && matchedKey == k)
+                nextOut = joiner(joined(l, matched))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (nextOut == null) findNext()
+          nextOut != null
+        }
+        override def next(): InternalRow = {
+          if (nextOut == null) findNext()
+          val out = nextOut
+          nextOut = null
+          out
+        }
+      }
+    }
+  }
+}

@@ -864,6 +864,35 @@ object Events {
         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
           COUNT(*) AS n_events,
           MIN(ts) AS session_start, MAX(ts) AS session_end
-        FROM s GROUP BY user_id, session_seq"""))
+        FROM s GROUP BY user_id, session_seq""")),
+
+    // ---- NATIVE as-of join (the whole-operator Catalyst tier) -----------
+    //      e05's exact query through graft.plans.AsOfJoinExec — logical
+    //      node + planner strategy + physical streaming-merge exec,
+    //      injected via SparkSessionExtensions — instead of the composed
+    //      union+window form. Same oracle as e05 (DuckDB ASOF JOIN), so
+    //      a green gate pins the custom operator end-to-end through the
+    //      driver's correctness machinery; JoinOpsSpec pins equality
+    //      with the composed form including null-key/time behavior.
+    Q("e24_asof_native",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinNative(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

@@ -30,6 +30,61 @@ class JoinOpsSpec extends SparkSpec {
       (1L, "2024-01-01 10:05:00.0", 101.0)))
   }
 
+  test("asOfJoinNative equals the composed form and plans AsOfJoinExec") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:03:00"), 50.0))
+      .toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:04:00")),
+      (1L, ts("2024-01-01 10:05:00")),
+      (2L, ts("2024-01-01 10:02:00")),
+      (3L, ts("2024-01-01 10:10:00")))
+      .toDF("k", "tts")
+    val native = JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price"))
+    // the exec's nodeName strips the Exec suffix; the executed plan
+    // contains only physical nodes, so this is the custom exec
+    assert(native.queryExecution.executedPlan.toString
+      .contains("AsOfJoin"), "native plan must use the custom exec")
+    val got = native.orderBy("k", "tts").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(2).toString, x.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", 100.0),
+      (1L, "2024-01-01 10:05:00.0", 101.0)))
+  }
+
+  test("asOfJoinNative matches asOfJoinBackward on a dense random-ish mix") {
+    // deterministic pseudo-random mix: many keys, duplicate times on the
+    // left, right rows interleaved before/after/equal — the shapes the
+    // streaming merge state machine must survive; includes null keys and
+    // null times on both sides (never match, never crash)
+    val lefts = (0 until 400).map { i =>
+      (if (i % 29 == 0) None else Some((i * 7 % 13).toLong),
+        if (i % 31 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 997 % 5000) * 1000L)),
+        i.toLong)
+    }.toDF("k", "ts", "lid")
+    val rights = (0 until 300).map { i =>
+      (if (i % 23 == 0) None else Some((i * 5 % 13).toLong),
+        if (i % 37 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 611 % 5000) * 1000L)),
+        i.toDouble)
+    }.toDF("rk", "rts", "v")
+    val a = JoinOps.asOfJoinNative(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getTimestamp(3), r.getDouble(4))).toSet
+    val b = JoinOps.asOfJoinBackward(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getTimestamp(3), r.getDouble(4))).toSet
+    assert(a.nonEmpty, "fixture must produce matches")
+    assert(a == b, s"native != composed: only-native ${a -- b}, " +
+      s"only-composed ${b -- a}")
+  }
+
   test("intervalOverlapJoin equals the inequality join, exactly once") {
     // seeded random intervals spanning 0-5 bins at binSec=60 — exercises
     // same-bin, adjacent-bin, and multi-bin-span pairs plus touching
