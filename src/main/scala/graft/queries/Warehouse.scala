@@ -707,6 +707,51 @@ object Warehouse {
           CAST(SUM(CASE WHEN dl THEN 0 ELSE 1 END) AS BIGINT) AS n_after,
           CAST(SUM(CAST(CASE WHEN dl THEN 0 ELSE h END
             AS DECIMAL(38,0))) AS VARCHAR) AS checksum_after
-        FROM f GROUP BY tbl"""))
+        FROM f GROUP BY tbl""")),
+
+    // ---- salt planner: sizing the q41 knob from a key histogram ---------
+    //      the step between DETECTING skew (w07) and JOINING through it
+    //      (q41's salted join): given a target of rows-per-task
+    //      (total div 32 — shuffle-partition count locally, cluster
+    //      reducer count in production), every key whose count exceeds
+    //      the target gets n_salts = ceil(count/target) salt values, and
+    //      the plan reports the residual per-salt row count — i.e. what
+    //      the max reducer will actually see after salting. The key here
+    //      is the ds04 Zipf transform (top key holds ~half the table) so
+    //      the plan is exercised on real skew. Pure integer arithmetic
+    //      on a keyed histogram + one broadcast scalar; at 100 TB this
+    //      consumes a sketch (ds04 heavy hitters) instead of the exact
+    //      groupBy, same arithmetic.
+    Q("w14_salt_plan",
+      (s, d) => {
+        val keyed = Tables.lineitem(s, d)
+          .select(expr("4096L div (1L + pmod(l_orderkey * 48271L" +
+            " + l_linenumber, 4096L))").as("key"))
+        val total = keyed.agg(count(lit(1)).as("total_rows"))
+        keyed.groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(total))
+          .withColumn("target",
+            greatest(expr("total_rows div 32"), lit(1L)))
+          .filter(col("n_rows") > col("target"))
+          .select(col("key"), col("n_rows"),
+            expr("CAST(ceil(n_rows / CAST(target AS DOUBLE)) AS BIGINT)")
+              .as("n_salts"))
+          .withColumn("max_rows_per_salt",
+            expr("CAST(ceil(n_rows / CAST(n_salts AS DOUBLE)) AS BIGINT)"))
+      },
+      Some("""
+        WITH k AS (SELECT 4096 // (1 + ((l_orderkey * 48271 + l_linenumber)
+                     % 4096 + 4096) % 4096) AS key
+                   FROM lineitem),
+        h AS (SELECT key, COUNT(*) AS n_rows FROM k GROUP BY 1),
+        t AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT) // 32,
+                CAST(1 AS BIGINT)) AS target FROM k)
+        SELECT key, n_rows,
+          CAST(CEIL(n_rows / CAST((SELECT target FROM t) AS DOUBLE))
+            AS BIGINT) AS n_salts,
+          CAST(CEIL(n_rows / CEIL(n_rows /
+            CAST((SELECT target FROM t) AS DOUBLE))) AS BIGINT)
+            AS max_rows_per_salt
+        FROM h WHERE n_rows > (SELECT target FROM t)"""))
   )
 }
