@@ -1006,6 +1006,80 @@ object Dedup {
               UNION ALL SELECT t, doc_b FROM x)
         GROUP BY t""")),
 
+    // ---- parameterized-template line detection --------------------------
+    //      the boilerplate d21's EXACT line dedup cannot see: lines that
+    //      differ only in a parameter ("copyright 2024 site 1731",
+    //      "... site 1732" — session ids, years, usernames). Normalize
+    //      each line to its SHAPE (lowercase, digit runs collapsed to
+    //      '#') and profile shapes that span many docs with MANY
+    //      DISTINCT raw forms — n_raw = 1 is d21's exact-dup territory;
+    //      n_raw > 1 across >= 5 docs is a template. The fixture plants
+    //      two parameterized lines (a doc-id-salted contact line on
+    //      every doc, a year+id copyright on doc_id%2=0) on top of the
+    //      8-token body windows, whose natural shapes stay under the
+    //      doc threshold. One explode + shape projection + ONE keyed
+    //      aggregation — the d21 plan with a normalization expression,
+    //      same 100 TB shape (production keys the shuffle by a shape
+    //      fingerprint).
+    Q("d24_template_lines",
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        val lineStruct = "struct<line_no:bigint,line:string>"
+        val withLines = Tables.documents(s, d)
+          .select(col("doc_id"), tokens("text").as("toks"))
+          .withColumn("nc", expr("CAST(ceil(size(toks) / 8.0) AS BIGINT)"))
+          .select(col("doc_id"), concat(
+            expr("""transform(sequence(0, CAST(nc AS INT) - 1),
+                    i -> named_struct(
+                      'line_no', CAST(i AS BIGINT),
+                      'line', array_join(slice(toks, 8*i + 1, 8), ' ')))"""),
+            array(struct(col("nc").as("line_no"),
+              concat(lit("contact support at extension "),
+                (col("doc_id") % 97).cast("string")).as("line"))),
+            when(col("doc_id") % 2 === 0,
+              array(struct((col("nc") + 1).as("line_no"),
+                concat(lit("copyright 2024 site "),
+                  col("doc_id").cast("string")).as("line"))))
+              .otherwise(array().cast(s"array<$lineStruct>"))).as("ls"))
+        withLines
+          .select(col("doc_id"), explode(col("ls")).as("l"))
+          .select(col("doc_id"),
+            regexp_replace(lower(col("l.line")), "[0-9]+", "#").as("shape"),
+            col("l.line").as("line"))
+          .groupBy(col("shape"))
+          .agg(count_distinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_lines"),
+            count_distinct(col("line")).as("n_raw"))
+          .filter(col("n_docs") >= 5 && col("n_raw") >= 2)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        le AS (SELECT doc_id, toks,
+                 CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nc
+               FROM t),
+        ls AS (SELECT doc_id, unnest(list_concat(list_concat(
+                 list_transform(range(0, nc), i -> {
+                   'line_no': i,
+                   'line': array_to_string(toks[8*i+1:8*i+8], ' ')}),
+                 [{'line_no': nc,
+                   'line': 'contact support at extension '
+                             || CAST(doc_id % 97 AS VARCHAR)}]),
+                 list_transform(range(0, CASE WHEN doc_id % 2 = 0
+                                              THEN 1 ELSE 0 END), i -> {
+                   'line_no': nc + 1,
+                   'line': 'copyright 2024 site '
+                             || CAST(doc_id AS VARCHAR)}))) AS l
+               FROM le),
+        sh AS (SELECT doc_id,
+                 regexp_replace(lower(l.line), '[0-9]+', '#', 'g') AS shape,
+                 l.line AS line
+               FROM ls)
+        SELECT shape, COUNT(DISTINCT doc_id) AS n_docs,
+          COUNT(*) AS n_lines, COUNT(DISTINCT line) AS n_raw
+        FROM sh GROUP BY shape
+        HAVING COUNT(DISTINCT doc_id) >= 5 AND COUNT(DISTINCT line) >= 2""")),
+
     // ---- prefix-filtered EXACT similarity join (PPJoin family) ----------
     //      the deterministic counterpart to d03's MinHash LSH: same
     //      output contract as d02 (ALL pairs with J >= 0.6, no recall
