@@ -173,8 +173,8 @@ object SimilarityOps {
     * take=1 is a partial-aggregated min-struct (map-side combine
     * collapses the nCells-way expansion before any shuffle); take>1
     * keeps the `take` nearest cells per row via a keyed window. */
-  private def assignCells(side: DataFrame, cents: DataFrame,
-                          take: Int): DataFrame = {
+  private[graft] def assignCells(side: DataFrame, cents: DataFrame,
+                                 take: Int): DataFrame = {
     val expanded = side.crossJoin(broadcast(cents))
       .withColumn("d2", call_function("vec_l2sq", col("v"), col("cv")))
     if (take == 1)
@@ -230,6 +230,39 @@ object SimilarityOps {
   def ivfNearDupsAuto(embeddings: DataFrame, minCosine: Double): DataFrame =
     ivfNearDups(embeddings, minCosine,
       graft.operators.DedupOps.autoCells(embeddings.count()))
+
+  /** IVF index maintenance WITHOUT retraining — the day-2 operation of
+    * a production vector index (FAISS add/remove_ids): an incoming
+    * batch is assigned to the EXISTING trained cells (same broadcast
+    * argmin as search-time assignment), deletions are tombstones
+    * resolved per cell, and the output is the per-cell population
+    * ledger (n_before/n_inserted/n_deleted/n_after) — the numbers that
+    * tell an operator when drift has unbalanced the cells enough to
+    * retrain (Lloyd is the EXPENSIVE pass; assignment is one scan).
+    * Every cell appears, including emptied ones. Scale shape: two
+    * broadcast-argmin scans + three keyed counts; nothing driver-side. */
+  def ivfMaintenance(base: DataFrame, incoming: DataFrame,
+                     tombstones: DataFrame, cents: DataFrame): DataFrame = {
+    val b = assignCells(prepared(base), cents, take = 1)
+      .select(col("vec_id"), col("cell"))
+    val i = assignCells(prepared(incoming), cents, take = 1)
+      .select(col("cell"))
+    val dAgg = b.join(tombstones, Seq("vec_id"), "left_semi")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_deleted"))
+    val bAgg = b.groupBy(col("cell")).agg(count(lit(1)).as("n_before"))
+    val iAgg = i.groupBy(col("cell")).agg(count(lit(1)).as("n_inserted"))
+    cents.select(col("cell"))
+      .join(bAgg, Seq("cell"), "left")
+      .join(iAgg, Seq("cell"), "left")
+      .join(dAgg, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        (coalesce(col("n_before"), lit(0L)) +
+          coalesce(col("n_inserted"), lit(0L)) -
+          coalesce(col("n_deleted"), lit(0L))).as("n_after"))
+  }
 
   /** FILTERED vector search: exact cosine top-k where corpus candidates
     * must match the query's value in `attr` (here: the embeddings

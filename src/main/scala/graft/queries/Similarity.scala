@@ -809,7 +809,63 @@ object Similarity {
           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
-  ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry :+ ivfPqRecallEntry
+  ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry :+
+    ivfPqRecallEntry :+ ivfMaintenanceEntry
+
+  private lazy val ivfMaintenanceEntry: Q =
+    // ---- IVF index maintenance without retraining (FAISS add/remove) --
+    //      day-2 of a production vector index: a new batch (the corpus
+    //      with reversed coordinates under offset ids — deterministic,
+    //      distribution-shifted so insertions spread unevenly) is
+    //      assigned to the EXISTING s20-trained cells, deletions arrive
+    //      as tombstones (vec_id % 7), and the per-cell population
+    //      ledger (before/inserted/deleted/after) is what tells the
+    //      operator when drift justifies paying for a retrain. Two
+    //      broadcast-argmin scans + three keyed counts; every cell
+    //      row present including emptied ones.
+    Q("s26_ivf_maintenance",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val trained = Clustering.refreshCentroids(
+          Clustering.lloydPasses(Clustering.corpus(s, d), k = 8, iters = 2)
+            .last)
+        val incoming = emb.select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        val tomb = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0)
+        SimilarityOps.ivfMaintenance(emb, incoming, tomb, trained)
+      },
+      Some(normCte + Clustering.lloydBodySql(8, 3) + s"""
+        , inc AS (SELECT vec_id + 1000000 AS vec_id,
+                    list_transform(range(1, len(v) + 1),
+                      i -> v[len(v) - i + 1]) AS v
+                  FROM e),
+        ab AS (SELECT vec_id, cell FROM (
+                 SELECT b.vec_id, t.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${l2sqSql("b.v", "t.cv")} ASC, t.cell ASC)
+                     AS rn
+                 FROM e b CROSS JOIN c2 t) WHERE rn = 1),
+        ai AS (SELECT vec_id, cell FROM (
+                 SELECT b.vec_id, t.cell,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY ${l2sqSql("b.v", "t.cv")} ASC, t.cell ASC)
+                     AS rn
+                 FROM inc b CROSS JOIN c2 t) WHERE rn = 1),
+        bb AS (SELECT cell, COUNT(*) AS n FROM ab GROUP BY 1),
+        ii AS (SELECT cell, COUNT(*) AS n FROM ai GROUP BY 1),
+        dd AS (SELECT cell, COUNT(*) AS n FROM ab
+               WHERE vec_id % 7 = 0 GROUP BY 1)
+        SELECT c2.cell,
+          CAST(COALESCE(bb.n, 0) AS BIGINT) AS n_before,
+          CAST(COALESCE(ii.n, 0) AS BIGINT) AS n_inserted,
+          CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_deleted,
+          CAST(COALESCE(bb.n, 0) + COALESCE(ii.n, 0) - COALESCE(dd.n, 0)
+            AS BIGINT) AS n_after
+        FROM c2
+        LEFT JOIN bb ON c2.cell = bb.cell
+        LEFT JOIN ii ON c2.cell = ii.cell
+        LEFT JOIN dd ON c2.cell = dd.cell"""))
 
   private lazy val ivfPqRecallEntry: Q =
     // ---- IVF-PQ recall@5 vs nProbe (s23's curve for the composed index)
