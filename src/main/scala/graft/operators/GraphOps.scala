@@ -611,6 +611,60 @@ object GraphOps {
         coalesce(col("edges"), lit(0L)).as("n_dir_edges"))
   }
 
+  /** Fixed-round k-truss peel (Cohen 2008) over a CANONICAL undirected
+    * edge list (u < v): every round computes per-edge triangle support
+    * over the SURVIVING edges and drops edges supported by fewer than
+    * k-2 triangles — the cohesion filter one notch stronger than
+    * k-core (a k-core survives on degree alone; a k-truss edge must sit
+    * in k-2 triangles, so loosely-attached hubs peel away). Returns the
+    * survival curve (round, n_edges) for rounds 0..`rounds` — O(rounds)
+    * output regardless of graph size; a converged peel repeats its last
+    * row (the kcorePeel fixed-round replayability contract).
+    *
+    * Scale shape per round: one triangle enumeration on the canonical
+    * a<b<c self-join (each triangle built once), one explode to its 3
+    * edges + keyed count = support, one semi-join filter — all keyed
+    * shuffles on edge endpoints. Edges advance through LAZY
+    * localCheckpoints (the kcorePeel rotation) and the whole curve
+    * aggregates in one job. Triangle enumeration cost is the classical
+    * sum-of-min-degrees bound; for skew-heavy graphs swap the canonical
+    * join for triangleStats' degree-orientation — same peel contract. */
+  def trussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def tag(e: DataFrame, round: Int): DataFrame =
+      e.select(lit(round.toLong).as("round"), col("u"))
+    var e = edges.select(col("u"), col("v")).localCheckpoint(false)
+    var tagged = tag(e, 0)
+    for (r <- 1 to rounds) {
+      val tri = e.as("x")
+        .join(e.as("y"), col("x.v") === col("y.u"))
+        .join(e.as("z"),
+          col("z.u") === col("x.u") && col("z.v") === col("y.v"))
+        .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+      val sup = tri.select(
+          explode(array(
+            struct(col("a").as("u"), col("b").as("v")),
+            struct(col("b").as("u"), col("c").as("v")),
+            struct(col("a").as("u"), col("c").as("v")))).as("ed"))
+        .groupBy(col("ed.u").as("su"), col("ed.v").as("sv"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+        .select(col("su").as("u"), col("sv").as("v"))
+      // edges in no triangle have support 0 < k-2: the semi join drops
+      // them because they never appear in `sup`
+      e = e.join(sup, Seq("u", "v"), "left_semi").localCheckpoint(false)
+      tagged = tagged.unionByName(tag(e, r))
+    }
+    val anchor = (0L to rounds.toLong).toDF("round")
+    anchor.join(
+        tagged.groupBy(col("round")).agg(count(lit(1)).as("n")),
+        Seq("round"), "left")
+      .select(col("round"), coalesce(col("n"), lit(0L)).as("n_edges"))
+  }
+
   /** HyperBall (Boldi & Vigna 2013): per-node t-hop ball-size estimates
     * from mergeable HLL sketches — the algorithm that computes
     * neighborhood functions, effective diameter, and closeness/harmonic

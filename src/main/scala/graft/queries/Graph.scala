@@ -585,6 +585,40 @@ object Graph {
         FROM hx
         ORDER BY h2x DESC, root ASC LIMIT 15""")),
 
+    // ---- k-truss survival curve -----------------------------------------
+    //      cohesion one notch above k-core: a 4-truss edge must sit in
+    //      >= 2 triangles among SURVIVING edges, so bridges and
+    //      loosely-attached hubs peel away while clique-ish co-purchase
+    //      cores survive. Fixed 3 rounds over the canonical (u<v) pair
+    //      graph, O(rounds) output (round, n_edges) — the kcorePeel
+    //      replayability contract; per round one canonical a<b<c
+    //      triangle join + one keyed support count + one semi join.
+    Q("g16_ktruss",
+      (s, d) => GraphOps.trussPeel(coPurchasePairs(s, d), k = 4,
+        rounds = 3),
+      Some {
+        val sb = new StringBuilder("WITH " + coPurchaseSql + """,
+        e0 AS (SELECT u, v FROM pairs)""")
+        for (i <- 0 until 3) sb ++= s""",
+        t$i AS (SELECT x.u AS a, x.v AS b, y.v AS c
+               FROM e$i x JOIN e$i y ON x.v = y.u
+               JOIN e$i z ON z.u = x.u AND z.v = y.v),
+        s$i AS (SELECT u, v FROM (
+                 SELECT u, v, COUNT(*) AS sup FROM (
+                   SELECT a AS u, b AS v FROM t$i
+                   UNION ALL SELECT b, c FROM t$i
+                   UNION ALL SELECT a, c FROM t$i)
+                 GROUP BY 1, 2) WHERE sup >= 2),
+        e${i + 1} AS (SELECT e.u, e.v FROM e$i e
+                JOIN s$i s ON e.u = s.u AND e.v = s.v)"""
+        sb ++= (0 to 3).map(i =>
+          s"""
+        SELECT CAST($i AS BIGINT) AS round,
+          (SELECT COUNT(*) FROM e$i) AS n_edges""")
+          .mkString("\n        UNION ALL")
+        sb.toString
+      }),
+
     // ---- modularity of the detected communities -------------------------
     //      the quality metric for g06's partition (Newman & Girvan 2004):
     //      Q = sum_c [ e_c/(2m) - (deg_c/(2m))^2 ] over the directed

@@ -368,6 +368,23 @@ class GraphOpsSpec extends SparkSpec {
       assert(est((2L, v)) == b2, s"hop2 ball of $v: got ${est((2L, v))}")
     }
   }
+  test("trussPeel: 4-truss keeps cliques, peels bridges and tails") {
+    // two 4-cliques {0,1,2,3} and {3,4,5,6} sharing vertex 3, plus a
+    // pendant path 6-7-8. Every clique edge sits in 2 triangles within
+    // its clique (4-truss support), the path edges sit in none, and the
+    // cliques only SHARE a vertex (no cross triangles) — so round 1
+    // drops exactly the 2 path edges and the curve then holds flat
+    val clique = (ids: Seq[Long]) =>
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(3L, 4L, 5L, 6L))
+      ++ Seq((6L, 7L), (7L, 8L))).toDF("u", "v")
+    val curve = GraphOps.trussPeel(edges, k = 4, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(curve == Map(0L -> 14L, 1L -> 12L, 2L -> 12L),
+      s"expected 14 -> 12 -> 12, got $curve")
+  }
+
   test("hyperBall: sink nodes get sketches and feed predecessors' balls") {
     // directed chain 0->1->2: 2 is a sink (dst-only). It must appear in
     // the output with |B(2,t)| = 1, and 1's hop-1 ball must include it —
