@@ -1864,6 +1864,76 @@ object TextOps {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM q)
         SELECT doc_id, n_tok, q9 FROM c
-        WHERE cum <= (SELECT budget FROM b)"""))
+        WHERE cum <= (SELECT budget FROM b)""")),
+
+    // ---- hashing-trick retrieval (Weinberger 2009) -----------------------
+    //      model-free document embeddings: each term hashes to one of 64
+    //      signed buckets (md5 bucket + independent md5 sign bit, the
+    //      feature-hashing construction that keeps E[<x,y>] unbiased),
+    //      weights are raw term frequencies, so every vector component —
+    //      and every dot product — is an exact INTEGER. Retrieval
+    //      against doc 1 is the sparse shape that scales: the corpus
+    //      stays as (doc, bucket, w) postings, the 64-row query vector
+    //      broadcasts, the dot product is one bucket-keyed join + one
+    //      doc-keyed sum — no dense arrays, no all-pairs. Cosine is
+    //      integer-dot over sqrt of integer norms, 1e9-quantized for the
+    //      rank; top-10 is a TakeOrdered. This is the t23 BM25 plan with
+    //      learned-free features — the cheapest possible dense-retrieval
+    //      stand-in for pipelines that cannot run a model over 100 TB.
+    Q("t40_hashed_retrieval",
+      (s, d) => {
+        val toks = Tables.documents(s, d).withColumn("toks", tokens("text"))
+        val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val feat = tf
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(CAST(term AS BINARY)), 1, 15)," +
+              " 16, 10) AS BIGINT) % 64"))
+          .withColumn("sgn", expr(
+            "CASE WHEN CAST(conv(substring(md5(CAST(concat(term, ':sign')" +
+              " AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2 = 0" +
+              " THEN 1L ELSE -1L END"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(sum(col("sgn") * col("tf")).as("w"))
+        val norms = feat.groupBy("doc_id")
+          .agg(sum(col("w") * col("w")).as("n2"))
+        val qv = feat.filter(col("doc_id") === 1L)
+          .select(col("bucket"), col("w").as("qw"))
+        val qn = norms.filter(col("doc_id") === 1L)
+          .select(col("n2").as("qn2"))
+        feat.join(broadcast(qv), "bucket")
+          .groupBy("doc_id").agg(sum(col("w") * col("qw")).as("dot"))
+          .filter(col("doc_id") =!= 1L)
+          .join(norms, "doc_id")
+          .crossJoin(broadcast(qn))
+          .select(col("doc_id"), col("dot"),
+            expr("CAST(FLOOR(dot / sqrt(CAST(n2 * qn2 AS DOUBLE))" +
+              " * 1000000000D + 0.5D) AS BIGINT)").as("score_q9"))
+          .orderBy(col("score_q9").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+                     ' +')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        ftb AS (SELECT doc_id,
+                  CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT)
+                    % 64 AS bucket,
+                  CAST(SUM((CASE WHEN CAST(concat('0x',
+                      substr(md5(term || ':sign'), 1, 15)) AS BIGINT)
+                      % 2 = 0 THEN 1 ELSE -1 END) * tf) AS BIGINT) AS w
+                FROM tf GROUP BY 1, 2),
+        nm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+               FROM ftb GROUP BY 1),
+        qv AS (SELECT bucket, w AS qw FROM ftb WHERE doc_id = 1),
+        qn AS (SELECT n2 AS qn2 FROM nm WHERE doc_id = 1),
+        dt AS (SELECT f.doc_id, CAST(SUM(f.w * qv.qw) AS BIGINT) AS dot
+               FROM ftb f JOIN qv USING (bucket)
+               WHERE f.doc_id <> 1 GROUP BY 1)
+        SELECT d.doc_id, d.dot,
+          CAST(FLOOR(d.dot / sqrt(CAST(n.n2 * (SELECT qn2 FROM qn)
+            AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS score_q9
+        FROM dt d JOIN nm n USING (doc_id)
+        ORDER BY score_q9 DESC, doc_id ASC LIMIT 10"""))
   )
 }
