@@ -752,6 +752,93 @@ object Warehouse {
           CAST(CEIL(n_rows / CEIL(n_rows /
             CAST((SELECT target FROM t) AS DOUBLE))) AS BIGINT)
             AS max_rows_per_salt
-        FROM h WHERE n_rows > (SELECT target FROM t)"""))
+        FROM h WHERE n_rows > (SELECT target FROM t)""")),
+
+    // ---- population-stability drift monitor (PSI) ------------------------
+    //      the metric production pipelines alarm on: per event_type, PSI
+    //      = Σ_bins (p_i − q_i)·ln(p_i/q_i) between the value
+    //      distribution of the FIRST time half (reference) and the
+    //      SECOND (current) — the st16 exact-μs midpoint cut. Ten
+    //      width-50 value bins (fixture values span 0..500), Laplace
+    //      +1/(n+10) smoothing so empty bins are defined, and every bin
+    //      term is 1e9-quantized before the per-type sum (the t23/t24
+    //      ln discipline: order-free integer summation, ln replayable).
+    //      Scale shape: one keyed count per (type, bin, half) + two tiny
+    //      broadcast joins (bin grid, half totals); the corpus is
+    //      scanned once. PSI > 0.2 is the conventional retrain alarm —
+    //      emitted as the raw integer so the threshold stays a reader
+    //      choice.
+    Q("w15_drift_psi",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        val mid = ev.agg((min(col("us")) +
+          expr("(max(us) - min(us)) div 2")).as("cut"))
+        val binned = ev.crossJoin(broadcast(mid))
+          .select(col("event_type"),
+            expr("least(CAST(floor(value / 50.0D) AS BIGINT), 9L)")
+              .as("bin"),
+            (col("us") < col("cut")).as("h1"))
+        val counts = binned.groupBy("event_type", "bin", "h1")
+          .agg(count(lit(1)).as("n"))
+        val totals = binned.groupBy("event_type", "h1")
+          .agg(count(lit(1)).as("tot"))
+        val grid = binned.select("event_type").distinct()
+          .crossJoin((0L to 9L).toDF("bin"))
+        val g2 = grid
+          .join(counts.filter(col("h1")).select(col("event_type"),
+            col("bin"), col("n").as("n1")), Seq("event_type", "bin"), "left")
+          .join(counts.filter(!col("h1")).select(col("event_type"),
+            col("bin"), col("n").as("n2")), Seq("event_type", "bin"), "left")
+          .join(broadcast(totals.filter(col("h1"))
+            .select(col("event_type"), col("tot").as("t1"))), "event_type")
+          .join(broadcast(totals.filter(!col("h1"))
+            .select(col("event_type"), col("tot").as("t2"))), "event_type")
+          .select(col("event_type"), col("t1"), col("t2"),
+            expr("""CAST(FLOOR(
+              ((coalesce(n1, 0L) + 1) / CAST(t1 + 10 AS DOUBLE)
+                - (coalesce(n2, 0L) + 1) / CAST(t2 + 10 AS DOUBLE))
+              * ln(((coalesce(n1, 0L) + 1) / CAST(t1 + 10 AS DOUBLE))
+                / ((coalesce(n2, 0L) + 1) / CAST(t2 + 10 AS DOUBLE)))
+              * 1000000000D + 0.5D) AS BIGINT)""").as("term_q9"))
+        g2.groupBy(col("event_type"))
+          .agg(first(col("t1")).as("n_first"), first(col("t2")).as("n_second"),
+            sum(col("term_q9")).as("psi_q9"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us
+                    FROM events),
+        c AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS cut FROM ev),
+        b AS (SELECT event_type,
+                LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+                us < (SELECT cut FROM c) AS h1
+              FROM ev),
+        cnt AS (SELECT event_type, bin, h1, COUNT(*) AS n
+                FROM b GROUP BY 1, 2, 3),
+        tot AS (SELECT event_type, h1, COUNT(*) AS tot
+                FROM b GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT event_type, g.bin
+                 FROM b CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g),
+        g2 AS (SELECT grid.event_type, t1.tot AS t1, t2.tot AS t2,
+                 CAST(FLOOR(
+                   ((COALESCE(c1.n, 0) + 1) / CAST(t1.tot + 10 AS DOUBLE)
+                     - (COALESCE(c2.n, 0) + 1) / CAST(t2.tot + 10 AS DOUBLE))
+                   * ln(((COALESCE(c1.n, 0) + 1)
+                       / CAST(t1.tot + 10 AS DOUBLE))
+                     / ((COALESCE(c2.n, 0) + 1)
+                       / CAST(t2.tot + 10 AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT) AS term_q9
+               FROM grid
+               LEFT JOIN cnt c1 ON c1.event_type = grid.event_type
+                 AND c1.bin = grid.bin AND c1.h1
+               LEFT JOIN cnt c2 ON c2.event_type = grid.event_type
+                 AND c2.bin = grid.bin AND NOT c2.h1
+               JOIN tot t1 ON t1.event_type = grid.event_type AND t1.h1
+               JOIN tot t2 ON t2.event_type = grid.event_type AND NOT t2.h1)
+        SELECT event_type, CAST(ANY_VALUE(t1) AS BIGINT) AS n_first,
+          CAST(ANY_VALUE(t2) AS BIGINT) AS n_second,
+          CAST(SUM(term_q9) AS BIGINT) AS psi_q9
+        FROM g2 GROUP BY event_type"""))
   )
 }
