@@ -773,18 +773,23 @@ object Warehouse {
         import s.implicits._
         val ev = Tables.events(s, d).select(col("event_type"),
           col("value"), unix_micros(col("ts")).as("us"))
-        val mid = ev.agg((min(col("us")) +
-          expr("(max(us) - min(us)) div 2")).as("cut"))
-        val binned = ev.crossJoin(broadcast(mid))
-          .select(col("event_type"),
+        // one-scalar driver collect (the st16 cut discipline); keeping
+        // the cut in-plan costs a re-derived min/max scan per consumer
+        val mm = ev.agg(min(col("us")), max(col("us"))).head()
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        // ONE corpus scan: everything downstream (totals, the bin grid)
+        // derives from this <= types*bins*2-row frame; checkpointed so
+        // its three consumers read the tiny result, not the corpus
+        val counts = ev.select(col("event_type"),
             expr("least(CAST(floor(value / 50.0D) AS BIGINT), 9L)")
               .as("bin"),
-            (col("us") < col("cut")).as("h1"))
-        val counts = binned.groupBy("event_type", "bin", "h1")
+            (col("us") < lit(cut)).as("h1"))
+          .groupBy("event_type", "bin", "h1")
           .agg(count(lit(1)).as("n"))
-        val totals = binned.groupBy("event_type", "h1")
-          .agg(count(lit(1)).as("tot"))
-        val grid = binned.select("event_type").distinct()
+          .localCheckpoint(false)
+        val totals = counts.groupBy("event_type", "h1")
+          .agg(sum(col("n")).as("tot"))
+        val grid = counts.select("event_type").distinct()
           .crossJoin((0L to 9L).toDF("bin"))
         val g2 = grid
           .join(counts.filter(col("h1")).select(col("event_type"),
