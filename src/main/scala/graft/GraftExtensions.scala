@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
     // whole-operator tier: plans the graft.plans.AsOfJoin logical node
     ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // SQL frontend for the same operator: asof_join / asof_join_left
+    // table functions + the rule completing their placeholder node
+    graft.plans.AsOfJoinTvf.functions.foreach(ext.injectTableFunction)
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsOfJoin)
   }
 }

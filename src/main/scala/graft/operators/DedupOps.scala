@@ -137,12 +137,30 @@ object DedupOps {
     * all-pairs on the fixture), then the shared exact verifier on the
     * surviving candidates. Hot grams land at the END of the global
     * order, so the quadratic term runs over rare grams by construction
-    * — the skew story LSH solves probabilistically, solved exactly. */
+    * — the skew story LSH solves probabilistically, solved exactly.
+    *
+    * Cache contract: the shingle-postings frame is persisted here and,
+    * per the class doc, OWNED BY THE CALLER — run your action, then
+    * `spark.catalog.clearCache()` (Bench/Verify do) or unpersist from the
+    * storage tab; repeated library calls without either accumulate pinned
+    * postings blocks (same contract as [[containmentPairs]]). */
   def prefixFilterJaccardPairs(docs: DataFrame, n: Int,
                                minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard < 1.0,
       s"minJaccard must be in (0,1), got $minJaccard")
     import org.apache.spark.sql.expressions.Window
+    // ceil(t * sz) computed EXACTLY: double arithmetic overshoots the
+    // mathematical ceiling when t*sz is an integer but the double product
+    // rounds up (t=0.55, sz=100 -> ceil(55.000000000000007) = 56), which
+    // would shorten the prefix / tighten the length filter and silently
+    // drop pairs sitting exactly at the threshold — breaking the EXACT
+    // contract. The threshold is quantized to 6 decimals (num/10^6, the
+    // resolution anyone states a Jaccard threshold at) and the bound is
+    // integer ceil-division: ceil(sz*num/den) = (sz*num + den-1) div den.
+    // sz*num stays inside 64 bits for any per-doc shingle count < 9.2e12.
+    val den = 1000000L
+    val num = math.round(minJaccard * den)
+    def ceilT(szCol: String) = expr(s"(($szCol * $num) + ${den - 1}) div $den")
     val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = posts.groupBy("gram_id").agg(count(lit(1)).as("df"))
@@ -152,14 +170,14 @@ object DedupOps {
     val pre = posts.join(df, "gram_id")
       .withColumn("rk", row_number().over(w))
       .join(sizes, "doc_id")
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .filter(col("rk") <= col("sz") - ceilT("sz") + 1)
       .select(col("doc_id"), col("gram_id"), col("sz"))
     val cands = pre.as("a")
       .join(pre.as("b"),
         col("a.gram_id") === col("b.gram_id") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") >= ceil(col("b.sz") * minJaccard) &&
-          col("b.sz") >= ceil(col("a.sz") * minJaccard))
+          col("a.sz") >= ceilT("b.sz") &&
+          col("b.sz") >= ceilT("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccardOnPosts(cands, posts, minJaccard)

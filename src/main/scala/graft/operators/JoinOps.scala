@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
 object JoinOps {
 
   /** Backward as-of join: for each left row, the most recent right row
-    * with rightTime <= leftTime on the same key (inner semantics: left
-    * rows with no prior right row are dropped).
+    * with rightTime <= leftTime on the same key. Inner semantics by
+    * default (left rows with no prior right row are dropped);
+    * `leftOuter = true` retains them with null `asof_*` columns — the
+    * ASOF LEFT JOIN shape, including SQL LEFT JOIN null-key behavior: a
+    * NULL key/time never matches but the left row itself survives.
     *
     * Implementation: tag and union both inputs, then per-key
     * last-non-null over the merged time order — right rows sort before
@@ -31,7 +34,8 @@ object JoinOps {
   def asOfJoinBackward(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
-                       rightVals: Seq[String]): DataFrame = {
+                       rightVals: Seq[String],
+                       leftOuter: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     // the right payload travels as ONE nullable struct: null on left rows,
     // non-null on every right row (even when individual fields are null),
@@ -59,11 +63,18 @@ object JoinOps {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t").asc, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged
+    val windowed = merged
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_is_left") === 1 && col("_p").isNotNull)
-      .select(leftCols.map(col) ++
-        rightVals.map(v => col(s"_p.$v").as(s"asof_$v")): _*)
+      .filter(col("_is_left") === 1)
+    val resolved =
+      if (!leftOuter) windowed.filter(col("_p").isNotNull)
+      // outer: unmatched left rows keep their null payload; null-key/time
+      // left rows (excluded from the window above) rejoin here, also
+      // null-padded — they carry _p = null already
+      else windowed.unionByName(
+        l.filter(col("_k").isNull || col("_t").isNull))
+    resolved.select(leftCols.map(col) ++
+      rightVals.map(v => col(s"_p.$v").as(s"asof_$v")): _*)
   }
 
   /** [[asOfJoinBackward]] through the NATIVE whole-operator plan
@@ -78,7 +89,8 @@ object JoinOps {
   def asOfJoinNative(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
                      leftTime: String, rightTime: String,
-                     rightVals: Seq[String]): DataFrame = {
+                     rightVals: Seq[String],
+                     leftOuter: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
@@ -96,7 +108,8 @@ object JoinOps {
         throw new IllegalArgumentException(s"column $n not found"))
     val plan = graft.plans.AsOfJoin(lPlan, rPlan,
       attr(lPlan.output, leftKey), attr(rPlan.output, rightKey),
-      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime))
+      attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
+      leftOuter)
     // positional rename: output = left columns ++ right columns, which
     // may share names — rename right side to asof_<name>, then cut to
     // the requested payload

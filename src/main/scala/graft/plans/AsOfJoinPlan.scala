@@ -11,8 +11,11 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 /** Native backward as-of join — the whole-operator Catalyst tier
   * (logical node + strategy + physical exec, injected through
   * SparkSessionExtensions): for each left row, the latest right row with
-  * rightTime <= leftTime on the same key, INNER semantics (unmatched
-  * left rows drop).
+  * rightTime <= leftTime on the same key. INNER semantics (unmatched
+  * left rows drop) by default; `leftOuter = true` retains every left row
+  * and null-pads the right columns when no prior right row exists — the
+  * enrichment-pipeline shape (DuckDB's ASOF LEFT JOIN), where losing
+  * unmatched facts silently would corrupt downstream counts.
   *
   * Why a physical operator when JoinOps.asOfJoinBackward already
   * composes it from stock pieces: the composition UNIONS both inputs
@@ -43,8 +46,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    leftTime: Expression, rightTime: Expression,
+    leftOuter: Boolean = false) extends BinaryNode {
+  // outer: the right side's attributes become nullable in the output —
+  // downstream IsNotNull simplification would otherwise wrongly prune
+  // the null-padded rows
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -54,8 +63,8 @@ case class AsOfJoin(
   * injected by [[graft.GraftExtensions]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -63,6 +72,7 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    leftOuter: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   private def isTime(e: Expression): Boolean =
@@ -74,7 +84,9 @@ case class AsOfJoinExec(
     s"as-of times must be bigint or timestamp, got " +
       s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
+                    else right.output)
 
   // both sides clustered by their key: EnsureRequirements co-partitions
   // the two shuffles (the SortMergeJoin mechanism), so zipPartitions
@@ -99,9 +111,21 @@ case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey, rOut)
     val rt = BindReferences.bindReference(rightTime, rOut)
     val outAttrs = output
+    val outer = leftOuter
+    // outer: bind against nullability-WIDENED right attributes — binding
+    // keys on exprId, but BoundReference takes its nullability from this
+    // schema, and a non-nullable one would codegen away the isNullAt
+    // check and read the pad row's null double as 0.0
+    val bindSchema =
+      if (outer) lOut ++ rOut.map(_.withNullability(true)) else lOut ++ rOut
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val joiner = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joiner = UnsafeProjection.create(outAttrs, bindSchema)
       val joined = new JoinedRow
+      // outer's pad row: one all-null GenericInternalRow reused for every
+      // unmatched left row (the projection copies, so sharing is safe)
+      val nullRight: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          rOut.length)
       new Iterator[InternalRow] {
         // O(1) merge state: the right lookahead + the latest matching
         // right row (copied — iterators reuse row objects)
@@ -150,6 +174,12 @@ case class AsOfJoinExec(
               }
               if (matched != null && matchedKey == k)
                 nextOut = joiner(joined(l, matched))
+              else if (outer)
+                nextOut = joiner(joined(l, nullRight))
+            } else if (outer) {
+              // SQL LEFT JOIN: a NULL key/time never MATCHES but the left
+              // row itself is retained, null-padded
+              nextOut = joiner(joined(l, nullRight))
             }
           }
         }

@@ -834,10 +834,16 @@ object Dedup {
           .select(col("doc_id"), tokens("text").as("toks"))
           .withColumn("nc", expr("CAST(ceil(size(toks) / 8.0) AS BIGINT)"))
           .select(col("doc_id"), concat(
-            expr("""transform(sequence(0, CAST(nc AS INT) - 1),
-                    i -> named_struct(
-                      'line_no', CAST(i AS BIGINT),
-                      'line', array_join(slice(toks, 8*i + 1, 8), ' ')))"""),
+            // nc > 0 guard: Spark's sequence(0, -1) DESCENDS to [0, -1]
+            // (two phantom lines) where DuckDB's range(0, 0) is empty —
+            // a zero-token document must contribute zero body lines
+            expr("""CASE WHEN nc > 0 THEN
+                      transform(sequence(0, CAST(nc AS INT) - 1),
+                        i -> named_struct(
+                          'line_no', CAST(i AS BIGINT),
+                          'line', array_join(slice(toks, 8*i + 1, 8), ' ')))
+                    ELSE CAST(array() AS
+                      array<struct<line_no:bigint,line:string>>) END"""),
             array(struct(col("nc").as("line_no"),
               lit(newsLine).as("line"))),
             when(col("doc_id") % 3 === 0,
@@ -1029,10 +1035,16 @@ object Dedup {
           .select(col("doc_id"), tokens("text").as("toks"))
           .withColumn("nc", expr("CAST(ceil(size(toks) / 8.0) AS BIGINT)"))
           .select(col("doc_id"), concat(
-            expr("""transform(sequence(0, CAST(nc AS INT) - 1),
-                    i -> named_struct(
-                      'line_no', CAST(i AS BIGINT),
-                      'line', array_join(slice(toks, 8*i + 1, 8), ' ')))"""),
+            // nc > 0 guard: Spark's sequence(0, -1) DESCENDS to [0, -1]
+            // (two phantom lines) where DuckDB's range(0, 0) is empty —
+            // a zero-token document must contribute zero body lines
+            expr("""CASE WHEN nc > 0 THEN
+                      transform(sequence(0, CAST(nc AS INT) - 1),
+                        i -> named_struct(
+                          'line_no', CAST(i AS BIGINT),
+                          'line', array_join(slice(toks, 8*i + 1, 8), ' ')))
+                    ELSE CAST(array() AS
+                      array<struct<line_no:bigint,line:string>>) END"""),
             array(struct(col("nc").as("line_no"),
               concat(lit("contact support at extension "),
                 (col("doc_id") % 97).cast("string")).as("line"))),

@@ -893,6 +893,64 @@ object Events {
               WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- as-of join through the SQL FRONTEND ---------------------------
+    //      e24's exact query, but the caller is a pure spark.sql user:
+    //      the asof_join TABLE FUNCTION (injectTableFunction +
+    //      ResolveAsOfJoin, graft/plans/AsOfJoinSql.scala) resolves two
+    //      temp views into the same AsOfJoinExec plan the Scala API
+    //      builds — the SQL entry point the round-12 verdict flagged as
+    //      the one custom operator without one. Same DuckDB ASOF oracle,
+    //      so a green gate pins parser→TVF→strategy→exec end-to-end.
+    Q("e25_asof_sql_tvf",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .createOrReplaceTempView("e25_purchases")
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+          .createOrReplaceTempView("e25_clicks")
+        s.sql("""SELECT * FROM asof_join('e25_purchases', 'e25_clicks',
+                   'user_id', 'user_id', 'ts', 'ts', 'ts', 'value')""")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- LEFT OUTER as-of join (native) --------------------------------
+    //      the enrichment-pipeline variant: every purchase survives, with
+    //      null asof_* where the user had no prior click — a purchase
+    //      before the user's first click would silently VANISH under
+    //      inner semantics and corrupt downstream purchase counts. Same
+    //      native exec, null-padding branch (AsOfJoinPlan.scala);
+    //      JoinOpsSpec pins equality with the composed outer twin on a
+    //      null-mixed fixture; the oracle is DuckDB's ASOF LEFT JOIN.
+    Q("e26_asof_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinNative(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"), leftOuter = true)
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

@@ -387,6 +387,9 @@ object Sketches {
         graft.expressions.VectorExpressions.registerAll(s)
         val k = 64
         val mm = graft.expressions.MinHashAgg.M
+        // persisted: feeds both the signature agg and the exact-overlap
+        // self-join. Cache lifecycle is caller-owned (the DedupOps
+        // contract): Bench/Verify clearCache() after every query action.
         val gsets = Tables.documents(s, d)
           .withColumn("toks", tokens("text"))
           .select(col("source"), explode(wordNgrams("toks", 3)).as("g"))

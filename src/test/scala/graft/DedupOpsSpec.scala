@@ -207,6 +207,33 @@ class DedupOpsSpec extends SparkSpec {
       s"prefix-filtered join must be EXACT: got $viaPrefix vs $exact")
   }
 
+  test("prefix filter keeps pairs sitting EXACTLY at the threshold") {
+    // the ADVICE r12 double-ceiling bug, pinned: with t = 0.55 the double
+    // product 0.55 * 20 = 11.000000000000002 rounds ceil() up to 12, one
+    // past the mathematical ceiling — the PPJoin length filter then
+    // demands b.sz >= 12 and prunes a pair whose Jaccard is exactly the
+    // threshold. Fixture: B's 11 unigrams are a subset of A's 20, so
+    // J = 11/20 = 0.55 == t exactly; the integer ceil-division bound must
+    // keep it. (Under the old double bound B's prefix length was even
+    // 11 - 12 + 1 = 0 — B contributed no postings at all.)
+    val wordsA = (1 to 20).map(i => s"tok$i")
+    val docs = (Seq(
+      (1L, wordsA.mkString(" ")),
+      (2L, wordsA.take(11).mkString(" "))) ++
+      // noise so the df/rarest-first machinery has real work
+      (3L to 12L).map(i => (i, s"noise$i " + (s"fill$i " * 5))))
+      .toDF("doc_id", "text")
+    val exact = DedupOps.ngramJaccardPairs(docs, n = 1, minJaccard = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)),
+      s"fixture must put exactly (1,2) at J == 0.55: $exact")
+    val viaPrefix = DedupOps
+      .prefixFilterJaccardPairs(docs, n = 1, minJaccard = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefix == exact,
+      s"threshold-boundary pair pruned: got $viaPrefix want $exact")
+  }
+
   test("prefix filter generates far fewer candidates than all-pairs") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val posts = DedupOps.shinglePostings(docs, 3)

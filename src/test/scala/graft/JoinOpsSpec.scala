@@ -85,6 +85,103 @@ class JoinOpsSpec extends SparkSpec {
       s"only-composed ${b -- a}")
   }
 
+  test("leftOuter as-of retains unmatched left rows null-padded (both forms)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:03:00"), 50.0))
+      .toDF("qk", "qts", "price")
+    val trades = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:04:00"))), // -> 100.0
+      (Some(2L), Some(ts("2024-01-01 10:02:00"))), // no prior -> null pad
+      (Some(3L), Some(ts("2024-01-01 10:10:00"))), // no quotes -> null pad
+      (None, Some(ts("2024-01-01 10:10:00"))),     // null key -> retained
+      (Some(1L), None))                            // null time -> retained
+      .toDF("k", "tts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.toString).getOrElse("-"),
+        Option(r.getTimestamp(2)).map(_.toString).getOrElse("-"),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))
+    }.toSeq.sorted
+    val composed = rows(JoinOps.asOfJoinBackward(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price"), leftOuter = true))
+    val native = rows(JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price"), leftOuter = true))
+    assert(composed.size == 5, s"every left row must survive: $composed")
+    assert(native == composed,
+      s"native-outer != composed-outer:\n$native\n$composed")
+    // the unmatched rows carry nulls, the matched one its quote
+    assert(composed.count(r => r._3 == "-" && r._4 == -1.0) == 4)
+    assert(composed.contains(
+      (1L, "2024-01-01 10:04:00.0", "2024-01-01 10:00:00.0", 100.0)))
+  }
+
+  test("leftOuter native equals composed on the dense null-mixed mix") {
+    val lefts = (0 until 400).map { i =>
+      (if (i % 29 == 0) None else Some((i * 7 % 13).toLong),
+        if (i % 31 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 997 % 5000) * 1000L)),
+        i.toLong)
+    }.toDF("k", "ts", "lid")
+    val rights = (0 until 300).map { i =>
+      (if (i % 23 == 0) None else Some((i * 5 % 13).toLong),
+        if (i % 37 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 611 % 5000) * 1000L)),
+        i.toDouble)
+    }.toDF("rk", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime).getOrElse(-1L), r.getLong(2),
+        Option(r.getTimestamp(3)).map(_.getTime).getOrElse(-1L),
+        // -1 sentinel, not NaN: tuple equality unboxes doubles, and
+        // NaN != NaN would make identical sets compare unequal
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    }.toSet
+    val a = rows(JoinOps.asOfJoinNative(lefts, rights,
+      "k", "rk", "ts", "rts", Seq("rts", "v"), leftOuter = true))
+    val b = rows(JoinOps.asOfJoinBackward(lefts, rights,
+      "k", "rk", "ts", "rts", Seq("rts", "v"), leftOuter = true))
+    assert(a.size == 400, s"outer must retain all 400 left rows, got ${a.size}")
+    assert(a == b, s"native != composed: only-native ${a -- b}, " +
+      s"only-composed ${b -- a}")
+  }
+
+  test("asof_join SQL table function plans AsOfJoinExec, equals the API") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:03:00"), 50.0))
+      .toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:04:00")),
+      (1L, ts("2024-01-01 10:05:00")),
+      (2L, ts("2024-01-01 10:02:00")),
+      (3L, ts("2024-01-01 10:10:00")))
+      .toDF("k", "tts")
+    quotes.createOrReplaceTempView("jos_quotes")
+    trades.createOrReplaceTempView("jos_trades")
+    val sqlDf = spark.sql("""SELECT * FROM asof_join('jos_trades',
+      'jos_quotes', 'k', 'qk', 'tts', 'qts', 'qts', 'price')""")
+    assert(sqlDf.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "SQL TVF must plan the custom exec")
+    assert(sqlDf.columns.toSeq == Seq("k", "tts", "asof_qts", "asof_price"),
+      s"output contract: ${sqlDf.columns.toSeq}")
+    val api = JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price"))
+    assert(sqlDf.collect().toSet == api.collect().toSet)
+    // the LEFT variant through SQL: all 4 trades survive
+    val sqlLeft = spark.sql("""SELECT * FROM asof_join_left('jos_trades',
+      'jos_quotes', 'k', 'qk', 'tts', 'qts', 'qts', 'price')""")
+    assert(sqlLeft.count() == 4)
+    // a misnamed column fails analysis with a pointed message
+    val err = intercept[Exception] {
+      spark.sql("""SELECT * FROM asof_join('jos_trades', 'jos_quotes',
+        'nope', 'qk', 'tts', 'qts', 'price')""").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("intervalOverlapJoin equals the inequality join, exactly once") {
     // seeded random intervals spanning 0-5 bins at binSec=60 — exercises
     // same-bin, adjacent-bin, and multi-bin-span pairs plus touching
