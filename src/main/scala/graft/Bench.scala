@@ -128,9 +128,20 @@ object Bench {
 
     for (pass <- 0 until Passes) {
       passSentinels(pass) += sentinelOnce()
+      // quiesce after EVERY pass-0 sentinel firing: the sentinel's own
+      // QueryExecution event rides the async listener bus and can land
+      // AFTER the next query's `before` snapshot, crediting the
+      // sentinel's ~11 plan nodes + 1 exchange to that query. Round 12
+      // saw exactly this: 12 new queries moved t05 onto a qi%20
+      // boundary and its node count "regressed" 19 -> 30 on unchanged
+      // code (reproduced at sf0.1 with t05 pinned at qi=20: 30/2 leaky,
+      // 19/1 with this drain).
+      if (pass == 0) tally.drainAndRead((0L, 0L, 0L))
       queries.zipWithIndex.foreach { case ((name, fn), qi) =>
-        if (qi > 0 && qi % SentinelEvery == 0)
+        if (qi > 0 && qi % SentinelEvery == 0) {
           passSentinels(pass) += sentinelOnce()
+          if (pass == 0) tally.drainAndRead((0L, 0L, 0L))
+        }
         if (pass == 0) setups.get(name).foreach { su =>
           val s0 = System.nanoTime()
           try su(spark, sfDir) catch { case e: Throwable =>
