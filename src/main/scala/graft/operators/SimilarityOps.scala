@@ -264,6 +264,61 @@ object SimilarityOps {
           coalesce(col("n_deleted"), lit(0L))).as("n_after"))
   }
 
+  /** The retrain DECISION over an [[ivfMaintenance]] ledger — turns the
+    * per-cell population counts into the one bit an index operator
+    * acts on: is the post-maintenance cell distribution drifted or
+    * unbalanced enough to justify paying for a Lloyd retrain?
+    *
+    * Two complementary signals, both exact:
+    *  - '''tvd''' — total variation distance between the before and
+    *    after cell-population distributions,
+    *    `sum(|n_after*TB - n_before*TA|) / (2*TA*TB)`. The numerator is
+    *    a pure BIGINT sum (order-independent, bit-exact on any engine);
+    *    the single final double division keeps the oracle hash-exact.
+    *    TVD reads "what fraction of the index mass sits in different
+    *    cells than before" — the DISTRIBUTION-shift signal that fires
+    *    even when totals barely move.
+    *  - '''imbalance''' — `max(n_after) * n_cells / TA`, the hottest
+    *    cell's load relative to uniform. An IVF probe scans whole
+    *    cells, so search cost is gated by the largest cell, not the
+    *    mean — the signal that fires when insertions PILE UP somewhere
+    *    (ratio 1 = perfectly balanced, k = everything in one cell).
+    *
+    * `retrain` = either signal over its threshold. Null (not fired)
+    * when a side is empty — an empty index has nothing to retrain, and
+    * inf/NaN would poison the comparison. Scale shape: the ledger is
+    * already cell-sized (nlist rows, KBs at any corpus size), so this
+    * is two single-row aggregates and a broadcast nested-loop of
+    * one-row frames — nothing data-sized anywhere.
+    *
+    * The recompute twin is [[graft.queries.Clustering.refreshCentroids]]:
+    * SimilarityOpsSpec pins that on a drifted fixture the flag fires
+    * AND the refresh actually reduces assignment distortion, while an
+    * in-distribution batch leaves the flag off. */
+  def retrainTrigger(ledger: DataFrame, tvdThreshold: Double,
+                     imbalanceThreshold: Double): DataFrame = {
+    val totals = ledger.agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n_before")).as("tb"),
+      sum(col("n_after")).as("ta"),
+      max(col("n_after")).as("max_after"))
+    val tvdNum = ledger.crossJoin(broadcast(totals.select("tb", "ta")))
+      .agg(coalesce(sum(abs(col("n_after") * col("tb") -
+        col("n_before") * col("ta"))), lit(0L)).as("tvd_num"))
+    val tvd = when(col("tb") > 0 && col("ta") > 0,
+      col("tvd_num").cast("double") /
+        (lit(2.0) * col("tb") * col("ta")))
+    val imbalance = when(col("ta") > 0,
+      (col("max_after") * col("n_cells")).cast("double") /
+        col("ta").cast("double"))
+    totals.crossJoin(broadcast(tvdNum))
+      .select(col("n_cells"), col("tb").as("total_before"),
+        col("ta").as("total_after"), col("tvd_num"),
+        tvd.as("tvd"), col("max_after"), imbalance.as("imbalance"),
+        (tvd > lit(tvdThreshold) ||
+          imbalance > lit(imbalanceThreshold)).as("retrain"))
+  }
+
   /** FILTERED vector search: exact cosine top-k where corpus candidates
     * must match the query's value in `attr` (here: the embeddings
     * `label` column) — the metadata-predicate + vector composition

@@ -810,7 +810,7 @@ object Similarity {
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
   ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry :+
-    ivfPqRecallEntry :+ ivfMaintenanceEntry
+    ivfPqRecallEntry :+ ivfMaintenanceEntry :+ retrainTriggerEntry
 
   private lazy val ivfMaintenanceEntry: Q =
     // ---- IVF index maintenance without retraining (FAISS add/remove) --
@@ -835,7 +835,14 @@ object Similarity {
         val tomb = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0)
         SimilarityOps.ivfMaintenance(emb, incoming, tomb, trained)
       },
-      Some(normCte + Clustering.lloydBodySql(8, 3) + s"""
+      Some(maintenanceLedgerSql +
+        " SELECT cell, n_before, n_inserted, n_deleted, n_after FROM led"))
+
+  /** s26's ledger as CTEs ending in `led` — shared verbatim by s27 so
+    * the trigger gate pins the DECISION over the exact same ledger the
+    * maintenance gate already proves. */
+  private lazy val maintenanceLedgerSql: String =
+    normCte + Clustering.lloydBodySql(8, 3) + s"""
         , inc AS (SELECT vec_id + 1000000 AS vec_id,
                     list_transform(range(1, len(v) + 1),
                       i -> v[len(v) - i + 1]) AS v
@@ -855,8 +862,8 @@ object Similarity {
         bb AS (SELECT cell, COUNT(*) AS n FROM ab GROUP BY 1),
         ii AS (SELECT cell, COUNT(*) AS n FROM ai GROUP BY 1),
         dd AS (SELECT cell, COUNT(*) AS n FROM ab
-               WHERE vec_id % 7 = 0 GROUP BY 1)
-        SELECT c2.cell,
+               WHERE vec_id % 7 = 0 GROUP BY 1),
+        led AS (SELECT c2.cell,
           CAST(COALESCE(bb.n, 0) AS BIGINT) AS n_before,
           CAST(COALESCE(ii.n, 0) AS BIGINT) AS n_inserted,
           CAST(COALESCE(dd.n, 0) AS BIGINT) AS n_deleted,
@@ -865,7 +872,62 @@ object Similarity {
         FROM c2
         LEFT JOIN bb ON c2.cell = bb.cell
         LEFT JOIN ii ON c2.cell = ii.cell
-        LEFT JOIN dd ON c2.cell = dd.cell"""))
+        LEFT JOIN dd ON c2.cell = dd.cell)"""
+
+  private lazy val retrainTriggerEntry: Q =
+    // ---- retrain trigger over the s26 ledger ---------------------------
+    //      the DECISION s26's ledger exists to feed: total-variation
+    //      distance between before/after cell distributions (BIGINT
+    //      numerator, one final double division — hash-exact) plus the
+    //      hottest-cell imbalance ratio, thresholded into a retrain
+    //      flag. Instructive negative: the reversed-coordinate batch
+    //      PERMUTES mass but lands near-proportionally, and after
+    //      mixing 50/50 with the base the after-vs-before TVD is tiny
+    //      (0.03 at sf0.001) — staying silent is the CORRECT decision
+    //      for a batch that didn't concentrate anywhere. The firing
+    //      case (a positive-orthant-folded batch piling into few
+    //      cells) plus the recompute twin (refreshCentroids strictly
+    //      reducing SSE on the drifted corpus; in-distribution batch
+    //      exactly tvd=0) are pinned in SimilarityOpsSpec.
+    Q("s27_retrain_trigger",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val trained = Clustering.refreshCentroids(
+          Clustering.lloydPasses(Clustering.corpus(s, d), k = 8, iters = 2)
+            .last)
+        val incoming = emb.select(
+          (col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        val tomb = emb.select(col("vec_id")).filter(col("vec_id") % 7 === 0)
+        SimilarityOps.retrainTrigger(
+          SimilarityOps.ivfMaintenance(emb, incoming, tomb, trained),
+          tvdThreshold = 0.15, imbalanceThreshold = 2.0)
+      },
+      Some(maintenanceLedgerSql + """
+        , tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                    CAST(SUM(n_before) AS BIGINT) AS tb,
+                    CAST(SUM(n_after) AS BIGINT) AS ta,
+                    CAST(MAX(n_after) AS BIGINT) AS max_after
+                  FROM led),
+        tn AS (SELECT CAST(COALESCE(SUM(ABS(
+                 led.n_after * tot.tb - led.n_before * tot.ta)), 0)
+                 AS BIGINT) AS tvd_num
+               FROM led CROSS JOIN tot),
+        fin AS (SELECT tot.n_cells, tot.tb AS total_before,
+                  tot.ta AS total_after, tn.tvd_num,
+                  CASE WHEN tot.tb > 0 AND tot.ta > 0 THEN
+                    CAST(tn.tvd_num AS DOUBLE) / (2.0 * tot.tb * tot.ta)
+                  END AS tvd,
+                  tot.max_after,
+                  CASE WHEN tot.ta > 0 THEN
+                    CAST(tot.max_after * tot.n_cells AS DOUBLE)
+                      / CAST(tot.ta AS DOUBLE)
+                  END AS imbalance
+                FROM tot CROSS JOIN tn)
+        SELECT n_cells, total_before, total_after, tvd_num, tvd,
+          max_after, imbalance,
+          (tvd > 0.15 OR imbalance > 2.0) AS retrain
+        FROM fin"""))
 
   private lazy val ivfPqRecallEntry: Q =
     // ---- IVF-PQ recall@5 vs nProbe (s23's curve for the composed index)

@@ -1804,10 +1804,14 @@ object TextOps {
     //      remaining budget. Identical to the full-sort semantics
     //      (the oracle IS the full cumsum) because within-bucket order
     //      is the same global tiebreak. A near-constant-quality corpus
-    //      degenerates the boundary bucket toward the whole corpus; the
-    //      production path re-applies the same histogram split
-    //      recursively inside the bucket. Budget = 2/5 of corpus tokens
-    //      (integer arithmetic both sides).
+    //      that degenerates the boundary bucket toward the whole corpus
+    //      is handled by SelectOps.tokenBudgetSelect's RECURSIVE split:
+    //      the boundary re-histograms at a finer q9 quantum, and once a
+    //      single q9 value remains, on doc_id ranges (the unique
+    //      tiebreak), so the terminal window input is bounded on ANY
+    //      input — SelectOpsSpec pins that on an all-identical-quality
+    //      corpus. Budget = 2/5 of corpus tokens (integer arithmetic
+    //      both sides).
     Q("t39_token_budget_select",
       (s, d) => {
         val quality =
@@ -1816,36 +1820,21 @@ object TextOps {
               tokenCount("toks")) * 0.2 +
             (distinctTokenCount("toks").cast("double") /
               tokenCount("toks")) * 0.4
+        // persisted: the operator's histogram levels + total agg + final
+        // selection all re-read this frame. Cache lifecycle caller-owned
+        // (the DedupOps contract): Bench/Verify clearCache() per action.
         val scored = Tables.documents(s, d)
           .withColumn("toks", tokens("text"))
           .select(col("doc_id"), tokenCount("toks").cast("long").as("n_tok"),
             floor(quality * lit(1000000000.0)).cast("long").as("q9"))
-          .withColumn("qb", expr("q9 div 4000000"))
-        // bounded driver collect: <= 251 (bucket, token-mass) rows
-        val hist = scored.groupBy(col("qb"))
-          .agg(sum(col("n_tok")).as("btok"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-          .sortBy(-_._1)
-        val total = hist.map(_._2).sum
-        val budget = total * 2 / 5
-        var above = 0L
-        var boundary = Long.MinValue
-        for ((qb, btok) <- hist if boundary == Long.MinValue)
-          if (above + btok <= budget) above += btok else boundary = qb
-        val out =
-          if (boundary == Long.MinValue) scored // everything fits
-          else {
-            val w = Window.partitionBy(col("qb"))
-              .orderBy(col("q9").desc, col("doc_id").asc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            scored.filter(col("qb") > boundary).unionByName(
-              scored.filter(col("qb") === boundary)
-                .withColumn("cum", sum(col("n_tok")).over(w))
-                .filter(col("cum") <= budget - above)
-                .drop("cum"))
-          }
-        out.select(col("doc_id"), col("n_tok"), col("q9"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // coalesce: SUM over an empty corpus is NULL (the d19 lesson)
+        val total = scored
+          .agg(coalesce(sum(col("n_tok")), lit(0L)).as("t"))
+          .collect()(0).getLong(0)
+        graft.operators.SelectOps
+          .tokenBudgetSelect(scored, budget = total * 2 / 5)
+          .select(col("doc_id"), col("n_tok"), col("q9"))
       },
       Some(s"""
         WITH t AS (SELECT doc_id, n_chars,

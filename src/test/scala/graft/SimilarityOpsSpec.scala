@@ -282,4 +282,74 @@ class SimilarityOpsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("retrainTrigger: exact TVD/imbalance math on a hand ledger") {
+    def ledger(after: Seq[Long]): DataFrame =
+      after.zipWithIndex
+        .map { case (a, c) => (c.toLong, 10L, 0L, 0L, a) }
+        .toDF("cell", "n_before", "n_inserted", "n_deleted", "n_after")
+    // TB=TA=40; tvd_num = 40*(20+5+7+8) = 1600 -> tvd = 1600/3200 = 0.5;
+    // imbalance = 30*4/40 = 3.0 -> both signals fire
+    val hot = SimilarityOps
+      .retrainTrigger(ledger(Seq(30L, 5L, 3L, 2L)), 0.15, 2.0).collect()(0)
+    assert(hot.getAs[Long]("tvd_num") == 1600L)
+    assert(hot.getAs[Double]("tvd") == 0.5)
+    assert(hot.getAs[Double]("imbalance") == 3.0)
+    assert(hot.getAs[Boolean]("retrain"))
+    // near-uniform after: tvd = 80/3200 = 0.025, imbalance = 1.1 -> off
+    val calm = SimilarityOps
+      .retrainTrigger(ledger(Seq(11L, 10L, 9L, 10L)), 0.15, 2.0).collect()(0)
+    assert(calm.getAs[Double]("tvd") == 0.025)
+    assert(calm.getAs[Double]("imbalance") == 1.1)
+    assert(!calm.getAs[Boolean]("retrain"))
+    // empty ledger: nothing to retrain — flag NULL, never inf/NaN
+    val empty = SimilarityOps.retrainTrigger(
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("cell", "n_before", "n_inserted", "n_deleted", "n_after"),
+      0.15, 2.0).collect()(0)
+    assert(empty.isNullAt(empty.fieldIndex("tvd")))
+    assert(empty.isNullAt(empty.fieldIndex("retrain")))
+  }
+
+  test("retrainTrigger: fires on drift, silent in-distribution, and the " +
+      "Lloyd refresh twin reduces distortion exactly when it fires") {
+    import graft.queries.Clustering
+    val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+    val trained = Clustering.refreshCentroids(
+      Clustering.lloydPasses(Clustering.corpus(spark, sfTiny), k = 8,
+        iters = 2).last)
+    // a batch folded into the positive orthant piles into few cells —
+    // a CONCENTRATED shift the after-vs-before TVD cannot damp away
+    // (a merely-permuted batch like coordinate reversal redistributes
+    // so mildly after the 50/50 mixture that staying silent is the
+    // CORRECT call — measured tvd 0.03 on this corpus)
+    val driftBatch = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("transform(embedding, x -> abs(x))").as("embedding"))
+    val sameBatch = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val none = emb.select(col("vec_id")).filter(lit(false))
+    def trig(batch: DataFrame): org.apache.spark.sql.Row =
+      SimilarityOps.retrainTrigger(
+        SimilarityOps.ivfMaintenance(emb, batch, none, trained),
+        tvdThreshold = 0.15, imbalanceThreshold = 2.0).collect()(0)
+    val hot = trig(driftBatch)
+    assert(hot.getAs[Boolean]("retrain"), s"drifted batch must fire: $hot")
+    // identical coordinates double every cell uniformly: tvd exactly 0,
+    // imbalance unchanged from the trained index -> flag off
+    val calm = trig(sameBatch)
+    assert(calm.getAs[Double]("tvd") == 0.0, s"$calm")
+    assert(!calm.getAs[Boolean]("retrain"), s"$calm")
+    // the recompute twin: one Lloyd step over the drifted corpus from
+    // the stale centroids strictly reduces within-cluster SSE
+    val drifted = Clustering.corpus(spark, sfTiny).unionByName(
+      SimilarityOps.prepared(driftBatch).select(col("vec_id"), col("v")))
+    val stale = Clustering.assignTo(drifted, trained)
+    val sseStale = stale.agg(sum(col("d2"))).collect()(0).getDouble(0)
+    val refreshed = Clustering.assignTo(drifted,
+      Clustering.refreshCentroids(stale))
+    val sseNew = refreshed.agg(sum(col("d2"))).collect()(0).getDouble(0)
+    assert(sseNew < sseStale,
+      s"refresh must reduce distortion on drift: $sseNew vs $sseStale")
+    spark.catalog.clearCache()
+  }
 }
