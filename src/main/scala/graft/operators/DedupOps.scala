@@ -148,6 +148,17 @@ object DedupOps {
                                minJaccard: Double): DataFrame = {
     require(minJaccard > 0.0 && minJaccard < 1.0,
       s"minJaccard must be in (0,1), got $minJaccard")
+    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifyJaccardOnPosts(
+      prefixFilterCandidatePairs(posts, minJaccard), posts, minJaccard)
+  }
+
+  /** candidate stage of [[prefixFilterJaccardPairs]], exposed so the
+    * crossover probe (and specs) can count candidates without paying
+    * for verification. `posts` = (doc_id, gram_id) postings. */
+  private[graft] def prefixFilterCandidatePairs(
+      posts: DataFrame, minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ceil(t * sz) computed EXACTLY: double arithmetic overshoots the
     // mathematical ceiling when t*sz is an integer but the double product
@@ -161,8 +172,6 @@ object DedupOps {
     val den = 1000000L
     val num = math.round(minJaccard * den)
     def ceilT(szCol: String) = expr(s"(($szCol * $num) + ${den - 1}) div $den")
-    val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = posts.groupBy("gram_id").agg(count(lit(1)).as("df"))
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val w = Window.partitionBy(col("doc_id"))
@@ -180,7 +189,7 @@ object DedupOps {
           col("b.sz") >= ceilT("a.sz"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccardOnPosts(cands, posts, minJaccard)
+    cands
   }
 
   /** exact pairwise n-gram Jaccard >= minJaccard over all doc pairs.

@@ -35,7 +35,32 @@ object JoinOps {
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
                        rightVals: Seq[String],
-                       leftOuter: Boolean = false): DataFrame = {
+                       leftOuter: Boolean = false): DataFrame =
+    asOfJoinComposed(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, leftOuter, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * rightTime >= leftTime on the same key (pandas merge_asof
+    * direction='forward' — "the next event after this one": next quote
+    * after an order, next maintenance slot after a failure). The exact
+    * time-mirror of [[asOfJoinBackward]]: the merged window scans time
+    * DESCENDING so last-non-null picks the nearest FUTURE right row;
+    * everything else (null semantics, leftOuter, cost shape) is
+    * identical. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      rightVals: Seq[String],
+                      leftOuter: Boolean = false): DataFrame =
+    asOfJoinComposed(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightVals, leftOuter, forward = true)
+
+  private def asOfJoinComposed(left: DataFrame, right: DataFrame,
+                               leftKey: String, rightKey: String,
+                               leftTime: String, rightTime: String,
+                               rightVals: Seq[String],
+                               leftOuter: Boolean,
+                               forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // the right payload travels as ONE nullable struct: null on left rows,
     // non-null on every right row (even when individual fields are null),
@@ -60,8 +85,11 @@ object JoinOps {
     // them — the divergence the native exec's equality spec caught.
     val merged = l.unionByName(rAligned)
       .filter(col("_k").isNotNull && col("_t").isNotNull)
+    // right rows sort before left rows at equal timestamps (either
+    // direction), so the time inequality stays inclusive
+    val tOrder = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t").asc, col("_is_left").asc)
+      .orderBy(tOrder, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val windowed = merged
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
@@ -90,7 +118,8 @@ object JoinOps {
                      leftKey: String, rightKey: String,
                      leftTime: String, rightTime: String,
                      rightVals: Seq[String],
-                     leftOuter: Boolean = false): DataFrame = {
+                     leftOuter: Boolean = false,
+                     forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
@@ -109,7 +138,7 @@ object JoinOps {
     val plan = graft.plans.AsOfJoin(lPlan, rPlan,
       attr(lPlan.output, leftKey), attr(rPlan.output, rightKey),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
-      leftOuter)
+      leftOuter, forward)
     // positional rename: output = left columns ++ right columns, which
     // may share names — rename right side to asof_<name>, then cut to
     // the requested payload

@@ -2,20 +2,26 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
-/** Native backward as-of join — the whole-operator Catalyst tier
+/** Native as-of join — the whole-operator Catalyst tier
   * (logical node + strategy + physical exec, injected through
   * SparkSessionExtensions): for each left row, the latest right row with
-  * rightTime <= leftTime on the same key. INNER semantics (unmatched
-  * left rows drop) by default; `leftOuter = true` retains every left row
-  * and null-pads the right columns when no prior right row exists — the
-  * enrichment-pipeline shape (DuckDB's ASOF LEFT JOIN), where losing
-  * unmatched facts silently would corrupt downstream counts.
+  * rightTime <= leftTime on the same key (backward, the default), or
+  * with `forward = true` the EARLIEST right row with rightTime >=
+  * leftTime (the pandas merge_asof direction='forward' shape — "the
+  * next quote after the order", schedule-lookup joins). INNER semantics
+  * (unmatched left rows drop) by default; `leftOuter = true` retains
+  * every left row and null-pads the right columns when no matching
+  * right row exists — the enrichment-pipeline shape (DuckDB's ASOF LEFT
+  * JOIN), where losing unmatched facts silently would corrupt
+  * downstream counts. Forward is the exact time-mirror of backward:
+  * both sides sort time-DESCENDING inside each key and the one merge
+  * comparison flips, nothing else.
   *
   * Why a physical operator when JoinOps.asOfJoinBackward already
   * composes it from stock pieces: the composition UNIONS both inputs
@@ -47,7 +53,8 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftOuter: Boolean = false) extends BinaryNode {
+    leftOuter: Boolean = false,
+    forward: Boolean = false) extends BinaryNode {
   // outer: the right side's attributes become nullable in the output —
   // downstream IsNotNull simplification would otherwise wrongly prune
   // the null-padded rows
@@ -63,8 +70,9 @@ case class AsOfJoin(
   * injected by [[graft.GraftExtensions]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, fwd,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -72,7 +80,7 @@ class AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftOuter: Boolean,
+    leftOuter: Boolean, forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   private def isTime(e: Expression): Boolean =
@@ -95,9 +103,13 @@ case class AsOfJoinExec(
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    // forward scans time DESC inside each key; the merge then keeps the
+    // last consumed right row >= t, i.e. the EARLIEST future one
+    val tDir = if (forward) Descending else Ascending
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, tDir)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, tDir)))
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
@@ -112,6 +124,7 @@ case class AsOfJoinExec(
     val rt = BindReferences.bindReference(rightTime, rOut)
     val outAttrs = output
     val outer = leftOuter
+    val fwd = forward
     // outer: bind against nullability-WIDENED right attributes — binding
     // keys on exprId, but BoundReference takes its nullability from this
     // schema, and a non-nullable one would codegen away the isNullAt
@@ -162,10 +175,12 @@ case class AsOfJoinExec(
             if (kRaw != null && tRaw != null) {
               val k = kRaw.asInstanceOf[Long]
               val t = tRaw.asInstanceOf[Long]
-              // consume right rows up to (k, t]; the LAST one with the
-              // same key becomes (or stays) the match
+              // consume right rows up to (k, t] in sort order (time DESC
+              // when forward — the comparison mirrors); the LAST one with
+              // the same key becomes (or stays) the match
               while (rHeadValid && (rHeadKey < k ||
-                  (rHeadKey == k && rHeadTime <= t))) {
+                  (rHeadKey == k &&
+                    (if (fwd) rHeadTime >= t else rHeadTime <= t)))) {
                 if (rHeadKey == k) {
                   matched = rHead.copy()
                   matchedKey = k

@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.StringType
   *                           'sym_id', 'sym_id', 'ts', 'ts',
   *                           'ts', 'px')          -- right payload cols
   *   SELECT * FROM asof_join_left(...)            -- LEFT OUTER variant
+  *   SELECT * FROM asof_join_forward(...)         -- earliest ts >= left
+  *   SELECT * FROM asof_join_forward_left(...)    -- both combined
   * }}}
   *
   * Arguments (all string literals — the TVF builder runs at resolution
@@ -43,7 +45,8 @@ object AsOfJoinTvf {
       left: LogicalPlan, right: LogicalPlan,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightVals: Seq[String], leftOuter: Boolean) extends BinaryNode {
+      rightVals: Seq[String], leftOuter: Boolean,
+      forward: Boolean) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = Nil
     override protected def withNewChildrenInternal(
@@ -58,7 +61,7 @@ object AsOfJoinTvf {
         s"$fn: argument ${i + 1} must be a string literal, got $other")
     }
 
-  private def build(fn: String, leftOuter: Boolean)(
+  private def build(fn: String, leftOuter: Boolean, forward: Boolean)(
       args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 7,
       s"$fn(leftTable, rightTable, leftKey, rightKey, leftTime, " +
@@ -70,18 +73,20 @@ object AsOfJoinTvf {
         name.split('.').toSeq)
     UnresolvedAsOfJoin(rel(parts(0)), rel(parts(1)),
       parts(2), parts(3), parts(4), parts(5),
-      parts.drop(6), leftOuter)
+      parts.drop(6), leftOuter, forward)
   }
 
   /** registration tuples for `SparkSessionExtensions.injectTableFunction` */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => LogicalPlan)] = Seq(
-    (FunctionIdentifier("asof_join"),
-      new ExpressionInfo(classOf[AsOfJoin].getName, "asof_join"),
-      build("asof_join", leftOuter = false) _),
-    (FunctionIdentifier("asof_join_left"),
-      new ExpressionInfo(classOf[AsOfJoin].getName, "asof_join_left"),
-      build("asof_join_left", leftOuter = true) _))
+      Seq[Expression] => LogicalPlan)] =
+    Seq(("asof_join", false, false), ("asof_join_left", true, false),
+      ("asof_join_forward", false, true),
+      ("asof_join_forward_left", true, true)).map {
+      case (name, outer, fwd) =>
+        (FunctionIdentifier(name),
+          new ExpressionInfo(classOf[AsOfJoin].getName, name),
+          build(name, outer, fwd) _)
+    }
 }
 
 /** Analyzer rule (injected via `injectResolutionRule`) completing
@@ -89,8 +94,8 @@ object AsOfJoinTvf {
 object ResolveAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer)
-          if l.resolved && r.resolved =>
+      case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
+          fwd) if l.resolved && r.resolved =>
         def attr(out: Seq[Attribute], n: String, side: String): Attribute =
           out.find(a => conf.resolver(a.name, n)).getOrElse(
             throw new IllegalArgumentException(
@@ -102,7 +107,8 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
         val rp = Project(r.output.map(a => Alias(a, a.name)()), r)
         val aoj = AsOfJoin(l, rp,
           attr(l.output, lk, "left"), attr(rp.output, rk, "right"),
-          attr(l.output, lt, "left"), attr(rp.output, rt, "right"), outer)
+          attr(l.output, lt, "left"), attr(rp.output, rt, "right"),
+          outer, fwd)
         // payload attrs come from aoj.output (NOT rp.output): outer mode
         // rewrites their nullability there
         val rightOut = aoj.output.drop(l.output.size)

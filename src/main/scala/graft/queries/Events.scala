@@ -951,6 +951,36 @@ object Events {
               WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                         WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- FORWARD as-of join (native) -----------------------------------
+    //      "the next event after this one": each purchase matched to the
+    //      user's EARLIEST click at-or-after it (pandas merge_asof
+    //      direction='forward' — follow-up attribution, next-slot
+    //      scheduling). Same native exec with the time sort mirrored
+    //      (key ASC, time DESC) and the one merge comparison flipped;
+    //      oracle is DuckDB ASOF with the inequality reversed
+    //      (p.ts <= c.ts). JoinOpsSpec pins native == composed on the
+    //      null-mixed fixture and the SQL TVF route (asof_join_forward).
+    Q("e27_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinNative(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"), forward = true)
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts"""))
   )
 }

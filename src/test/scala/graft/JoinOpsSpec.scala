@@ -147,6 +147,67 @@ class JoinOpsSpec extends SparkSpec {
       s"only-composed ${b -- a}")
   }
 
+  test("forward as-of picks the earliest future right row (both forms)") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (1L, ts("2024-01-01 10:04:00"), 99.5),
+      (2L, ts("2024-01-01 10:03:00"), 50.0))
+      .toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:01:00")), // next: 10:04 -> 99.5
+      (1L, ts("2024-01-01 10:04:00")), // equal time matches -> 99.5
+      (1L, ts("2024-01-01 10:06:00")), // nothing after -> dropped (inner)
+      (2L, ts("2024-01-01 10:02:00"))) // next: 10:03 -> 50.0
+      .toDF("k", "tts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getDouble(3))
+    }.toSet
+    val want = Set(
+      (1L, "2024-01-01 10:01:00.0", "2024-01-01 10:04:00.0", 99.5),
+      (1L, "2024-01-01 10:04:00.0", "2024-01-01 10:04:00.0", 99.5),
+      (2L, "2024-01-01 10:02:00.0", "2024-01-01 10:03:00.0", 50.0))
+    val composed = rows(JoinOps.asOfJoinForward(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price")))
+    val native = rows(JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price"), forward = true))
+    assert(composed == want, s"composed: $composed")
+    assert(native == want, s"native: $native")
+  }
+
+  test("forward native equals composed on the dense null-mixed mix, " +
+      "both outer and inner") {
+    val lefts = (0 until 400).map { i =>
+      (if (i % 29 == 0) None else Some((i * 7 % 13).toLong),
+        if (i % 31 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 997 % 5000) * 1000L)),
+        i.toLong)
+    }.toDF("k", "ts", "lid")
+    val rights = (0 until 300).map { i =>
+      (if (i % 23 == 0) None else Some((i * 5 % 13).toLong),
+        if (i % 37 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 611 % 5000) * 1000L)),
+        i.toDouble)
+    }.toDF("rk", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime).getOrElse(-1L), r.getLong(2),
+        Option(r.getTimestamp(3)).map(_.getTime).getOrElse(-1L),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    }.toSet
+    for (outer <- Seq(false, true)) {
+      val a = rows(JoinOps.asOfJoinNative(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v"),
+        leftOuter = outer, forward = true))
+      val b = rows(JoinOps.asOfJoinForward(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v"), leftOuter = outer))
+      assert(a == b, s"outer=$outer: only-native ${a -- b}, " +
+        s"only-composed ${b -- a}")
+      if (outer) assert(a.size == 400)
+    }
+  }
+
   test("asof_join SQL table function plans AsOfJoinExec, equals the API") {
     val quotes = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100.0),
@@ -174,6 +235,12 @@ class JoinOpsSpec extends SparkSpec {
     val sqlLeft = spark.sql("""SELECT * FROM asof_join_left('jos_trades',
       'jos_quotes', 'k', 'qk', 'tts', 'qts', 'qts', 'price')""")
     assert(sqlLeft.count() == 4)
+    // the FORWARD variant through SQL equals the forward API
+    val sqlFwd = spark.sql("""SELECT * FROM asof_join_forward('jos_trades',
+      'jos_quotes', 'k', 'qk', 'tts', 'qts', 'qts', 'price')""")
+    val apiFwd = JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("qts", "price"), forward = true)
+    assert(sqlFwd.collect().toSet == apiFwd.collect().toSet)
     // a misnamed column fails analysis with a pointed message
     val err = intercept[Exception] {
       spark.sql("""SELECT * FROM asof_join('jos_trades', 'jos_quotes',
