@@ -305,8 +305,12 @@ object GraphOps {
   def connectedComponents(und: DataFrame, maxRounds: Int = 30): DataFrame =
     ccWithRounds(und, maxRounds)._1
 
-  private[graft] def ccWithRounds(und: DataFrame,
-                                  maxRounds: Int): (DataFrame, Int) = {
+  private[graft] def ccWithRounds(und: DataFrame, maxRounds: Int,
+      // observability hook (GraphTailProbe): called after each round's
+      // signature action with (round, seconds) — the ONLY per-round
+      // action, so its wall IS the round's wall (lazy checkpoints
+      // materialize inside it; there is no separate checkpoint pass)
+      onRound: (Int, Double) => Unit = null): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
@@ -362,8 +366,10 @@ object GraphOps {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val nextSig = signature(next)
+      if (onRound != null) onRound(rounds, (System.nanoTime() - t0) / 1e9)
       e = next
       converged = nextSig == sig
       sig = nextSig

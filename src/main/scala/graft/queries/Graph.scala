@@ -134,7 +134,7 @@ object Graph {
 
   /** co-purchase part graph: canonical (u < v) pairs co-ordered >= 2
     * times — shared by g02 (triangles) and g04 (components) */
-  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     li.as("x")

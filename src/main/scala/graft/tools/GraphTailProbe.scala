@@ -34,7 +34,14 @@ object GraphTailProbe {
       scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val listener = new SparkListener {
       override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
-        val name = ev.stageInfo.name.takeWhile(_ != '\n')
+        // AQE materializes stages from its thread pool, so the SHORT
+        // callsite is a CompletableFuture lambda; the long form
+        // (stageInfo.details) still carries the user stack — attribute
+        // to its first graft frame
+        val name = ev.stageInfo.details.split('\n')
+          .find(l => l.contains("graft.") && !l.contains("GraphTailProbe"))
+          .map(_.trim.replaceAll("^at ", ""))
+          .getOrElse(ev.stageInfo.name.takeWhile(_ != '\n'))
         val ms = Option(ev.stageInfo.taskMetrics)
           .map(_.executorRunTime).getOrElse(0L)
         val (n0, t0) = bydSite.getOrElse(name, (0L, 0L))
@@ -42,11 +49,28 @@ object GraphTailProbe {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // the g08 composition, phase-timed: base CC (per-round walls via
+    // the ccWithRounds hook), then the incremental batch step
+    import org.apache.spark.sql.functions._
+    val p = graft.queries.Graph.coPurchasePairs(spark, d).persist()
+    val baseE = p.filter((col("u") + col("v")) % 10 =!= 0)
+    val batch = p.filter((col("u") + col("v")) % 10 === 0)
+    p.count() // stage the edge build outside the phase walls
+    val roundWalls = scala.collection.mutable.ArrayBuffer[Double]()
     val t0 = System.nanoTime()
-    graft.queries.Registry.queries("g08_incremental_components")(spark, d)
+    val (labels, rounds) = graft.operators.GraphOps.ccWithRounds(baseE,
+      maxRounds = 30, onRound = (_, s) => roundWalls += s)
+    labels.write.format("noop").mode("overwrite").save()
+    val tBase = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    graft.operators.GraphOps.incrementalComponents(labels, batch)
       .write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val tInc = (System.nanoTime() - t1) / 1e9
+    val wall = tBase + tInc
     spark.sparkContext.removeSparkListener(listener)
+    println(f"base CC: $tBase%.2f s over $rounds rounds " +
+      f"(${roundWalls.map(w => f"$w%.2f").mkString(", ")}), " +
+      f"then labels join+save; incremental step: $tInc%.2f s")
     // drain the async listener bus before reading (the Bench lesson)
     Thread.sleep(1500)
     val rows = bydSite.toSeq.sortBy(-_._2._2)

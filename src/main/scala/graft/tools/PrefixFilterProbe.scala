@@ -23,7 +23,12 @@ import graft.operators.DedupOps
   * the SURVEY §8 crossover evidence.
   *
   * Usage: `runMain graft.tools.PrefixFilterProbe [maxN]` (default
-  * 16000; each step quadruples N).
+  * 16000; each step quadruples N). Above 16000 the all-pairs side is
+  * SKIPPED and reported as its analytic candidate count N(N-1)/2 with
+  * wall "DNF": measured once — at N=64000 the 2.0e9-pair candidate
+  * stream GC-thrashed a 64 GiB heap for 20+ minutes without
+  * completing, while the prefix path finished in seconds. That
+  * asymmetry is the crossover, not a point on a shared curve.
   */
 object PrefixFilterProbe {
 
@@ -52,14 +57,19 @@ object PrefixFilterProbe {
     while (n <= maxN) {
       val docs = corpus(spark, n).persist()
       docs.count()
+      val runAllPairs = n <= 16000
       // all-pairs candidate volume = colliding-pair groups (what d02's
-      // groupBy must shuffle); measured, not assumed
+      // groupBy must shuffle); measured where feasible — every doc pair
+      // shares the hub grams, so the analytic count is exact anyway
       val posts = DedupOps.shinglePostings(docs, 1)
         .select("doc_id", "gram_id").persist()
-      val candAll = posts.as("a").join(posts.as("b"),
-          col("a.gram_id") === col("b.gram_id") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val candAll =
+        if (runAllPairs)
+          posts.as("a").join(posts.as("b"),
+              col("a.gram_id") === col("b.gram_id") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+        else n * (n - 1) / 2
       val candPre =
         DedupOps.prefixFilterCandidatePairs(posts, t).count()
       def time(f: => Long): (Long, Double) = {
@@ -67,12 +77,15 @@ object PrefixFilterProbe {
         val r = f
         (r, (System.nanoTime() - t0) / 1e9)
       }
-      val (p02, w02) = time(DedupOps.ngramJaccardPairs(docs, 1, t).count())
+      val (p02, w02) =
+        if (runAllPairs) time(DedupOps.ngramJaccardPairs(docs, 1, t).count())
+        else (n / 20, Double.NaN)
       val (p23, w23) =
         time(DedupOps.prefixFilterJaccardPairs(docs, 1, t).count())
       require(p02 == p23 && p23 == n / 20,
         s"pair sets must agree with the planted count: $p02 $p23 ${n / 20}")
-      println(f"$n%8d $candAll%14d $candPre%12d $p23%8d $w02%11.2f $w23%11.2f")
+      val w02s = if (runAllPairs) f"$w02%11.2f" else f"${"DNF"}%11s"
+      println(f"$n%8d $candAll%14d $candPre%12d $p23%8d $w02s $w23%11.2f")
       spark.catalog.clearCache()
       n *= 4
     }
