@@ -762,5 +762,72 @@ object StreamingQueries {
         WHERE epoch_us(e.ts) >= (SELECT cut FROM c)
           AND NOT EXISTS (SELECT 1 FROM h
             WHERE h.user_id = e.user_id AND h.props = e.props)"""))
+  ,
+
+    // ---- streaming as-of enrichment -------------------------------------
+    //      e24's as-of join as a LIVE state machine: clicks and purchases
+    //      interleave on one stream; per-user state is the latest click
+    //      (one (ts, value) pair — the as-of merge's O(1) state in the
+    //      state store), each purchase emits its enrichment on arrival.
+    //      The replay is 8 TIME-RANGED files delivered one per trigger in
+    //      ascending order (the setup writes slices SEQUENTIALLY because
+    //      FileStreamSource orders by modification time — st09's
+    //      simultaneous range write is fine for its commutative agg but
+    //      would be an ordering bug here), so state genuinely crosses
+    //      batches and the result equals the batch ASOF JOIN — the SAME
+    //      DuckDB oracle as e24/e25, now pinning the streaming plan too.
+    Q("st17_stream_asof",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st17-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        import child.implicits._
+        val stream = child.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base)
+        val input = stream
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("event_type") === "purchase").as("is_purchase"),
+            col("value"))
+          .as[graft.streaming.EventStreams.AsOfInput]
+        val q = graft.streaming.EventStreams.asOfEnrichStream(input)
+          .writeStream.format("memory").queryName("st17")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        child.table("st17")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+      // time-ranged slices written ONE AT A TIME with strictly
+      // increasing mtimes — delivery order IS time order
+      setup = Some((s, d) => {
+        val dir = scratchRoot.resolve(
+          "st17-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .withColumn("_sec", unix_micros(col("ts")))
+          .persist()
+        val Array(lo, hi) = ev.agg(min(col("_sec")), max(col("_sec")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val w = math.max(1L, (hi - lo) / 8 + 1)
+        for (i <- 0 until 8) {
+          ev.filter(col("_sec") >= lo + i * w &&
+              col("_sec") < lo + (i + 1) * w)
+            .drop("_sec").coalesce(1)
+            .write.mode(if (i == 0) "overwrite" else "append")
+            .option("compression", "zstd").parquet(dir)
+          Thread.sleep(15)
+        }
+        ev.unpersist()
+      }))
   )
 }

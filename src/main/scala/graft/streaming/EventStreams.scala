@@ -94,6 +94,61 @@ object EventStreams {
       }
   }
 
+  case class AsOfInput(event_id: Long, user_id: Long, ts: Timestamp,
+                       is_purchase: Boolean, value: Double)
+  case class AsOfState(ts: Timestamp, value: Double)
+  case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     asof_ts: Timestamp, asof_value: Double)
+
+  /** Streaming backward as-of enrichment — e24's operator as a live
+    * state machine: one interleaved stream of reference rows (clicks,
+    * `is_purchase = false`) and fact rows (purchases); each fact is
+    * enriched with the LATEST reference at-or-before its event time on
+    * the same key. Per-key state is ONE (ts, value) pair however long
+    * the stream runs — the as-of join's O(1) merge state (see
+    * AsOfJoinExec) living in the state store.
+    *
+    * Correctness contract: within a micro-batch, events are processed
+    * in event-time order (microsecond-exact — `Timestamp.getTime` is
+    * millis and would tear sub-ms order, the reason for the Instant
+    * math below) with references before facts at equal timestamps, so
+    * "<=" is inclusive. ACROSS batches the operator sees arrival
+    * order; delivered time-ascending (a time-ranged file split, a
+    * time-ordered log), the result equals the batch ASOF JOIN exactly
+    * — the st17 gate replays 8 time-ranged files against the e24
+    * DuckDB oracle. A production deployment tolerating late reference
+    * data would buffer facts behind a watermark instead; that variant
+    * trades latency for reordering tolerance, the same design axis as
+    * st13/st15's withheld-tail convention.
+    *
+    * Inner semantics: facts with no prior reference emit nothing (the
+    * e24 contract). NoTimeout: state is one pair per key, bounded by
+    * key cardinality; an unbounded-key stream would add an event-time
+    * timeout eviction like [[sessionize]]'s. */
+  def asOfEnrichStream(events: Dataset[AsOfInput]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsOfInput],
+         state: GroupState[AsOfState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_purchase))
+          val out = Seq.newBuilder[AsOfOut]
+          var st = state.getOption
+          sorted.foreach { e =>
+            if (!e.is_purchase) st = Some(AsOfState(e.ts, e.value))
+            else st.foreach(c =>
+              out += AsOfOut(e.event_id, userId, e.ts, c.ts, c.value))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** stream-static enrichment: join each streaming event to a static
     * dimension frame. Spark plans the static side as a broadcast per
     * micro-batch (re-resolved each batch, so slowly-changing dims are

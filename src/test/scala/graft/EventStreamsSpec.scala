@@ -122,6 +122,46 @@ class EventStreamsSpec extends SparkSpec {
         (7L, "2024-01-01 09:00:00.0", "2024-01-01 09:05:00.0", 2L)))
     } finally q.stop()
   }
+  test("asOfEnrichStream: state crosses batches, ties inclusive, " +
+      "facts without priors drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{AsOfInput, AsOfOut}
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_st")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_st").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString, r.getDouble(4)))
+      .toSet
+    try {
+      // batch 1: a purchase BEFORE any click drops; a click seeds state;
+      // an equal-timestamp purchase matches it (inclusive <=); within
+      // the batch, arrival order is scrambled — event-time sort rules
+      input.addData(
+        AsOfInput(100L, 1L, ts("2024-01-01 10:05:00"), true, 0.0),
+        AsOfInput(101L, 1L, ts("2024-01-01 10:01:00"), true, 0.0),
+        AsOfInput(0L, 1L, ts("2024-01-01 10:05:00"), false, 7.5),
+        AsOfInput(1L, 1L, ts("2024-01-01 10:03:00"), false, 3.5))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, "2024-01-01 10:05:00.0", 7.5)),
+        s"batch 1: ${rows()}")
+      // batch 2: the 10:05 click survives IN STATE across the batch
+      // boundary; a fresher click then supersedes it for later facts
+      input.addData(
+        AsOfInput(102L, 1L, ts("2024-01-01 10:10:00"), true, 0.0),
+        AsOfInput(2L, 1L, ts("2024-01-01 10:12:00"), false, 9.0),
+        AsOfInput(103L, 1L, ts("2024-01-01 10:15:00"), true, 0.0),
+        // a different key starts from empty state — no cross-talk
+        AsOfInput(104L, 2L, ts("2024-01-01 10:15:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (100L, "2024-01-01 10:05:00.0", 7.5),
+        (102L, "2024-01-01 10:05:00.0", 7.5),
+        (103L, "2024-01-01 10:12:00.0", 9.0)), s"batch 2: ${rows()}")
+    } finally q.stop()
+  }
+
   test("st16 novelty filter: both bloom branches carry traffic") {
     // the split direction matters: keep-probable-matches (the semi-join
     // bloom composition) would drop exactly the novel traffic — this
