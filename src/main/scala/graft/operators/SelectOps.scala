@@ -155,4 +155,20 @@ object SelectOps {
     }
     (picked.foldLeft(result)(_ unionByName _), levels.toSeq)
   }
+
+  /** Efraimidis–Spirakis (2006) weighted-sampling-without-replacement
+    * key, quantized for cross-engine exactness: a row with weight w and
+    * uniform draw u gets key u^(1/w); taking the k LARGEST keys is an
+    * exact weight-proportional sample without replacement. Comparing
+    * -ln(u)/w ASCENDING is the same order without the overflow-prone
+    * power, and multiplying by an INVERSE-weight column keeps the
+    * expression one ln away from exact: `-ln(u) * invW`. The single
+    * transcendental is quantized at `quantum` (default 1e6 — coarse
+    * enough that a 1-ulp libm disagreement between JVM and a C engine
+    * cannot flip the rounded key, the t23/t24 ln discipline) so a
+    * DuckDB oracle replays the key bit-for-bit; ties break on the
+    * caller's id column downstream. u must lie in (0, 1], invW > 0. */
+  def esSampleKeyQ(u: Column, invW: Column,
+                   quantum: Double = 1e6): Column =
+    floor((-log(u)) * invW * lit(quantum) + lit(0.5)).cast("long")
 }

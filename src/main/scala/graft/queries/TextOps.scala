@@ -1923,6 +1923,45 @@ object TextOps {
           CAST(FLOOR(d.dot / sqrt(CAST(n.n2 * (SELECT qn2 FROM qn)
             AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS score_q9
         FROM dt d JOIN nm n USING (doc_id)
-        ORDER BY score_q9 DESC, doc_id ASC LIMIT 10"""))
+        ORDER BY score_q9 DESC, doc_id ASC LIMIT 10""")),
+
+    // ---- temperature-balanced sampling (Efraimidis–Spirakis 2006) -------
+    //      the source-mixing sampler a pretraining pipeline runs last:
+    //      sample docs WITHOUT replacement with per-doc weight
+    //      1/sqrt(n_source), so a source's total share scales like
+    //      sqrt(n) — temperature tau = 0.5 between proportional (tau=1)
+    //      and uniform-over-sources (tau=0). One ES key per row
+    //      (u^(1/w) order, computed as -ln(u)*sqrt(n) ascending —
+    //      SelectOps.esSampleKeyQ), u drawn deterministically from the
+    //      portable md5 of doc_id (the d20/t40 convention), k=500 via
+    //      TakeOrdered. Exact weight-proportional WOR sampling in one
+    //      scan + a broadcast of source counts — no per-source passes,
+    //      no driver state; the one transcendental is 1e6-quantized so
+    //      the oracle replays the key bit-for-bit.
+    Q("t41_temperature_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val u = expr("(CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING)" +
+          " AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 999999999 + 1)" +
+          " / 1000000000D")
+        docs.join(broadcast(ns), "source")
+          .withColumn("es_q6", graft.operators.SelectOps.esSampleKeyQ(
+            u, sqrt(col("n").cast("double"))))
+          .select(col("doc_id"), col("source"), col("es_q6"))
+          .orderBy(col("es_q6").asc, col("doc_id").asc)
+          .limit(500)
+      },
+      Some("""
+        WITH ns AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        k AS (SELECT d.doc_id, d.source,
+                CAST(FLOOR(-ln((CAST(concat('0x',
+                    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 999999999 + 1) / 1000000000.0)
+                  * sqrt(CAST(ns.n AS DOUBLE)) * 1000000.0 + 0.5)
+                  AS BIGINT) AS es_q6
+              FROM documents d JOIN ns USING (source))
+        SELECT doc_id, source, es_q6 FROM k
+        ORDER BY es_q6 ASC, doc_id ASC LIMIT 500"""))
   )
 }

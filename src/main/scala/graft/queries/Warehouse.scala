@@ -844,6 +844,64 @@ object Warehouse {
         SELECT event_type, CAST(ANY_VALUE(t1) AS BIGINT) AS n_first,
           CAST(ANY_VALUE(t2) AS BIGINT) AS n_second,
           CAST(SUM(term_q9) AS BIGINT) AS psi_q9
-        FROM g2 GROUP BY event_type"""))
+        FROM g2 GROUP BY event_type""")),
+
+    // ---- SCD2 history from a change STREAM + incremental merge ----------
+    //      w01 is the one-shot MERGE (one update per key, literal dates);
+    //      this is the day-2 form a dimension actually lives by: a change
+    //      log (click events as profile updates, deduped to one change
+    //      per (key, ts)) becomes chained validity intervals
+    //      [valid_from, valid_to) via a per-key lead() window, and a NEW
+    //      batch of changes merges INCREMENTALLY — untouched keys pass
+    //      through untouched, touched keys close their open interval at
+    //      the key's first batch change, batch changes chain on top. The
+    //      oracle rebuilds the history from the FULL log in one pass, so
+    //      equality proves merge == rebuild (the g08/d13 incremental
+    //      pattern for warehouse dimensions). Contract: batch changes are
+    //      later than every base change for the key (the time-cut split
+    //      guarantees it; a production feed gets it from log order). All
+    //      shuffles are key-hashed; no global sort anywhere.
+    Q("w16_scd2_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ch = Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("value"))
+        val Array(mn, mx) = ch
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = mn + (mx - mn) / 2
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from").asc)
+        def scd2(changes: org.apache.spark.sql.DataFrame) = changes
+          .select(col("user_id"), col("ts").as("valid_from"), col("value"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        val dim = scd2(ch.filter(unix_micros(col("ts")) < cut))
+        val batch = ch.filter(unix_micros(col("ts")) >= cut)
+        val touched = batch.select(col("user_id")).distinct()
+        val untouched = dim.join(touched, Seq("user_id"), "left_anti")
+        val closedHist = dim.join(touched, Seq("user_id"), "left_semi")
+          .filter(col("valid_to").isNotNull)
+        val firstChange = batch.groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_ts"))
+        val closedCurrent = dim.filter(col("valid_to").isNull)
+          .drop("valid_to")
+          .join(firstChange, Seq("user_id"))
+          .withColumnRenamed("first_ts", "valid_to")
+        val newRows = scd2(batch)
+        untouched.unionByName(closedHist)
+          .unionByName(closedCurrent.select(untouched.columns.map(col): _*))
+          .unionByName(newRows)
+          .withColumn("is_current", col("valid_to").isNull)
+      },
+      Some("""
+        WITH ch AS (SELECT user_id, ts, MAX(value) AS value
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        SELECT user_id, ts AS valid_from, value,
+          LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+          (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+            AS is_current
+        FROM ch"""))
   )
 }

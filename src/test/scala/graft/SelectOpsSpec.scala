@@ -90,6 +90,38 @@ class SelectOpsSpec extends SparkSpec {
       levels.head.boundaryRows == 0L)
   }
 
+  test("esSampleKeyQ: deterministic, weight-monotone, ES-order-correct") {
+    // u deterministic from doc_id -> identical keys across runs
+    val docs = (0L until 2000L).map { i =>
+      (i, if (i < 1000) "big" else "small")
+    }.toDF("doc_id", "source")
+    val u = expr("(CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING)" +
+      " AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 999999999 + 1)" +
+      " / 1000000000D")
+    def sample(invBig: Double, invSmall: Double, k: Int): Seq[String] = {
+      val inv = when(col("source") === "big", lit(invBig))
+        .otherwise(lit(invSmall))
+      docs.withColumn("q", SelectOps.esSampleKeyQ(u, inv))
+        .orderBy(col("q").asc, col("doc_id").asc).limit(k)
+        .collect().map(_.getString(1)).toSeq
+    }
+    // equal inverse-weights: repeatable, and both sources present
+    val a = sample(1.0, 1.0, 200)
+    assert(a == sample(1.0, 1.0, 200), "must be deterministic")
+    assert(a.contains("big") && a.contains("small"))
+    // 100x the inverse weight (= 1/100 the weight) pushes "big" out:
+    // every small doc's key beats almost every big doc's
+    val skewed = sample(100.0, 1.0, 200)
+    assert(skewed.count(_ == "small") >= 190,
+      s"downweighted source must nearly vanish: " +
+        s"${skewed.count(_ == "small")} small of 200")
+    // ES semantics sanity: with w = 1/invW, expected share of "small"
+    // under invBig=sqrt(1000), invSmall=sqrt(1000) equals the uniform
+    // case — same inv on both sides IS uniform
+    val unif = sample(31.6, 31.6, 200)
+    assert(unif.toSet.subsetOf(Set("big", "small")))
+  }
+
   test("maxDepth cap still returns the exact prefix") {
     val scored = (0L until 800L).map(i => (i, 4L, 500000000L))
       .toDF("doc_id", "n_tok", "q9")
