@@ -192,6 +192,30 @@ object DedupOps {
     cands
   }
 
+  /** Edit-distance-1 join via deletion neighborhoods (FastSS 2007 /
+    * SymSpell): every distinct string generates itself + its |s|
+    * single-deletion variants; ED<=1 pairs MUST share a variant
+    * (substitution at i — both i-deletions equal; insert/delete — one
+    * side's deletion equals the other verbatim), so one equi-join on
+    * the variant key yields candidates LINEAR in corpus x length,
+    * never all-pairs, and exact levenshtein verifies. Input: a `str`
+    * column (assumed distinct, non-empty). Output: (a, b, dist) with
+    * a < b, dist <= 1. */
+  def symspellPairs(strs: DataFrame): DataFrame = {
+    val vars = strs.select(col("str"), explode(expr(
+      """concat(array(str),
+           transform(sequence(1, length(str)),
+             i -> concat(substring(str, 1, i - 1),
+                         substring(str, i + 1, length(str)))))"""))
+      .as("var"))
+    vars.as("a").join(vars.as("b"),
+        col("a.var") === col("b.var") && col("a.str") < col("b.str"))
+      .select(col("a.str").as("a"), col("b.str").as("b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   /** exact pairwise n-gram Jaccard >= minJaccard over all doc pairs.
     * At 100 TB run this only on LSH candidates (see minHashCandidates) —
     * kept as its own operator because it IS the exact verifier. */

@@ -1105,6 +1105,36 @@ object Dedup {
     Q("d23_prefix_filter_join",
       (s, d) => DedupOps.prefixFilterJaccardPairs(Tables.documents(s, d),
         n = 3, minJaccard = 0.6),
-      Some(jaccardCte + jaccardSelect))
+      Some(jaccardCte + jaccardSelect)),
+
+    // ---- edit-distance join via deletion neighborhoods (FastSS/SymSpell)
+    //      the string-variant near-dup the Jaccard family can't see:
+    //      pairs within edit distance 1 (typos, off-by-one ids). Each
+    //      distinct string generates itself + its |s| single-deletion
+    //      variants; ED<=1 pairs MUST share a variant (substitution at i
+    //      -> both i-deletions equal; insertion/deletion -> one side's
+    //      deletion equals the other verbatim — the FastSS completeness
+    //      argument, k=1), so ONE equi-join on the variant key yields
+    //      candidates linear in corpus x length, never all-pairs, and
+    //      exact levenshtein verifies. The production spell-correction
+    //      blocking (SymSpell) as a relational plan: explode + shuffle
+    //      on the variant + verify — holds at any corpus size because
+    //      postings grow with |s|, not with pair count.
+    Q("d25_symspell_join",
+      (s, d) => DedupOps.symspellPairs(
+        Tables.events(s, d).select(col("props").as("str")).distinct()
+          .filter(length(col("str")) > 0)),
+      Some("""
+        WITH s AS (SELECT DISTINCT props AS str FROM events
+                   WHERE length(props) > 0),
+        v AS (SELECT str, unnest(list_prepend(str,
+                list_transform(range(1, length(str) + 1),
+                  i -> substr(str, 1, i - 1)
+                    || substr(str, i + 1, length(str))))) AS var
+              FROM s),
+        c AS (SELECT DISTINCT a.str AS a, b.str AS b
+              FROM v a JOIN v b ON a.var = b.var AND a.str < b.str)
+        SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+        FROM c WHERE levenshtein(a, b) <= 1"""))
   )
 }

@@ -234,6 +234,31 @@ class DedupOpsSpec extends SparkSpec {
       s"threshold-boundary pair pruned: got $viaPrefix want $exact")
   }
 
+  test("symspellPairs: FastSS completeness at k=1, ED=2 excluded") {
+    // every ED<=1 relation class: substitution (cat/cut), deletion/
+    // insertion (cat/cart, cat/at), identical-length swap counts as 2
+    // (cat/act is ED 2 via one sub? no: c<->a swap = 2 subs) — excluded
+    val strs = Seq("cat", "cut", "cart", "at", "act", "dog", "dot", "xyz")
+      .toDF("str")
+    val got = DedupOps.symspellPairs(strs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // brute-force ground truth over all pairs
+    val all = Seq("cat", "cut", "cart", "at", "act", "dog", "dot", "xyz")
+    def ed(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for (a <- all; b <- all if a < b && ed(a, b) <= 1)
+      yield (a, b)).toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    assert(want.contains(("at", "cat")) && want.contains(("cat", "cut")) &&
+      !want.contains(("act", "cat")), "fixture must exercise all classes")
+  }
+
   test("prefix filter generates far fewer candidates than all-pairs") {
     val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val posts = DedupOps.shinglePostings(docs, 3)
