@@ -156,20 +156,29 @@ object JoinOps {
     * window of that length can span — then the exact range predicate
     * filters within the bin pairs. One shuffle on the bin key; cost is
     * linear in events-per-bin, not in the cross product. Column names
-    * must be disjoint between the two inputs. */
+    * must be disjoint between the two inputs. Optional `keys` add
+    * equality predicates INTO the bin join (e.g. same-user pairs only),
+    * which shrinks both the shuffle groups and the within-bin pairing —
+    * at scale the keyed form is the one to use whenever an equality key
+    * exists (e28 attribution: (user, bin) groups instead of whole
+    * bins). */
   def rangeJoinBinned(left: DataFrame, right: DataFrame,
                       leftTime: String, rightTime: String,
-                      windowSec: Long): DataFrame = {
+                      windowSec: Long,
+                      keys: Seq[(String, String)] = Nil): DataFrame = {
     require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "left/right column names must be disjoint")
     val binMicros = windowSec * 1000000L
     val lBin = expr(s"unix_micros($leftTime) div $binMicros")
     val l = left.withColumn("_bin", explode(array(lBin - 1, lBin)))
     val r = right.withColumn("_bin", expr(s"unix_micros($rightTime) div $binMicros"))
-    l.join(r, "_bin")
+    val cond = keys.foldLeft(l("_bin") === r("_bin")) {
+      case (c, (lk, rk)) => c && l(lk) === r(rk)
+    }
+    l.join(r, cond)
       .filter(col(rightTime) >= col(leftTime) - expr(s"INTERVAL $windowSec SECONDS") &&
         col(rightTime) <= col(leftTime))
-      .drop("_bin")
+      .drop(l("_bin")).drop(r("_bin"))
   }
 
   /** Bloom semi-join reduction: filter `fact` down to rows whose key

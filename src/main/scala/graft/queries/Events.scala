@@ -981,6 +981,45 @@ object Events {
               WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts <= c.ts"""))
+          ON p.user_id = c.user_id AND p.ts <= c.ts""")),
+
+    // ---- linear multi-touch attribution --------------------------------
+    //      the multi-touch closure over e16's last-touch window: a
+    //      purchase's value splits EQUALLY across ALL the user's clicks
+    //      in the preceding hour. Candidates from the KEYED binned range
+    //      join ((user, bin) groups — never whole-bin cross products),
+    //      then one keyed count + an exact per-touch division. Output
+    //      per purchase: touch count + per-touch credit; purchases with
+    //      zero prior clicks drop (inner, the e24 convention). The
+    //      credit division value/n is one double op with identical
+    //      operands on both engines — hash-exact without quantization.
+    Q("e28_linear_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.operators.JoinOps.rangeJoinBinned(purchases, clicks,
+            "p_ts", "c_ts", windowSec = 3600L,
+            keys = Seq(("p_user", "c_user")))
+          .groupBy(col("p_id"), col("p_user"), col("p_ts"), col("p_value"))
+          .agg(count(lit(1)).as("n_touch"))
+          .select(col("p_id").as("event_id"), col("p_user").as("user_id"),
+            col("p_ts").as("ts"), col("n_touch"),
+            (col("p_value") / col("n_touch")).as("credit_per_touch"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          COUNT(*) AS n_touch,
+          p.value / COUNT(*) AS credit_per_touch
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, ts FROM events
+              WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts, p.value"""))
   )
 }

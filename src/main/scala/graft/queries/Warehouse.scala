@@ -902,6 +902,55 @@ object Warehouse {
           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
             AS is_current
-        FROM ch"""))
+        FROM ch""")),
+
+    // ---- winsorization cuts by EXACT per-group percentiles --------------
+    //      the data-cleaning prelude to w05's z-scores: exact p05/p95
+    //      clip thresholds per event_type from a cume_dist window —
+    //      k/n >= p compares the exact rational rank, so the cut is the
+    //      standard lower discrete quantile, bit-identical on both
+    //      engines with no quantile-definition ambiguity. The window
+    //      sorts WITHIN each type partition (keyed shuffle + partition-
+    //      local sort — never a global sort); pass 2 rejoins the
+    //      broadcast cuts to count what clipping would touch. At 100 TB
+    //      the per-type sort is the honest cost of EXACT percentiles;
+    //      the approx path for when a band suffices is ds06's sketch.
+    Q("w17_winsorize_cuts",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").asc)
+        val cuts = Tables.events(s, d)
+          .select(col("event_type"), col("value"))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy(col("event_type"))
+          .agg(min(when(col("cd") >= 0.05, col("value"))).as("p05"),
+            min(when(col("cd") >= 0.95, col("value"))).as("p95"))
+        Tables.events(s, d).join(broadcast(cuts), Seq("event_type"))
+          .groupBy(col("event_type"), col("p05"), col("p95"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+              .as("n_low"),
+            sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+              .as("n_high"))
+          .select(col("event_type"), col("n"), col("p05"), col("p95"),
+            col("n_low"), col("n_high"))
+      },
+      Some("""
+        WITH cd AS (SELECT event_type, value,
+                      CUME_DIST() OVER (PARTITION BY event_type
+                        ORDER BY value) AS cd
+                    FROM events),
+        cuts AS (SELECT event_type,
+                   MIN(CASE WHEN cd >= 0.05 THEN value END) AS p05,
+                   MIN(CASE WHEN cd >= 0.95 THEN value END) AS p95
+                 FROM cd GROUP BY 1)
+        SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n, c.p05, c.p95,
+          CAST(SUM(CASE WHEN e.value < c.p05 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_low,
+          CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_high
+        FROM events e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type, c.p05, c.p95"""))
   )
 }
