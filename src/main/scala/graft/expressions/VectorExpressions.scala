@@ -364,6 +364,13 @@ object VectorExpressions {
           }
           CharModHist(args.head, dims)
         }),
+      (FunctionIdentifier("rolling_hash"),
+        new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            s"rolling_hash expects 1 argument, got ${args.length}")
+          RollingHashExpr(args.head)
+        }),
       (FunctionIdentifier("vec_dot_long"),
         new ExpressionInfo(classOf[DotProductLong].getName, "vec_dot_long"),
         (args: Seq[Expression]) => {

@@ -47,9 +47,14 @@ object TextFunctions {
   def distinctTokenCount(toksCol: String): Column =
     expr(s"CAST(size(array_distinct($toksCol)) AS BIGINT)")
 
-  /** deterministic 31-base rolling hash over characters mod 1e9+7 —
+  /** deterministic 31-base rolling hash over codepoints mod 1e9+7 —
     * a document fingerprint comparable to DuckDB's
-    * list_reduce(list_prepend(0, list_transform(string_split(t,''), ascii)), ...) */
+    * list_reduce(list_prepend(0, list_transform(string_split(t,''), ascii)), ...).
+    * Native codegen'd expression ([[graft.expressions.RollingHashExpr]],
+    * registered by GraftExtensions) — the interpreted HOF form
+    * `aggregate(split(text,''), ...)` it replaces materialized a
+    * per-character string array per document; TextExpressionsSpec pins
+    * equality between the two on ASCII/BMP input. */
   def rollingHashFingerprint(textCol: String): Column =
-    expr(s"aggregate(split($textCol, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)")
+    call_function("rolling_hash", col(textCol))
 }

@@ -1962,6 +1962,61 @@ object TextOps {
                   AS BIGINT) AS es_q6
               FROM documents d JOIN ns USING (source))
         SELECT doc_id, source, es_q6 FROM k
-        ORDER BY es_q6 ASC, doc_id ASC LIMIT 500"""))
+        ORDER BY es_q6 ASC, doc_id ASC LIMIT 500""")),
+
+    // ---- PMI collocation mining (word2vec-phrases / NSP shape) ----------
+    //      the phrase detector run before tokenizer training: bigrams
+    //      whose corpus probability beats the independence prediction,
+    //      PMI = ln(c_ab·N²/(M·c_a·c_b)) with min-support 5. All counts
+    //      from two keyed aggregations (bigram-keyed, unigram-keyed);
+    //      the ratio is evaluated in ONE double expression with
+    //      identical operand order on both engines and the single ln is
+    //      1e6-quantized (the t23/t24 discipline), so the top-20
+    //      TakeOrdered replays exactly. Corpus totals ride a broadcast
+    //      one-row frame — no driver round-trip, no second scan.
+    Q("t42_pmi_collocations",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(tokens("text").as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val bi = toks.select(explode(wordNgrams("toks", 2)).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("c_ab"))
+        val totals = uni.agg(sum(col("c")).as("n_uni"))
+          .crossJoin(broadcast(bi.agg(sum(col("c_ab")).as("m_bi"))))
+        bi.filter(col("c_ab") >= 5)
+          .withColumn("a", expr("split(g, ' ')[0]"))
+          .withColumn("b", expr("split(g, ' ')[1]"))
+          .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(totals))
+          .select(col("g").as("gram"), col("c_ab"),
+            expr("""CAST(FLOOR(ln(CAST(c_ab AS DOUBLE) * n_uni * n_uni
+              / (CAST(m_bi AS DOUBLE) * c_a * c_b)) * 1000000.0 + 0.5)
+              AS BIGINT)""").as("pmi_q6"))
+          .orderBy(col("pmi_q6").desc, col("gram").asc)
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT string_split_regex(trim(text), ' +') AS toks
+                   FROM documents),
+        uni AS (SELECT w.w, COUNT(*) AS c
+                FROM t, unnest(toks) w(w) GROUP BY 1),
+        bi AS (SELECT g.gram, COUNT(*) AS c_ab FROM t,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) g(gram)
+               GROUP BY 1),
+        tot AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+                  (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bi) AS m_bi)
+        SELECT b.gram, b.c_ab,
+          CAST(FLOOR(ln(CAST(b.c_ab AS DOUBLE) * tot.n_uni * tot.n_uni
+            / (CAST(tot.m_bi AS DOUBLE) * ua.c * ub.c)) * 1000000.0 + 0.5)
+            AS BIGINT) AS pmi_q6
+        FROM bi b
+        JOIN uni ua ON ua.w = string_split(b.gram, ' ')[1]
+        JOIN uni ub ON ub.w = string_split(b.gram, ' ')[2]
+        CROSS JOIN tot
+        WHERE b.c_ab >= 5
+        ORDER BY pmi_q6 DESC, gram ASC LIMIT 20"""))
   )
 }
