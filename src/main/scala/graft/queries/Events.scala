@@ -983,16 +983,21 @@ object Events {
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts <= c.ts""")),
 
-    // ---- linear multi-touch attribution --------------------------------
-    //      the multi-touch closure over e16's last-touch window: a
-    //      purchase's value splits EQUALLY across ALL the user's clicks
-    //      in the preceding hour. Candidates from the KEYED binned range
-    //      join ((user, bin) groups — never whole-bin cross products),
-    //      then one keyed count + an exact per-touch division. Output
-    //      per purchase: touch count + per-touch credit; purchases with
-    //      zero prior clicks drop (inner, the e24 convention). The
-    //      credit division value/n is one double op with identical
-    //      operands on both engines — hash-exact without quantization.
+    // ---- linear attribution via the KEYED binned range join ------------
+    //      e22 computes this model with a per-user pair join, correct
+    //      because per-user touch density is bounded on this fixture —
+    //      but that plan is quadratic in a user's events inside the
+    //      window, the thing that blows up on a bot-heavy user at 100 TB.
+    //      This is the plan that survives that skew: candidates from
+    //      the KEYED binned range join ((user, time-bin) groups — never
+    //      a per-user cross product over the whole window, never a
+    //      whole-bin cross product either), the same pairing strategy
+    //      e06 uses unkeyed. Same attribution model, different physical
+    //      plan — the e05/e24 pattern of gating one semantics through
+    //      the composition AND the scale-path plan. Output per
+    //      purchase: touch count + per-touch credit (1h clicks);
+    //      zero-prior-click purchases drop. The credit division is one
+    //      double op with identical operands on both engines.
     Q("e28_linear_attribution",
       (s, d) => {
         val ev = Tables.events(s, d)
