@@ -32,7 +32,15 @@ class PlanShapePinSpec extends SparkSpec {
     "d18_weighted_sample" -> 0,  // scan + TakeOrdered: keys are row-local
     "s18_jl_distortion" -> 2,    // projection row-local; pair join + agg
     "s22_filtered_ann" -> 1,     // predicate joins broadcast; one window
-    "ds08_join_size_estimate" -> 7) // 3 sketch aggs + 2 exact sides + union
+    "ds08_join_size_estimate" -> 7, // 3 sketch aggs + 2 exact sides + union
+    // round-13 operators: pin the shapes the scale story depends on
+    "e26_asof_left" -> 2,        // exec's two EnsureRequirements exchanges
+    "e27_asof_forward" -> 2,     // same two, time sort mirrored
+    "e25_asof_sql_tvf" -> 2,     // SQL route must not add a shuffle
+    "e28_linear_attribution" -> 1, // (user,bin)-keyed join + final agg
+    "t41_temperature_sample" -> 1, // ES keys row-local; TakeOrdered cut
+    "d25_symspell_join" -> 2,    // variant equi-join + pair distinct
+    "w17_winsorize_cuts" -> 2)   // per-type window + broadcast recount
 
   private def exchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).size +
