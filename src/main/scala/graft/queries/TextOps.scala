@@ -2017,6 +2017,61 @@ object TextOps {
         JOIN uni ub ON ub.w = string_split(b.gram, ' ')[2]
         CROSS JOIN tot
         WHERE b.c_ab >= 5
-        ORDER BY pmi_q6 DESC, gram ASC LIMIT 20"""))
+        ORDER BY pmi_q6 DESC, gram ASC LIMIT 20""")),
+
+    // ---- vocabulary growth curve (Heaps' law) ---------------------------
+    //      the tokenizer-sizing diagnostic: how vocabulary size grows as
+    //      the corpus grows, V(n) ~ K·n^beta. Computed in ONE pass —
+    //      naive per-prefix COUNT(DISTINCT) would rescan the corpus per
+    //      point; instead each token's FIRST document (min doc_id, one
+    //      keyed agg) turns every prefix point into a conditional count
+    //      over the token table: V(cut) = tokens with first_doc < cut.
+    //      Cuts at 1/10/50/100% of the doc_id range; the Heaps exponent
+    //      between the 10% and 100% points is one quantized ln ratio.
+    //      Scale shape: one explode + token-keyed agg (the t05 shuffle),
+    //      then a 4-condition aggregate over the token table — adding
+    //      prefix points costs a column, never a rescan. On the
+    //      synthetic fixture the curve saturates immediately (31-token
+    //      closed vocabulary: 30/31/31/31, beta_q6 = 0) — the honest
+    //      reading for a template-generated corpus; a natural corpus
+    //      shows beta ~ 0.4-0.6 and this operator is how you'd measure
+    //      it without rescanning per prefix point.
+    Q("t43_vocab_growth",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val firsts = docs
+          .select(col("doc_id"), explode(tokens("text")).as("w"))
+          .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+        val hi = docs.agg((max(col("doc_id")) + 1).as("hi"))
+        def vocabAt(pct: Int) =
+          sum(when(col("first_doc") < col("hi") * pct / 100, 1L)
+            .otherwise(0L)).as(s"v$pct")
+        firsts.crossJoin(broadcast(hi))
+          .agg(vocabAt(1), vocabAt(10), vocabAt(50), vocabAt(100))
+          .select(col("v1"), col("v10"), col("v50"), col("v100"),
+            expr("""CAST(FLOOR(ln(CAST(v100 AS DOUBLE) / v10)
+              / ln(10.0) * 1000000.0 + 0.5) AS BIGINT)""")
+              .as("heaps_beta_q6"))
+      },
+      Some("""
+        WITH f AS (SELECT w.w, MIN(doc_id) AS first_doc
+                   FROM documents,
+                     unnest(string_split_regex(trim(text), ' +')) w(w)
+                   GROUP BY 1),
+        hi AS (SELECT MAX(doc_id) + 1 AS hi FROM documents),
+        v AS (SELECT
+                CAST(SUM(CASE WHEN f.first_doc < hi.hi * 1 / 100
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                CAST(SUM(CASE WHEN f.first_doc < hi.hi * 10 / 100
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v10,
+                CAST(SUM(CASE WHEN f.first_doc < hi.hi * 50 / 100
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v50,
+                CAST(SUM(CASE WHEN f.first_doc < hi.hi * 100 / 100
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v100
+              FROM f CROSS JOIN hi)
+        SELECT v1, v10, v50, v100,
+          CAST(FLOOR(ln(CAST(v100 AS DOUBLE) / v10) / ln(10.0)
+            * 1000000.0 + 0.5) AS BIGINT) AS heaps_beta_q6
+        FROM v"""))
   )
 }
