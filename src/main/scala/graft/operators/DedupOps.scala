@@ -93,6 +93,7 @@ object DedupOps {
     // postings only, spillable to disk.
     verifyJaccardOnPosts(cands,
       shinglePostings(docs, n).select("doc_id", "gram_id")
+        // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       minJaccard)
 
@@ -169,8 +170,14 @@ object DedupOps {
     // resolution anyone states a Jaccard threshold at) and the bound is
     // integer ceil-division: ceil(sz*num/den) = (sz*num + den-1) div den.
     // sz*num stays inside 64 bits for any per-doc shingle count < 9.2e12.
+    // Quantization TRUNCATES (floor), never rounds: rounding UP (e.g. a
+    // stated 0.5499996 -> 550000) would tighten the candidate bounds and
+    // silently drop pairs in [minJaccard, num/den) — a false negative the
+    // exact verifier cannot recover. Flooring only LOOSENS the bounds
+    // (extra candidates), and verifyJaccardOnPosts removes the extras, so
+    // the EXACT contract holds for thresholds stated at any precision.
     val den = 1000000L
-    val num = math.round(minJaccard * den)
+    val num = (minJaccard * den).toLong
     def ceilT(szCol: String) = expr(s"(($szCol * $num) + ${den - 1}) div $den")
     val df = posts.groupBy("gram_id").agg(count(lit(1)).as("df"))
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -222,6 +229,7 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, n: Int, minJaccard: Double): DataFrame = {
     // persisted: feeds both self-join branches plus the sizes agg
     val posts = shinglePostings(docs, n).select("doc_id", "gram_id")
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = posts.as("a")
@@ -336,6 +344,7 @@ object DedupOps {
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), xxhash64(col("bk.band"), col("bk.sig")).as("bucket"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     buckets.as("a")
       .join(buckets.as("b"),
@@ -352,6 +361,7 @@ object DedupOps {
     require(k % bands == 0, s"bands($bands) must divide k($k)")
     // ONE shingle pipeline feeds both the signature agg and the verifier
     val posts = shinglePostings(docs, n)
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minHashCandidates(
       minHashSignaturesFromPosts(posts, k), bands, k / bands)
@@ -456,6 +466,7 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"), lenBucket.as("lb"),
         explode(probes).as("p"))
       .select(col("doc_id"), col("simhash"), bucket.as("bucket"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // measured note: a groupBy(bucket)+collect_list+combination-expansion
     // formulation (computing `banded` once) was tried and is ~50% slower
@@ -512,12 +523,14 @@ object DedupOps {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // cache lifecycle: scoped to this call — unpersisted below
       .persist(MEMORY_AND_DISK)
     // seed with the 1-hop minimum (least of self and all neighbors) —
     // one aggregation that replaces the identity init plus the first
     // propagation round
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("label"))
+      // cache lifecycle: scoped to this call — unpersisted below
       .persist(MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       // coalesce: sum() over an empty frame is null — an empty pair list
@@ -566,6 +579,7 @@ object DedupOps {
                       comboSize: Int = 2): DataFrame = {
     // ONE shingle pipeline feeds both the signature agg and the verifier
     val posts = shinglePostings(docs, n)
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccardOnPosts(
       simHashCandidates(simHashSignaturesFromPosts(posts), maxHamming,
@@ -687,6 +701,7 @@ object DedupOps {
       .agg(min(struct(col("d2"), col("cell"))).getField("cell").as("cell"),
         first(col("doc_id")).as("doc_id"), first(col("v")).as("v"),
         first(col("n2")).as("n2"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("ck").as("ck_a"),
       col("doc_id").as("doc_a"), col("v").as("va"), col("n2").as("na2"))

@@ -71,6 +71,7 @@ object GraphOps {
     val adj = edges.select(col("src"), col("dst"))
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // |V| as a driver-side scalar (same one-row-action lifecycle as
     // JoinOps.bloomPreFilter's .head()): folding it in as a literal
@@ -128,12 +129,15 @@ object GraphOps {
     val adj = edges.select(col("src"), col("dst"))
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct()
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dangling = nodes
       .join(adj.select(col("src").as("id")), Seq("id"), "left_anti")
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val r0 = nodes.select(col("id"), lit(1.0 / n).as("rank"))
@@ -186,15 +190,18 @@ object GraphOps {
     val adj = edges.select(col("src"), col("dst"))
       .withColumn("outdeg",
         count(lit(1)).over(Window.partitionBy(col("src"))))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select(col("src").as("id"))
       .union(adj.select(col("dst").as("id"))).distinct()
     val dangling = nodes
       .join(adj.select(col("src").as("id")), Seq("id"), "left_anti")
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val flagged = nodes
       .join(seeds.select(col("id")).distinct().withColumn("s", lit(1)),
         Seq("id"), "left")
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sN = flagged.filter(col("s").isNotNull).count()
     require(sN > 0, "seed set must intersect the graph's nodes")
@@ -234,6 +241,7 @@ object GraphOps {
     * O(sqrt(|E|)) per node), not the raw degree — the skew-proof shape.
     */
   def triangleStats(und: DataFrame): DataFrame = {
+    // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
     val e = und.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id")))
@@ -250,6 +258,7 @@ object GraphOps {
         when(fwd, struct(col("dv").as("kd"), col("v").as("ki")))
           .otherwise(struct(col("du").as("kd"), col("u").as("ki")))
           .as("dkey"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val wedges = oriented.as("o1")
       .join(oriented.as("o2"),
@@ -361,6 +370,7 @@ object GraphOps {
       .distinct().localCheckpoint(false)
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct()
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var sig = signature(e)
     var rounds = 0
@@ -410,6 +420,7 @@ object GraphOps {
   def incrementalComponents(baseLabels: DataFrame,
                             newEdges: DataFrame): DataFrame = {
     val base = baseLabels.select(col("id"), col("component"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ends = newEdges.select(col("u"), col("v"))
     val lu = base.select(col("id").as("u"), col("component").as("cu"))
@@ -496,6 +507,7 @@ object GraphOps {
     * re-analyzed every round). An empty frontier exits early: a
     * diameter-d component costs d rounds even when maxHops is large. */
   def bfsHops(edges: DataFrame, start: Long, maxHops: Int): DataFrame = {
+    // cache lifecycle: scoped to this call — unpersisted below
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
     import spark.implicits._
@@ -532,9 +544,11 @@ object GraphOps {
     * votes: feed an undirected graph as both edge directions. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
+      // cache lifecycle: scoped to this call — unpersisted below
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
+      // cache lifecycle: scoped to this call — unpersisted below
       .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 0 until rounds) {
       val next = e.join(labels, e("src") === labels("id"))

@@ -158,6 +158,7 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("pr"),
         cosineFromParts(dotNative(col("v"), col("qv")), col("nrm"),
           col("qnrm")).as("cosine"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probes.map(p => (p, topK(pairs.filter(col("pr") <= p).drop("pr"), k)))
   }
@@ -204,6 +205,7 @@ object SimilarityOps {
                   nCells: Int): DataFrame = {
     val assigned = assignCells(prepared(embeddings),
         centroids(embeddings, nCells), take = 1)
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explicit plan aliases: a("cell")/b("cell") off the same cached frame
     // share an expression id, which relies on Spark's ambiguous-self-join
@@ -290,6 +292,14 @@ object SimilarityOps {
     * already cell-sized (nlist rows, KBs at any corpus size), so this
     * is two single-row aggregates and a broadcast nested-loop of
     * one-row frames — nothing data-sized anywhere.
+    *
+    * Numeric bound: the TVD numerator sums `|n_after*tb - n_before*ta|`
+    * as BIGINT products, so each per-cell count × grand total must stay
+    * below 2^63 ≈ 9.2e18 (e.g. ≤3e9 docs in the hottest cell against a
+    * 3e9-total index). Past that, Spark wraps silently while DuckDB
+    * raises — rescale the ledger first (divide both count columns by a
+    * common factor; TVD is scale-invariant in each distribution) rather
+    * than trusting the raw counts.
     *
     * The recompute twin is [[graft.queries.Clustering.refreshCentroids]]:
     * SimilarityOpsSpec pins that on a drifted fixture the flag fires
@@ -739,6 +749,7 @@ object SimilarityOps {
       .groupBy(col("q_id"), col("vec_id"))
       // pr is constant within the group (one cell per corpus vector)
       .agg(sum(col("dq")).as("adc_q"), min(col("pr")).as("pr"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = prepared(embeddings).select(col("vec_id"), col("v"),
       col("nrm"))

@@ -169,6 +169,7 @@ object Clustering {
     Q("c03_kmeans_converged",
       (s, d) => {
         val emb = corpus(s, d)
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         report4(lloydPasses(emb, k = 8, iters = 3).last)
       },
@@ -184,6 +185,7 @@ object Clustering {
     Q("c04_assignment_distortion",
       (s, d) => {
         val emb = corpus(s, d)
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         lloydPasses(emb, k = 8, iters = 3).last
           .groupBy(col("cell"))

@@ -723,6 +723,7 @@ object Dedup {
             (1 until k).map(i =>
               min((lit(has(i)) * col("gid") + lit(hbs(i))) % lit(mm))
                 .as(s"s$i")): _*)
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val truth = DedupOps.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
           .select(col("doc_a"), col("doc_b"))

@@ -815,17 +815,32 @@ object StreamingQueries {
         val ev = Tables.events(s, d)
           .filter(col("event_type").isin("purchase", "click"))
           .withColumn("_sec", unix_micros(col("ts")))
+          // cache lifecycle: scoped to this call — unpersisted below
           .persist()
         val Array(lo, hi) = ev.agg(min(col("_sec")), max(col("_sec")))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
         val w = math.max(1L, (hi - lo) / 8 + 1)
+        // FileStreamSource orders by mtime; on coarse-granularity
+        // filesystems two sequential writes can share a stamp and
+        // deliver out of order. So each slice's part-files get an
+        // EXPLICIT strictly-increasing mtime instead of trusting the
+        // write clock — delivery order is then time order by
+        // construction, not by race.
+        val mtimeBase = System.currentTimeMillis()
+        val seen = scala.collection.mutable.Set[String]()
         for (i <- 0 until 8) {
           ev.filter(col("_sec") >= lo + i * w &&
               col("_sec") < lo + (i + 1) * w)
             .drop("_sec").coalesce(1)
             .write.mode(if (i == 0) "overwrite" else "append")
             .option("compression", "zstd").parquet(dir)
-          Thread.sleep(15)
+          new java.io.File(dir).listFiles()
+            .filter(f => f.getName.startsWith("part-") &&
+              !seen.contains(f.getName))
+            .foreach { f =>
+              f.setLastModified(mtimeBase + (i + 1) * 1000L)
+              seen += f.getName
+            }
         }
         ev.unpersist()
       }))

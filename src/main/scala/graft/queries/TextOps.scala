@@ -310,6 +310,7 @@ object TextOps {
         val trainPosts = graft.operators.DedupOps
           .shinglePostings(docs.filter(col("doc_id") % 97 =!= 0), 3)
           .select("doc_id", "gram_id")
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = trainPosts.groupBy("doc_id")
           .agg(count(lit(1)).as("n_shingles"))
@@ -1171,6 +1172,7 @@ object TextOps {
               .partitionBy("doc_id")))
           .select(col("doc_id"), col("lang"), col("b"),
             (col("c") / col("t")).as("x"))
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val gram = fx.as("a").join(fx.as("c"), "doc_id")
           .groupBy(col("a.b").as("i"), col("c.b").as("j"))

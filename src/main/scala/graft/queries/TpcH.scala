@@ -245,6 +245,7 @@ object TpcH {
             col("l_shipdate") < ts("1996-04-01"))
           .groupBy(col("l_suppkey"))
           .agg(sum(discPrice18()).cast("double").as("total_revenue"))
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist()
         val maxRev = revenue
           .agg(max(col("total_revenue")).as("max_revenue"))

@@ -920,8 +920,14 @@ object Warehouse {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("value").asc)
+        // NULL values are excluded BEFORE the window on both engines:
+        // Spark orders NULLs first while DuckDB orders them last, so a
+        // single null row would shift every rational rank and diverge
+        // the cuts — filtering up front keeps the "no quantile-definition
+        // ambiguity" claim true on fixtures that do contain nulls.
         val cuts = Tables.events(s, d)
           .select(col("event_type"), col("value"))
+          .filter(col("value").isNotNull)
           .withColumn("cd", cume_dist().over(w))
           .groupBy(col("event_type"))
           .agg(min(when(col("cd") >= 0.05, col("value"))).as("p05"),
@@ -940,7 +946,7 @@ object Warehouse {
         WITH cd AS (SELECT event_type, value,
                       CUME_DIST() OVER (PARTITION BY event_type
                         ORDER BY value) AS cd
-                    FROM events),
+                    FROM events WHERE value IS NOT NULL),
         cuts AS (SELECT event_type,
                    MIN(CASE WHEN cd >= 0.05 THEN value END) AS p05,
                    MIN(CASE WHEN cd >= 0.95 THEN value END) AS p95

@@ -52,6 +52,7 @@ object GraphTailProbe {
     // the g08 composition, phase-timed: base CC (per-round walls via
     // the ccWithRounds hook), then the incremental batch step
     import org.apache.spark.sql.functions._
+    // cache lifecycle: probe-scoped — the JVM exits when the probe finishes
     val p = graft.queries.Graph.coPurchasePairs(spark, d).persist()
     val baseE = p.filter((col("u") + col("v")) % 10 =!= 0)
     val batch = p.filter((col("u") + col("v")) % 10 === 0)

@@ -55,6 +55,7 @@ object PrefixFilterProbe {
       f"${"pairs"}%8s ${"wall_d02_s"}%11s ${"wall_d23_s"}%11s")
     var n = 1000L
     while (n <= maxN) {
+      // cache lifecycle: probe-scoped — the JVM exits when the probe finishes
       val docs = corpus(spark, n).persist()
       docs.count()
       val runAllPairs = n <= 16000
@@ -62,6 +63,7 @@ object PrefixFilterProbe {
       // groupBy must shuffle); measured where feasible — every doc pair
       // shares the hub grams, so the analytic count is exact anyway
       val posts = DedupOps.shinglePostings(docs, 1)
+        // cache lifecycle: probe-scoped — the JVM exits when the probe finishes
         .select("doc_id", "gram_id").persist()
       val candAll =
         if (runAllPairs)
