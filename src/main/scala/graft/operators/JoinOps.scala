@@ -35,9 +35,10 @@ object JoinOps {
                        leftKey: String, rightKey: String,
                        leftTime: String, rightTime: String,
                        rightVals: Seq[String],
-                       leftOuter: Boolean = false): DataFrame =
+                       leftOuter: Boolean = false,
+                       tolerance: Option[Long] = None): DataFrame =
     asOfJoinComposed(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightVals, leftOuter, forward = false)
+      rightVals, leftOuter, forward = false, tolerance)
 
   /** Forward as-of join: for each left row, the EARLIEST right row with
     * rightTime >= leftTime on the same key (pandas merge_asof
@@ -51,27 +52,53 @@ object JoinOps {
                       leftKey: String, rightKey: String,
                       leftTime: String, rightTime: String,
                       rightVals: Seq[String],
-                      leftOuter: Boolean = false): DataFrame =
+                      leftOuter: Boolean = false,
+                      tolerance: Option[Long] = None): DataFrame =
     asOfJoinComposed(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightVals, leftOuter, forward = true)
+      rightVals, leftOuter, forward = true, tolerance)
+
+  /** a time column as a raw long in its own units (micros for
+    * timestamps) — the units `tolerance` is stated in */
+  private def timeAsLong(c: Column,
+                         dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
 
   private def asOfJoinComposed(left: DataFrame, right: DataFrame,
                                leftKey: String, rightKey: String,
                                leftTime: String, rightTime: String,
                                rightVals: Seq[String],
                                leftOuter: Boolean,
-                               forward: Boolean): DataFrame = {
+                               forward: Boolean,
+                               tolerance: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(tolerance.isEmpty || !rightVals.contains("_mt"),
+      "rightVals may not contain the reserved name _mt when tolerance is set")
     // the right payload travels as ONE nullable struct: null on left rows,
     // non-null on every right row (even when individual fields are null),
     // so one last(ignoreNulls) both finds the match and keeps its fields
-    // atomic — per-column fills could tear values from different rows
-    val payload = struct(rightVals.map(col): _*)
+    // atomic — per-column fills could tear values from different rows.
+    // With a tolerance, the match's own time rides INSIDE the struct
+    // (field _mt) so the staleness check reads the time of the exact row
+    // last() picked — a separate column could tear.
+    val mtCols: Seq[Column] = if (tolerance.isDefined)
+      Seq(timeAsLong(col(rightTime), right.schema(rightTime).dataType)
+        .as("_mt"))
+    else Nil
+    val mtFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (tolerance.isDefined)
+        Seq(org.apache.spark.sql.types.StructField("_mt",
+          org.apache.spark.sql.types.LongType))
+      else Nil
+    val payload = struct(mtCols ++ rightVals.map(col): _*)
     val l = left
       .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
       .withColumn("_is_left", lit(1))
       .withColumn("_p", lit(null).cast(
-        org.apache.spark.sql.types.StructType(rightVals.map(v => right.schema(v)))))
+        org.apache.spark.sql.types.StructType(
+          mtFields ++ rightVals.map(v => right.schema(v)))))
     val rAligned = leftCols.foldLeft(
       right.withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
         .withColumn("_is_left", lit(0)).withColumn("_p", payload))(
@@ -91,9 +118,19 @@ object JoinOps {
     val w = Window.partitionBy(col("_k"))
       .orderBy(tOrder, col("_is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val windowed = merged
+    val windowed0 = merged
       .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_is_left") === 1)
+    // staleness cap: a match farther than `tolerance` (in the time
+    // column's own units) from the left row is NO match — nulled here,
+    // BEFORE the inner/outer resolution, so inner drops and outer
+    // null-pads, exactly like the never-matched case
+    val windowed = tolerance.map { tol =>
+      val lt = timeAsLong(col("_t"), left.schema(leftTime).dataType)
+      val diff = if (forward) col("_p._mt") - lt else lt - col("_p._mt")
+      windowed0.withColumn("_p",
+        when(col("_p").isNotNull && diff <= tol, col("_p")))
+    }.getOrElse(windowed0)
     val resolved =
       if (!leftOuter) windowed.filter(col("_p").isNotNull)
       // outer: unmatched left rows keep their null payload; null-key/time
@@ -111,15 +148,22 @@ object JoinOps {
     * shape, but planned as a co-partitioned two-sided sort + one O(1)-
     * state streaming merge per partition instead of union + window —
     * no null padding through the shuffle, no window buffering. Key
-    * columns must be bigint and time columns bigint/timestamp (the
-    * exec's contract). The spec pins result equality with the composed
-    * form; e24 gates it against the DuckDB ASOF JOIN oracle. */
+    * columns may be ANY orderable type (bigint, string, date, decimal,
+    * or a struct for composite keys), same type on both sides; time
+    * columns bigint/timestamp (the exec's contract). `tolerance`
+    * (time-column units; micros for timestamps) caps the match's
+    * staleness — pandas merge_asof(tolerance=...): a too-distant match
+    * drops (inner) or null-pads (leftOuter), identical to never-matched.
+    * The spec pins result equality with the composed form; e24 gates it
+    * against the DuckDB ASOF JOIN oracle, e29 the string-keyed form,
+    * e30 the tolerance form. */
   def asOfJoinNative(left: DataFrame, right: DataFrame,
                      leftKey: String, rightKey: String,
                      leftTime: String, rightTime: String,
                      rightVals: Seq[String],
                      leftOuter: Boolean = false,
-                     forward: Boolean = false): DataFrame = {
+                     forward: Boolean = false,
+                     tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
@@ -138,7 +182,7 @@ object JoinOps {
     val plan = graft.plans.AsOfJoin(lPlan, rPlan,
       attr(lPlan.output, leftKey), attr(rPlan.output, rightKey),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
-      leftOuter, forward)
+      leftOuter, forward, tolerance)
     // positional rename: output = left columns ++ right columns, which
     // may share names — rename right side to asof_<name>, then cut to
     // the requested payload

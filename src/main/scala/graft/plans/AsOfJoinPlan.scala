@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Descending, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
@@ -23,6 +24,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * both sides sort time-DESCENDING inside each key and the one merge
   * comparison flips, nothing else.
   *
+  * `tolerance` (Some(bound), in the time column's own units — micros
+  * for timestamps) is the pandas `merge_asof(tolerance=...)` staleness
+  * cap: a backward match additionally requires
+  * `leftTime - rightTime <= bound` (forward mirrored,
+  * `rightTime - leftTime <= bound`). A too-stale match behaves exactly
+  * like no match: the left row DROPS under inner semantics and
+  * null-pads under `leftOuter` — which a post-filter on the joined
+  * result cannot express (it would turn outer pads into drops).
+  *
   * Why a physical operator when JoinOps.asOfJoinBackward already
   * composes it from stock pieces: the composition UNIONS both inputs
   * through one exchange and runs a window with a last(ignoreNulls)
@@ -38,23 +48,33 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * copy). No buffering, no padding, no re-filtering.
   *
   * Contract and bounds:
-  *  - key expressions must be LongType, time expressions LongType or
-  *    TimestampType (micros-backed long) — the require() in the
-  *    constructor, matching the engine's key/event-time conventions;
+  *  - key expressions may be ANY orderable type (atomic — bigint,
+  *    string, date, decimal — or a struct of orderables for COMPOSITE
+  *    keys: pass `struct(colA, colB)` on both sides), same type on both
+  *    sides; the single-type require() fails at planning, and
+  *    [[ResolveAsOfJoin]] raises the same check at ANALYSIS for SQL
+  *    callers. Non-bigint keys compare through the type's interpreted
+  *    ordering (a virtual call per merge step vs the bigint primitive
+  *    compare); the sorts still dominate either way;
+  *  - time expressions must be LongType or TimestampType (micros-backed
+  *    long) — event time is a totally-ordered physical axis, so the
+  *    engine's convention stays narrow on purpose;
   *  - rows with a NULL key or time never match (skipped on both sides,
   *    the composed operator's na-semantics);
   *  - ties: among right rows with equal (key, time) the one latest in
   *    the sort order wins — same pick as the composed window form;
   *  - volcano-mode (no codegen): the merge is a per-partition streaming
   *    pass whose cost is (|L|+|R|) comparisons after the sorts, which
-  *    dominate; a doProduce() would only fuse the final projection.
+  *    dominate (measured: interpreted output projection = 0.24% of
+  *    e24's wall, tools/AsOfProjectionProbe.scala).
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftOuter: Boolean = false,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   // outer: the right side's attributes become nullable in the output —
   // downstream IsNotNull simplification would otherwise wrongly prune
   // the null-padded rows
@@ -70,8 +90,8 @@ case class AsOfJoin(
   * injected by [[graft.GraftExtensions]]. */
 class AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, outer, fwd) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, fwd,
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -81,16 +101,21 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftOuter: Boolean, forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   private def isTime(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == TimestampType
-  require(leftKey.dataType == LongType && rightKey.dataType == LongType,
-    s"as-of keys must be bigint, got ${leftKey.dataType.sql} / " +
-      rightKey.dataType.sql)
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of keys must have the same type on both sides, got " +
+      s"${leftKey.dataType.sql} / ${rightKey.dataType.sql}")
+  require(RowOrdering.isOrderable(leftKey.dataType),
+    s"as-of key type must be orderable, got ${leftKey.dataType.sql}")
   require(isTime(leftTime) && isTime(rightTime),
     s"as-of times must be bigint or timestamp, got " +
       s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
+  require(tolerance.forall(_ >= 0L),
+    s"as-of tolerance must be >= 0, got ${tolerance.get}")
 
   override def output: Seq[Attribute] =
     left.output ++ (if (leftOuter) right.output.map(_.withNullability(true))
@@ -122,9 +147,15 @@ case class AsOfJoinExec(
     val lt = BindReferences.bindReference(leftTime, lOut)
     val rk = BindReferences.bindReference(rightKey, rOut)
     val rt = BindReferences.bindReference(rightTime, rOut)
+    val keyOrdering =
+      TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val outAttrs = output
     val outer = leftOuter
     val fwd = forward
+    // staleness cap folded to a primitive: Long.MaxValue = "no bound",
+    // so the merge has ONE comparison either way instead of an Option
+    // branch per row
+    val tol = tolerance.getOrElse(Long.MaxValue)
     // outer: bind against nullability-WIDENED right attributes — binding
     // keys on exprId, but BoundReference takes its nullability from this
     // schema, and a non-nullable one would codegen away the isNullAt
@@ -141,13 +172,17 @@ case class AsOfJoinExec(
           rOut.length)
       new Iterator[InternalRow] {
         // O(1) merge state: the right lookahead + the latest matching
-        // right row (copied — iterators reuse row objects)
+        // right row (copied — iterators reuse row objects). Key VALUES
+        // are copied out too (InternalRow.copyValue): a string/struct
+        // key points into the row's buffer, which the next iterator
+        // step overwrites.
         private var rHead: InternalRow = _
-        private var rHeadKey = 0L
+        private var rHeadKey: Any = _
         private var rHeadTime = 0L
         private var rHeadValid = false
         private var matched: InternalRow = _
-        private var matchedKey = 0L
+        private var matchedKey: Any = _
+        private var matchedTime = 0L
         private var nextOut: InternalRow = _
         advanceRight()
 
@@ -159,7 +194,7 @@ case class AsOfJoinExec(
             val t = rt.eval(r)
             if (k != null && t != null) {
               rHead = r
-              rHeadKey = k.asInstanceOf[Long]
+              rHeadKey = InternalRow.copyValue(k)
               rHeadTime = t.asInstanceOf[Long]
               rHeadValid = true
             }
@@ -173,21 +208,31 @@ case class AsOfJoinExec(
             val kRaw = lk.eval(l)
             val tRaw = lt.eval(l)
             if (kRaw != null && tRaw != null) {
-              val k = kRaw.asInstanceOf[Long]
+              val k = kRaw
               val t = tRaw.asInstanceOf[Long]
               // consume right rows up to (k, t] in sort order (time DESC
               // when forward — the comparison mirrors); the LAST one with
               // the same key becomes (or stays) the match
-              while (rHeadValid && (rHeadKey < k ||
-                  (rHeadKey == k &&
+              var cmp = if (rHeadValid) keyOrdering.compare(rHeadKey, k)
+                        else 0
+              while (rHeadValid && (cmp < 0 ||
+                  (cmp == 0 &&
                     (if (fwd) rHeadTime >= t else rHeadTime <= t)))) {
-                if (rHeadKey == k) {
+                if (cmp == 0) {
                   matched = rHead.copy()
-                  matchedKey = k
+                  matchedKey = rHeadKey
+                  matchedTime = rHeadTime
                 }
                 advanceRight()
+                if (rHeadValid) cmp = keyOrdering.compare(rHeadKey, k)
               }
-              if (matched != null && matchedKey == k)
+              // a match must share the key AND sit inside the staleness
+              // bound; a stale match is NO match (drop / null-pad), which
+              // is what a post-filter can't express for the outer shape
+              val fresh = matched != null &&
+                keyOrdering.compare(matchedKey, k) == 0 &&
+                (if (fwd) matchedTime - t else t - matchedTime) <= tol
+              if (fresh)
                 nextOut = joiner(joined(l, matched))
               else if (outer)
                 nextOut = joiner(joined(l, nullRight))

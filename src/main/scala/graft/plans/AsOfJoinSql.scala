@@ -105,10 +105,39 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
         // a self-join's two sides share exprIds and nothing else rewrites
         // a non-builtin join node
         val rp = Project(r.output.map(a => Alias(a, a.name)()), r)
-        val aoj = AsOfJoin(l, rp,
-          attr(l.output, lk, "left"), attr(rp.output, rk, "right"),
-          attr(l.output, lt, "left"), attr(rp.output, rt, "right"),
-          outer, fwd)
+        // type discipline at ANALYSIS time, not mid-execution: integral
+        // keys/times widen to bigint (so an INT key against a BIGINT key
+        // just works); anything else must satisfy the exec's contract
+        // here, where the error can name the offending columns instead
+        // of surfacing as a ClassCastException from a running task
+        def widen(a: Attribute): Expression = a.dataType match {
+          case _: org.apache.spark.sql.types.IntegerType |
+               _: org.apache.spark.sql.types.ShortType |
+               _: org.apache.spark.sql.types.ByteType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(a,
+              org.apache.spark.sql.types.LongType)
+          case _ => a
+        }
+        val (lkE, rkE) = (widen(attr(l.output, lk, "left")),
+          widen(attr(rp.output, rk, "right")))
+        if (lkE.dataType != rkE.dataType)
+          throw new IllegalArgumentException(
+            s"asof_join: key columns `$lk` (${lkE.dataType.sql}) and " +
+              s"`$rk` (${rkE.dataType.sql}) must have the same type")
+        if (!org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(lkE.dataType))
+          throw new IllegalArgumentException(
+            s"asof_join: key type ${lkE.dataType.sql} is not orderable")
+        val (ltE, rtE) = (widen(attr(l.output, lt, "left")),
+          widen(attr(rp.output, rt, "right")))
+        def isTime(e: Expression) =
+          e.dataType == org.apache.spark.sql.types.LongType ||
+            e.dataType == org.apache.spark.sql.types.TimestampType
+        if (!isTime(ltE) || !isTime(rtE))
+          throw new IllegalArgumentException(
+            s"asof_join: time columns `$lt` (${ltE.dataType.sql}) and " +
+              s"`$rt` (${rtE.dataType.sql}) must be bigint or timestamp")
+        val aoj = AsOfJoin(l, rp, lkE, rkE, ltE, rtE, outer, fwd)
         // payload attrs come from aoj.output (NOT rp.output): outer mode
         // rewrites their nullability there
         val rightOut = aoj.output.drop(l.output.size)

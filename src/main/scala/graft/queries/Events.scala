@@ -1025,6 +1025,110 @@ object Events {
               WHERE event_type = 'click') c
           ON p.user_id = c.user_id
             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-        GROUP BY p.event_id, p.user_id, p.ts, p.value"""))
+        GROUP BY p.event_id, p.user_id, p.ts, p.value""")),
+
+    // ---- STRING-keyed as-of join (native, via the SQL TVF) --------------
+    //      the trades/quotes reality check: symbols are STRINGS, and
+    //      DuckDB's ASOF and pandas merge_asof both take them directly —
+    //      until round 14 the native exec require()d bigint keys, forcing
+    //      a manual pre-hash (collision risk on the user). The exec now
+    //      binds ANY orderable key type through the type's interpreted
+    //      ordering (AsOfJoinPlan.scala — key VALUES are copied out of
+    //      the reused row buffers, the bug a string key would otherwise
+    //      hit); this gate derives a symbol-like key ('u' || user_id) on
+    //      both sides and runs it through the TVF route — analyzer
+    //      resolution rule, type checks, strategy, exec — against the
+    //      same DuckDB ASOF oracle keyed on the same derived string.
+    //      AsOfJoinPropertySpec pins the Scala-API route and equality
+    //      with the composed form on string keys incl. null keys.
+    Q("e29_asof_string_key",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), concat(lit("u"), col("user_id")).as("sym"),
+            col("ts"))
+          .createOrReplaceTempView("e29_purchases")
+        ev.filter(col("event_type") === "click")
+          .select(concat(lit("u"), col("user_id")).as("sym"),
+            col("ts"), col("value"))
+          .createOrReplaceTempView("e29_clicks")
+        s.sql("""SELECT * FROM asof_join('e29_purchases', 'e29_clicks',
+                   'sym', 'sym', 'ts', 'ts', 'ts', 'value')""")
+      },
+      Some("""
+        SELECT p.event_id, p.sym, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, 'u' || user_id AS sym, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT 'u' || user_id AS sym, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.sym = c.sym AND p.ts >= c.ts""")),
+
+    // ---- as-of join with a TOLERANCE bound (native, inner) --------------
+    //      pandas merge_asof(tolerance=...): "the latest click within the
+    //      last 10 minutes" — a match staler than the bound is NO match.
+    //      Inner shape: the stale-matched purchase DROPS, which for inner
+    //      (and only inner) equals a post-filter on the plain ASOF join —
+    //      exactly how the oracle states it. The bound is ONE comparison
+    //      in the exec's merge (AsOfJoinPlan.scala: tolerance folded to a
+    //      primitive long, no per-row Option branch).
+    Q("e30_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinNative(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"),
+          tolerance = Some(600000000L)) // 10 min in micros
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000""")),
+
+    // ---- tolerance + LEFT OUTER: the shape a post-filter CANNOT express -
+    //      enrichment wants "latest quote within N minutes, ELSE NULL":
+    //      a stale match must null-pad, not drop the fact row. Filtering
+    //      the joined result would delete it; the bound has to live
+    //      INSIDE the join. Oracle: ASOF LEFT JOIN, then CASE-null the
+    //      payload when stale — sound because the ASOF match is the
+    //      LATEST prior row, so no fresher in-tolerance row can exist
+    //      behind it. JoinOpsSpec pins native == composed (both carry
+    //      tolerance) on the null-mixed fixture.
+    Q("e31_asof_tolerance_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinNative(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"), leftOuter = true,
+          tolerance = Some(600000000L))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+               THEN c.ts END AS asof_ts,
+          CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+               THEN c.value END AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
   )
 }

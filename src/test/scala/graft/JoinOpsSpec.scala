@@ -249,6 +249,182 @@ class JoinOpsSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("STRING-keyed as-of: native equals composed on the dense " +
+      "null-mixed mix, plans AsOfJoinExec, and works through the TVF") {
+    // same dense mix as the bigint tests with the key mapped to a
+    // symbol-like string ('k3'); null keys stay null. String ordering
+    // groups keys differently than long ordering did, but as-of
+    // semantics only need SOME total order — equality is what matches.
+    val lefts = (0 until 400).map { i =>
+      (if (i % 29 == 0) None else Some("k" + (i * 7 % 13)),
+        if (i % 31 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 997 % 5000) * 1000L)),
+        i.toLong)
+    }.toDF("k", "ts", "lid")
+    val rights = (0 until 300).map { i =>
+      (if (i % 23 == 0) None else Some("k" + (i * 5 % 13)),
+        if (i % 37 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 611 % 5000) * 1000L)),
+        i.toDouble)
+    }.toDF("rk", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (Option(r.getString(0)).getOrElse("-"),
+        Option(r.getTimestamp(1)).map(_.getTime).getOrElse(-1L), r.getLong(2),
+        Option(r.getTimestamp(3)).map(_.getTime).getOrElse(-1L),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    }.toSet
+    for (outer <- Seq(false, true); fwd <- Seq(false, true)) {
+      val native = JoinOps.asOfJoinNative(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v"),
+        leftOuter = outer, forward = fwd)
+      assert(native.queryExecution.executedPlan.toString
+        .contains("AsOfJoin"), "string keys must still plan the native exec")
+      val a = rows(native)
+      val b = rows(if (fwd)
+        JoinOps.asOfJoinForward(lefts, rights,
+          "k", "rk", "ts", "rts", Seq("rts", "v"), leftOuter = outer)
+      else
+        JoinOps.asOfJoinBackward(lefts, rights,
+          "k", "rk", "ts", "rts", Seq("rts", "v"), leftOuter = outer))
+      assert(a == b, s"outer=$outer fwd=$fwd: only-native ${(a -- b).take(3)}, " +
+        s"only-composed ${(b -- a).take(3)}")
+      if (outer) assert(a.size == 400)
+    }
+    // through the SQL TVF: analysis type checks pass, result matches
+    lefts.createOrReplaceTempView("jos_sl")
+    rights.createOrReplaceTempView("jos_sr")
+    val sqlDf = spark.sql("""SELECT * FROM asof_join('jos_sl', 'jos_sr',
+      'k', 'rk', 'ts', 'rts', 'rts', 'v')""")
+    assert(rows(sqlDf.select(col("k"), col("ts"), col("lid"),
+      col("asof_rts"), col("asof_v"))) ==
+      rows(JoinOps.asOfJoinNative(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v"))))
+  }
+
+  test("COMPOSITE struct-keyed as-of: native equals composed") {
+    // two-column equality key carried as ONE struct column on both
+    // sides — the documented composite-key path
+    val lefts = (0 until 300).map { i =>
+      ((i * 7 % 5).toLong, "s" + (i % 3),
+        new Timestamp(1700000000000L + (i * 997 % 4000) * 1000L), i.toLong)
+    }.toDF("k1", "k2", "ts", "lid")
+      .withColumn("sk", struct(col("k1"), col("k2")))
+    val rights = (0 until 200).map { i =>
+      ((i * 3 % 5).toLong, "s" + (i * 2 % 3),
+        new Timestamp(1700000000000L + (i * 611 % 4000) * 1000L), i.toDouble)
+    }.toDF("rk1", "rk2", "rts", "v")
+      .withColumn("rsk", struct(col("rk1").as("k1"), col("rk2").as("k2")))
+      .select("rsk", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k1"), col("k2"), col("ts"), col("lid"),
+        col("asof_rts"), col("asof_v")).collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+          r.getLong(3),
+          Option(r.getTimestamp(4)).map(_.getTime).getOrElse(-1L),
+          if (r.isNullAt(5)) -1.0 else r.getDouble(5))
+      }.toSet
+    val a = rows(JoinOps.asOfJoinNative(lefts, rights,
+      "sk", "rsk", "ts", "rts", Seq("rts", "v"), leftOuter = true))
+    val b = rows(JoinOps.asOfJoinBackward(lefts, rights,
+      "sk", "rsk", "ts", "rts", Seq("rts", "v"), leftOuter = true))
+    assert(a.size == 300 && a == b,
+      s"only-native ${(a -- b).take(3)}, only-composed ${(b -- a).take(3)}")
+  }
+
+  test("tolerance caps match staleness: stale drops (inner) or " +
+      "null-pads (outer); native equals composed") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 09:00:00"), 50.0))
+      .toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:06:00")),  // 1 min stale -> 101.0
+      (1L, ts("2024-01-01 10:04:00")),  // 4 min stale -> 100.0
+      (2L, ts("2024-01-01 10:02:00")))  // 62 min stale -> BEYOND 10 min
+      .toDF("k", "tts")
+    val tol = Some(600000000L) // 10 minutes in micros
+    // inner: the stale trade DROPS
+    val inner = JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("price"), tolerance = tol)
+    assert(inner.collect().map(_.getDouble(2)).sorted.toSeq ==
+      Seq(100.0, 101.0), "stale match must drop under inner")
+    // outer: the stale trade survives NULL-padded
+    val outer = JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("price"), leftOuter = true,
+      tolerance = tol)
+    val padRow = outer.filter(col("k") === 2L).collect()
+    assert(padRow.length == 1 && padRow(0).isNullAt(2),
+      "stale match must null-pad under outer, not drop")
+    // native == composed with tolerance across the dense mix, all shapes
+    val lefts = (0 until 400).map { i =>
+      (if (i % 29 == 0) None else Some((i * 7 % 13).toLong),
+        if (i % 31 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 997 % 5000) * 1000L)),
+        i.toLong)
+    }.toDF("k", "ts", "lid")
+    val rights = (0 until 300).map { i =>
+      (if (i % 23 == 0) None else Some((i * 5 % 13).toLong),
+        if (i % 37 == 0) None
+        else Some(new Timestamp(1700000000000L + (i * 611 % 5000) * 1000L)),
+        i.toDouble)
+    }.toDF("rk", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+        Option(r.getTimestamp(1)).map(_.getTime).getOrElse(-1L), r.getLong(2),
+        Option(r.getTimestamp(3)).map(_.getTime).getOrElse(-1L),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))
+    }.toSet
+    // 800s bound: bites on the 0..5000s time span without zeroing matches
+    val denseTol = Some(800000000L)
+    for (outer2 <- Seq(false, true); fwd <- Seq(false, true)) {
+      val a = rows(JoinOps.asOfJoinNative(lefts, rights,
+        "k", "rk", "ts", "rts", Seq("rts", "v"),
+        leftOuter = outer2, forward = fwd, tolerance = denseTol))
+      val b = rows(if (fwd)
+        JoinOps.asOfJoinForward(lefts, rights,
+          "k", "rk", "ts", "rts", Seq("rts", "v"),
+          leftOuter = outer2, tolerance = denseTol)
+      else
+        JoinOps.asOfJoinBackward(lefts, rights,
+          "k", "rk", "ts", "rts", Seq("rts", "v"),
+          leftOuter = outer2, tolerance = denseTol))
+      assert(a == b, s"outer=$outer2 fwd=$fwd: only-native ${(a -- b).take(3)}" +
+        s", only-composed ${(b -- a).take(3)}")
+      if (outer2) assert(a.size == 400)
+    }
+  }
+
+  test("TVF analysis-time type discipline: INT keys widen, bad types " +
+      "fail with pointed messages") {
+    Seq((1, ts("2024-01-01 10:04:00"), 7.0))
+      .toDF("ik", "tts", "x").createOrReplaceTempView("jos_it")
+    Seq((1L, ts("2024-01-01 10:00:00"), 100.0))
+      .toDF("qk", "qts", "price").createOrReplaceTempView("jos_iq")
+    // INT left key vs BIGINT right key: widened, joins fine
+    val widened = spark.sql("""SELECT * FROM asof_join('jos_it', 'jos_iq',
+      'ik', 'qk', 'tts', 'qts', 'price')""")
+    assert(widened.select("asof_price").collect().map(_.getDouble(0))
+      .toSeq == Seq(100.0))
+    // STRING key vs BIGINT key: pointed analysis error, not a task crash
+    Seq(("a", ts("2024-01-01 10:04:00")))
+      .toDF("sk", "tts").createOrReplaceTempView("jos_sk")
+    val keyErr = intercept[Exception] {
+      spark.sql("""SELECT * FROM asof_join('jos_sk', 'jos_iq',
+        'sk', 'qk', 'tts', 'qts', 'price')""").collect()
+    }
+    assert(keyErr.getMessage.contains("same type"),
+      s"want pointed key-type message, got: ${keyErr.getMessage}")
+    // DOUBLE time column: pointed analysis error
+    Seq((1L, 2.5)).toDF("k", "dt").createOrReplaceTempView("jos_dt")
+    val timeErr = intercept[Exception] {
+      spark.sql("""SELECT * FROM asof_join('jos_dt', 'jos_iq',
+        'k', 'qk', 'dt', 'qts', 'price')""").collect()
+    }
+    assert(timeErr.getMessage.contains("bigint or timestamp"),
+      s"want pointed time-type message, got: ${timeErr.getMessage}")
+  }
+
   test("intervalOverlapJoin equals the inequality join, exactly once") {
     // seeded random intervals spanning 0-5 bins at binSec=60 — exercises
     // same-bin, adjacent-bin, and multi-bin-span pairs plus touching
