@@ -779,4 +779,73 @@ object DedupOps {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Span-level exact-substring dedup REMOVAL — the actual deliverable
+    * of Lee et al. 2022 (cf. reference pipeline's doc-level drop): where
+    * [[substringDupPairs]] reports which doc PAIRS share verbatim spans,
+    * production curation removes the repeated span from every occurrence
+    * but ONE carrier and keeps the rest of each document. Anchoring is
+    * the same content-defined scheme (word-boundary grams of `gramLen`
+    * chars); the carrier of each repeated gram is its corpus-wide FIRST
+    * occurrence (min (doc_id, word_index) — deterministic and
+    * replayable), covering within-doc self-repetition too. Removal is at
+    * WORD granularity: a removed anchor at word index i excises words
+    * [i, i + anchorWords), the window its gram was sampled from; nested/
+    * overlapping removals union through a per-word covered flag.
+    *
+    * No `maxDocsPerGram` cap here ON PURPOSE: the cap exists in the pair
+    * operator to stop quadratic bucket joins, but removal never pairs —
+    * each occurrence explodes into at most `anchorWords` covered word
+    * indices, so cost stays LINEAR in total anchors however common the
+    * span (the boilerplate shared by half the corpus is exactly what
+    * this screen should strip everywhere but once).
+    *
+    * Scale shape: one gram-keyed shuffle (both windows share the
+    * partition key), one doc-keyed rollup whose collect_list is bounded
+    * by the doc's own word count — d21's contract shape. Returns
+    * (doc_id, n_words, n_removed, clean_text) for EVERY input doc.
+    *
+    * Cache/collect: none — a straight-line plan, caller composes. */
+  def substringDedupSpans(docs: DataFrame, gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramLen >= 2)
+    val anchorWords = gramLen / 2 + 1
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val anchors = ws
+      .select(col("doc_id"), col("ws"),
+        posexplode(col("ws")).as(Seq("i", "w")))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        substring(concat_ws(" ",
+          slice(col("ws"), col("i") + 1, lit(anchorWords))),
+          1, gramLen).as("gram"))
+      .filter(length(col("gram")) === gramLen)
+    // first occurrence keeps the span; every later occurrence of a
+    // >=2-occurrence gram is a removal site. Both windows share one
+    // gram-keyed shuffle.
+    val wG = Window.partitionBy(col("gram"))
+    val removals = anchors
+      .withColumn("rn", row_number().over(
+        wG.orderBy(col("doc_id"), col("i"))))
+      .withColumn("cnt", count(lit(1)).over(wG))
+      .filter(col("cnt") >= 2 && col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (anchorWords - 1))).as("wi"))
+      .distinct()
+    val words = ws
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("wi", "w")))
+      .select(col("doc_id"), col("wi").cast("long").as("wi"), col("w"))
+    words
+      .join(removals.withColumn("rm", lit(true)), Seq("doc_id", "wi"),
+        "left")
+      .withColumn("rm", coalesce(col("rm"), lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(struct(col("wi"), col("rm"), col("w"))))
+          .as("sorted"))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        array_join(transform(filter(col("sorted"),
+          x => !x.getField("rm")), x => x.getField("w")), " ")
+          .as("clean_text"))
+  }
 }

@@ -1136,6 +1136,53 @@ object Dedup {
         c AS (SELECT DISTINCT a.str AS a, b.str AS b
               FROM v a JOIN v b ON a.var = b.var AND a.str < b.str)
         SELECT a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
-        FROM c WHERE levenshtein(a, b) <= 1"""))
+        FROM c WHERE levenshtein(a, b) <= 1""")),
+
+    // ---- span-level exact-substring dedup REMOVAL (Lee et al. 2022) -----
+    //      d16 reports which doc pairs share verbatim spans; this is the
+    //      operator a pipeline actually ships: remove every repeated
+    //      anchored span from all occurrences but its corpus-wide FIRST
+    //      (min (doc_id, word_index)) and emit the surviving text —
+    //      d21's (doc_id, clean_text) contract at span grain. The oracle
+    //      replays the whole chain byte-for-byte: same word-boundary
+    //      anchors, same first-carrier window, same word-granularity
+    //      excision ([i, i+17) per removed 32-char anchor), same
+    //      space-rejoin. DedupOpsSpec pins that exactly one carrier
+    //      keeps a span planted across three docs (and within one doc).
+    Q("d26_substring_spans",
+      (s, d) => DedupOps.substringDedupSpans(
+        Tables.documents(s, d), gramLen = 32),
+      Some("""
+        WITH w AS MATERIALIZED (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        a0 AS (SELECT doc_id, ws,
+                 CAST(unnest(range(0, len(ws))) AS BIGINT) AS i
+               FROM w),
+        a AS MATERIALIZED (
+          SELECT doc_id, i,
+            substring(array_to_string(ws[i+1 : i+17], ' '), 1, 32) AS gram
+          FROM a0
+          WHERE length(substring(array_to_string(ws[i+1 : i+17], ' '),
+                                 1, 32)) = 32),
+        mk AS (SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, i) AS rn,
+                 COUNT(*) OVER (PARTITION BY gram) AS cnt
+               FROM a),
+        rmo AS (SELECT doc_id, i FROM mk WHERE cnt >= 2 AND rn > 1),
+        rm AS (SELECT DISTINCT doc_id,
+                 CAST(unnest(range(i, i + 17)) AS BIGINT) AS wi
+               FROM rmo),
+        wd AS (SELECT doc_id, CAST(unnest(range(0, len(ws))) AS BIGINT)
+                 AS wi, ws FROM w),
+        fl AS (SELECT wd.doc_id, wd.wi, wd.ws[wd.wi+1] AS word,
+                 rm.wi IS NOT NULL AS rm
+               FROM wd LEFT JOIN rm
+                 ON wd.doc_id = rm.doc_id AND wd.wi = rm.wi)
+        SELECT doc_id, COUNT(*) AS n_words,
+          CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(CASE WHEN NOT rm THEN word END, ' '
+                              ORDER BY wi), '') AS clean_text
+        FROM fl GROUP BY doc_id"""))
   )
 }

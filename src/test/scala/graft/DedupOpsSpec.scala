@@ -499,6 +499,53 @@ class DedupOpsSpec extends SparkSpec {
       s"boilerplate must survive on exactly one carrier, got $news/$copy")
   }
 
+  test("substringDedupSpans: one carrier keeps a planted span, all other " +
+      "occurrences (cross-doc and within-doc) are excised") {
+    // span of 9 words (> anchorWords won't matter; gramLen 16 ->
+    // anchorWords 9); planted verbatim in docs 10/20/30 at different
+    // word offsets and TWICE in doc 40
+    val span = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val fix = docs(
+      10L -> s"unique lead-in words here $span and unique tail ten",
+      20L -> s"$span with other following content entirely different",
+      30L -> s"totally different opening then $span closes this doc",
+      40L -> s"$span repeated inside one document $span tail marker",
+      50L -> "no shared content in this document at all whatsoever")
+    val out = DedupOps.substringDedupSpans(fix, gramLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 10 is the corpus-wide first occurrence (min doc_id) -> keeps
+    assert(out(10L)._2 == 0L, s"carrier must keep the span: ${out(10L)}")
+    assert(out(10L)._3.contains("alpha bravo charlie"))
+    // every later occurrence loses the span's anchored words
+    for (id <- Seq(20L, 30L)) {
+      assert(out(id)._2 > 0L, s"doc $id must lose words: ${out(id)}")
+      assert(!out(id)._3.contains("alpha bravo charlie delta echo"),
+        s"doc $id must not retain the span: ${out(id)._3}")
+    }
+    // within-doc repeat: doc 40's SECOND occurrence also removed
+    assert(out(40L)._2 > 0L)
+    assert(!out(40L)._3.contains(
+      "india repeated inside one document alpha"),
+      s"doc 40 second occurrence must go: ${out(40L)._3}")
+    // the untouched doc survives byte-identical
+    assert(out(50L) ==
+      ((9L, 0L, "no shared content in this document at all whatsoever")))
+    // removal never invents words: clean_text words are a subset kept
+    // in original order
+    for ((id, (_, _, txt)) <- out) {
+      val orig = fix.filter(col("doc_id") === id)
+        .head().getString(1).split(" ")
+      val clean = if (txt.isEmpty) Array.empty[String] else txt.split(" ")
+      var oi = 0
+      for (w <- clean) {
+        while (oi < orig.length && orig(oi) != w) oi += 1
+        assert(oi < orig.length, s"doc $id: '$w' out of order vs original")
+        oi += 1
+      }
+    }
+  }
+
   test("d22 SemDeDup: each planted twin pair keeps exactly one member") {
     // identical vectors land in the same cell with identical d2, so the
     // id tiebreak decides: the twin (higher id) survives, the original
