@@ -20,6 +20,49 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "with", "for")
 
+  /** URL canonicalization (RefinedWeb §3.2's URL-dedup prerequisite):
+    * the row-local normalization that makes exact-URL dedup and
+    * host-level stats meaningful on crawled corpora. Steps, in order —
+    * each a stock regexp expression, so the whole chain stays inside
+    * codegen and replays verbatim in DuckDB (with the 'g' flag where
+    * Spark's regexp_replace is implicitly global):
+    *  1. drop the #fragment;
+    *  2. lowercase scheme://host[:port] ONLY — paths are case-sensitive
+    *     by spec and stay untouched;
+    *  3. strip a leading www.;
+    *  4. strip default ports (http:80 / https:443; a NON-default or
+    *     mismatched port is meaningful and kept);
+    *  5. strip utm_* tracking params, healing ?&/trailing-? seams;
+    *  6. strip trailing slashes.
+    * Non-URL strings pass through unchanged (step 2's extract matches
+    * nothing and every other pattern is URL-shaped). No lookarounds
+    * anywhere: DuckDB's RE2 has none, Java does — the shared subset is
+    * the contract. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, lit("#.*"), lit(""))
+    val prefix = "^([^/]*//[^/?#]*)"
+    val lowered = concat(
+      lower(regexp_extract(noFrag, prefix, 1)),
+      regexp_replace(noFrag, lit(prefix), lit("")))
+    val noWww = regexp_replace(lowered,
+      lit("^(https?://)www\\."), lit("$1"))
+    val noPort = regexp_replace(
+      regexp_replace(noWww,
+        lit("^(http://[^/:?#]*):80([/?#].*)?$"), lit("$1$2")),
+      lit("^(https://[^/:?#]*):443([/?#].*)?$"), lit("$1$2"))
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noPort, lit("utm_[^&#]*&"), lit("")),
+        lit("[?&]utm_[^&#]*$"), lit("")),
+      lit("\\?&"), lit("?"))
+    regexp_replace(regexp_replace(noUtm, lit("\\?$"), lit("")),
+      lit("/+$"), lit(""))
+  }
+
+  /** host of an (ideally canonicalized) URL — empty when not URL-shaped */
+  def urlHost(u: Column): Column =
+    regexp_extract(u, "^[^/]*//([^/:?#]+)", 1)
+
   /** whitespace tokenization; trim first so leading/trailing blanks
     * don't produce empty tokens */
   def tokens(textCol: String): Column = split(trim(col(textCol)), " +")

@@ -2074,6 +2074,90 @@ object TextOps {
         SELECT v1, v10, v50, v100,
           CAST(FLOOR(ln(CAST(v100 AS DOUBLE) / v10) / ln(10.0)
             * 1000000.0 + 0.5) AS BIGINT) AS heaps_beta_q6
-        FROM v"""))
+        FROM v""")),
+
+    // ---- URL canonicalization + host-level dedup stats (RefinedWeb §3.2)
+    //      the standard crawl-curation screen the text family lacked:
+    //      normalize scheme/host case, www., default ports, utm_*
+    //      params, fragments and trailing slashes — then per-host doc
+    //      counts and exact-canonical-URL dedup. The fixture synthesizes
+    //      each doc's crawl URL deterministically from doc_id with every
+    //      noise class injected (mixed-case scheme+host, matching
+    //      default ports, utm-only / utm-first / utm-last queries,
+    //      fragments, trailing slashes), so the SAME logical page
+    //      reached through different surface forms must collapse: the
+    //      oracle replays the full regexp chain byte-for-byte (DuckDB
+    //      regexp_replace needs the explicit 'g' flag where Spark is
+    //      implicitly global — the one dialect seam, pinned here).
+    //      Row-local regexps + ONE host-keyed rollup; at 100 TB the
+    //      rollup shuffles one (host, url) pair per doc.
+    Q("t44_url_canonical",
+      (s, d) => {
+        import graft.functions.TextFunctions.{canonicalUrl, urlHost}
+        val id = col("doc_id")
+        val raw = concat(
+          when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+          lit("WWW.Site"), (id % 7).cast("string"), lit(".Example.COM"),
+          when(id % 5 === 0,
+            when(id % 2 === 0, ":443").otherwise(":80")).otherwise(lit("")),
+          lit("/Articles/item"), (id % 50).cast("string"),
+          when(id % 3 === 0, "/").otherwise(lit("")),
+          when(id % 4 === 0, "?utm_source=feed&ref=a")
+            .when(id % 4 === 1, "?ref=a&utm_campaign=x")
+            .when(id % 4 === 2, "?utm_only=1").otherwise(lit("")),
+          when(id % 6 === 0, "#section2").otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), canonicalUrl(raw).as("url"))
+          .select(col("doc_id"), col("url"), urlHost(col("url")).as("host"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("url")).as("n_urls"),
+            (count(lit(1)) - countDistinct(col("url"))).as("n_url_dups"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+            || '://WWW.Site' || (doc_id % 7) || '.Example.COM'
+            || (CASE WHEN doc_id % 5 = 0 THEN
+                  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+                ELSE '' END)
+            || '/Articles/item' || (doc_id % 50)
+            || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&ref=a'
+                     WHEN doc_id % 4 = 1 THEN '?ref=a&utm_campaign=x'
+                     WHEN doc_id % 4 = 2 THEN '?utm_only=1'
+                     ELSE '' END)
+            || (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END)
+              AS u
+          FROM documents),
+        c1 AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS u FROM raw),
+        c2 AS (SELECT doc_id,
+                 lower(regexp_extract(u, '^([^/]*//[^/?#]*)', 1))
+                   || regexp_replace(u, '^[^/]*//[^/?#]*', '') AS u
+               FROM c1),
+        c3 AS (SELECT doc_id,
+                 regexp_replace(u, '^(https?://)www\.', '\1') AS u
+               FROM c2),
+        c4 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(u,
+                   '^(http://[^/:?#]*):80([/?#].*)?$', '\1\2'),
+                   '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2') AS u
+               FROM c3),
+        c5 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(u,
+                   'utm_[^&#]*&', '', 'g'),
+                   '[?&]utm_[^&#]*$', ''),
+                   '\?&', '?') AS u
+               FROM c4),
+        c6 AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(u, '\?$', ''),
+                   '/+$', '') AS url
+               FROM c5)
+        SELECT regexp_extract(url, '^[^/]*//([^/:?#]+)', 1) AS host,
+          COUNT(*) AS n_docs,
+          COUNT(DISTINCT url) AS n_urls,
+          COUNT(*) - COUNT(DISTINCT url) AS n_url_dups
+        FROM c6 GROUP BY 1"""))
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{canonicalUrl, urlHost}
+
+/** canonicalUrl edge cases the t44 gate's synthetic fixture can't cover
+  * one by one: each row is (input, want) and the operator must map
+  * every input to its canonical form exactly. */
+class UrlCanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("canonicalUrl normalizes every noise class and nothing else") {
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      ("HTTPS://WWW.Ex.COM/Some/Path", "https://ex.com/Some/Path"),
+      // default ports strip; mismatched/non-default ports stay
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:443/x", "http://a.com:443/x"),
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      // bare host with default port, no path
+      ("http://a.com:80", "http://a.com"),
+      // fragment drops
+      ("http://a.com/x#frag", "http://a.com/x"),
+      // utm params: only / first / last / several; other params survive
+      ("http://a.com/x?utm_a=1", "http://a.com/x"),
+      ("http://a.com/x?utm_a=1&q=2", "http://a.com/x?q=2"),
+      ("http://a.com/x?q=2&utm_a=1", "http://a.com/x?q=2"),
+      ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
+      ("http://a.com/x?utm_a=1&q=2&utm_b=3", "http://a.com/x?q=2"),
+      // trailing slashes strip, incl. after query removal
+      ("http://a.com/x/", "http://a.com/x"),
+      ("http://a.com/x/?utm_a=1", "http://a.com/x"),
+      // www strips only as a host prefix
+      ("http://www.a.com/x", "http://a.com/x"),
+      ("http://awww.a.com/x", "http://awww.a.com/x"),
+      // non-URL strings pass through
+      ("not a url at all", "not a url at all"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), canonicalUrl(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((in, want) <- cases)
+      assert(got(in) == want, s"canonicalUrl('$in') = '${got(in)}', " +
+        s"want '$want'")
+    // host extraction on canonical forms
+    val hosts = Seq("https://ex.com/Some/Path", "http://a.com:8443/x",
+      "plain").toDF("u").select(urlHost(col("u"))).collect().map(_.getString(0))
+    assert(hosts.toSeq == Seq("ex.com", "a.com", ""))
+  }
+}
