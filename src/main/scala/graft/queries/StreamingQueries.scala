@@ -793,10 +793,18 @@ object StreamingQueries {
             (col("event_type") === "purchase").as("is_purchase"),
             col("value"))
           .as[graft.streaming.EventStreams.AsOfInput]
-        val q = graft.streaming.EventStreams.asOfEnrichStream(input)
+        // the ordering-precondition signal: time-ascending delivery must
+        // leave the late counter at ZERO — a nonzero count here would
+        // mean the gate's own mtime discipline broke, and failing loud
+        // beats a silent non-batch-equal diff downstream
+        val late = child.sparkContext.longAccumulator("st17_late")
+        val q = graft.streaming.EventStreams
+          .asOfEnrichStream(input, lateArrivals = Some(late))
           .writeStream.format("memory").queryName("st17")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         try q.awaitTermination() finally if (q.isActive) q.stop()
+        require(late.value == 0L,
+          s"st17: ${late.value} late arrivals — slice delivery out of order")
         child.table("st17")
       },
       Some("""
@@ -809,40 +817,93 @@ object StreamingQueries {
           ON p.user_id = c.user_id AND p.ts >= c.ts"""),
       // time-ranged slices written ONE AT A TIME with strictly
       // increasing mtimes — delivery order IS time order
-      setup = Some((s, d) => {
-        val dir = scratchRoot.resolve(
-          "st17-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-        val ev = Tables.events(s, d)
+      setup = Some((s, d) => writeTimeSlices(s, d, "st17"))),
+
+    // ---- FORWARD streaming as-of enrichment ------------------------------
+    //      st17's direction mirror and e27's streaming twin: each
+    //      purchase enriched with the user's EARLIEST click at-or-AFTER
+    //      it. Where backward holds one reference per key and emits on
+    //      fact arrival, forward must WAIT — facts buffer in the state
+    //      store until the next reference arrives (pending list bounded
+    //      by the key's ref inter-arrival gap), which is why this is a
+    //      distinct state machine and not a parameter flip. Facts whose
+    //      reference never arrives stay pending through stream end —
+    //      exactly the batch inner drop, so the bounded replay shares
+    //      e27's DuckDB oracle (reversed inequality) across real
+    //      micro-batch boundaries. Same late-arrival signal as st17.
+    Q("st18_stream_asof_fwd",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st18-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        import child.implicits._
+        val stream = child.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base)
+        val input = stream
           .filter(col("event_type").isin("purchase", "click"))
-          .withColumn("_sec", unix_micros(col("ts")))
-          // cache lifecycle: scoped to this call — unpersisted below
-          .persist()
-        val Array(lo, hi) = ev.agg(min(col("_sec")), max(col("_sec")))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        val w = math.max(1L, (hi - lo) / 8 + 1)
-        // FileStreamSource orders by mtime; on coarse-granularity
-        // filesystems two sequential writes can share a stamp and
-        // deliver out of order. So each slice's part-files get an
-        // EXPLICIT strictly-increasing mtime instead of trusting the
-        // write clock — delivery order is then time order by
-        // construction, not by race.
-        val mtimeBase = System.currentTimeMillis()
-        val seen = scala.collection.mutable.Set[String]()
-        for (i <- 0 until 8) {
-          ev.filter(col("_sec") >= lo + i * w &&
-              col("_sec") < lo + (i + 1) * w)
-            .drop("_sec").coalesce(1)
-            .write.mode(if (i == 0) "overwrite" else "append")
-            .option("compression", "zstd").parquet(dir)
-          new java.io.File(dir).listFiles()
-            .filter(f => f.getName.startsWith("part-") &&
-              !seen.contains(f.getName))
-            .foreach { f =>
-              f.setLastModified(mtimeBase + (i + 1) * 1000L)
-              seen += f.getName
-            }
-        }
-        ev.unpersist()
-      }))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            (col("event_type") === "purchase").as("is_purchase"),
+            col("value"))
+          .as[graft.streaming.EventStreams.AsOfInput]
+        val late = child.sparkContext.longAccumulator("st18_late")
+        val q = graft.streaming.EventStreams
+          .asOfEnrichStreamForward(input, lateArrivals = Some(late))
+          .writeStream.format("memory").queryName("st18")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        require(late.value == 0L,
+          s"st18: ${late.value} late arrivals — slice delivery out of order")
+        child.table("st18")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st18")))
   )
+
+  /** 8 time-ranged slices of the purchase/click stream written ONE AT A
+    * TIME with strictly increasing EXPLICIT mtimes: FileStreamSource
+    * orders by mtime, and on coarse-granularity filesystems two
+    * sequential writes can share a stamp and deliver out of order — so
+    * each slice's part-files are stamped (mtimeBase + slice second)
+    * after writing; delivery order is time order by construction, not
+    * by race. Shared by the st17 (backward) and st18 (forward) gates. */
+  private def writeTimeSlices(s: SparkSession, d: String,
+                              tag: String): Unit = {
+    val dir = scratchRoot.resolve(
+      tag + "-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("_sec", unix_micros(col("ts")))
+      // cache lifecycle: scoped to this call — unpersisted below
+      .persist()
+    val Array(lo, hi) = ev.agg(min(col("_sec")), max(col("_sec")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val w = math.max(1L, (hi - lo) / 8 + 1)
+    val mtimeBase = System.currentTimeMillis()
+    val seen = scala.collection.mutable.Set[String]()
+    for (i <- 0 until 8) {
+      ev.filter(col("_sec") >= lo + i * w &&
+          col("_sec") < lo + (i + 1) * w)
+        .drop("_sec").coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .option("compression", "zstd").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          !seen.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(mtimeBase + (i + 1) * 1000L)
+          seen += f.getName
+        }
+    }
+    ev.unpersist()
+  }
 }

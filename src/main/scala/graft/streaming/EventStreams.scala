@@ -99,6 +99,14 @@ object EventStreams {
   case class AsOfState(ts: Timestamp, value: Double)
   case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
                      asof_ts: Timestamp, asof_value: Double)
+  /** backward enrichment state: the latest reference + the max event
+    * time this key has PROCESSED — the high-water mark that makes
+    * out-of-order delivery detectable instead of silent */
+  case class AsOfEnrichState(ref: Option[AsOfState], maxSeen: Long)
+  /** forward enrichment state: facts buffered until their next
+    * reference arrives (bounded by ref-arrival rate) + the same
+    * high-water mark */
+  case class AsOfFwdState(pending: List[AsOfInput], maxSeen: Long)
 
   /** Streaming backward as-of enrichment — e24's operator as a live
     * state machine: one interleaved stream of reference rows (clicks,
@@ -121,32 +129,110 @@ object EventStreams {
     * trades latency for reordering tolerance, the same design axis as
     * st13/st15's withheld-tail convention.
     *
+    * The ordering precondition is a RUNTIME SIGNAL, not a silent
+    * assumption: each key's state carries its processed-time high-water
+    * mark, every event arriving below it increments `lateArrivals`
+    * (driver-visible, Spark-UI-visible accumulator), and late events
+    * can only DEGRADE toward batch semantics, never corrupt:
+    *  - a late reference is ignored unless newer than the held one
+    *    (state never regresses, later facts still get the latest ref);
+    *  - a late fact matches only a reference at-or-before ITS OWN time
+    *    (it may miss — inner semantics drop it — but it can never be
+    *    enriched with a FUTURE reference).
+    * An out-of-order source is therefore detectable (counter > 0) and
+    * its damage is bounded to dropped late facts.
+    *
     * Inner semantics: facts with no prior reference emit nothing (the
     * e24 contract). NoTimeout: state is one pair per key, bounded by
     * key cardinality; an unbounded-key stream would add an event-time
     * timeout eviction like [[sessionize]]'s. */
-  def asOfEnrichStream(events: Dataset[AsOfInput]): Dataset[AsOfOut] = {
+  def asOfEnrichStream(events: Dataset[AsOfInput],
+                       lateArrivals: Option[org.apache.spark.util
+                         .LongAccumulator] = None): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
-    def micros(t: Timestamp): Long = {
-      val i = t.toInstant
-      i.getEpochSecond * 1000000L + i.getNano / 1000L
-    }
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[AsOfState, AsOfOut](
+      .flatMapGroupsWithState[AsOfEnrichState, AsOfOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[AsOfInput],
-         state: GroupState[AsOfState]) =>
+         state: GroupState[AsOfEnrichState]) =>
           val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_purchase))
+          val st0 = state.getOption
+            .getOrElse(AsOfEnrichState(None, Long.MinValue))
+          var ref = st0.ref
+          var maxSeen = st0.maxSeen
           val out = Seq.newBuilder[AsOfOut]
-          var st = state.getOption
           sorted.foreach { e =>
-            if (!e.is_purchase) st = Some(AsOfState(e.ts, e.value))
-            else st.foreach(c =>
+            val m = micros(e.ts)
+            // in-batch order is sorted, so m < maxSeen can only mean a
+            // cross-batch descent: delivery order violated time order
+            if (m < maxSeen) lateArrivals.foreach(_.add(1L))
+            if (!e.is_purchase) {
+              if (ref.forall(c => micros(c.ts) <= m))
+                ref = Some(AsOfState(e.ts, e.value))
+            } else ref.filter(c => micros(c.ts) <= m).foreach(c =>
               out += AsOfOut(e.event_id, userId, e.ts, c.ts, c.value))
+            if (m > maxSeen) maxSeen = m
           }
-          st.foreach(state.update)
+          state.update(AsOfEnrichState(ref, maxSeen))
           out.result().iterator
       }
+  }
+
+  /** FORWARD streaming as-of enrichment — e27's direction as a live
+    * state machine: each fact is enriched with the EARLIEST reference
+    * at-or-AFTER its event time on the same key ("the next quote after
+    * the order"). Backward holds one reference and emits facts on
+    * arrival; forward must WAIT — facts buffer in state until the next
+    * reference arrives, then every pending fact at-or-before it emits
+    * with that reference (in time order, the first reference after a
+    * fact IS its earliest). Pending-list size is bounded by the key's
+    * fact rate x its reference inter-arrival gap — the ref-arrival-rate
+    * bound; a production stream with silent keys adds an event-time
+    * timeout to cap the tail.
+    *
+    * Delivered time-ascending, the bounded replay equals the batch
+    * FORWARD as-of join exactly (facts whose reference never arrives
+    * stay pending and drop at stream end — precisely the batch inner
+    * drop); st18 shares e27's DuckDB oracle across real micro-batch
+    * boundaries. Same late-arrival discipline as [[asOfEnrichStream]]:
+    * the counter fires on any cross-batch time descent, and a late
+    * fact simply waits for the next reference (it can only match a
+    * reference at-or-after its own time — never a wrong one). */
+  def asOfEnrichStreamForward(events: Dataset[AsOfInput],
+                              lateArrivals: Option[org.apache.spark.util
+                                .LongAccumulator] = None): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfFwdState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsOfInput],
+         state: GroupState[AsOfFwdState]) =>
+          // facts BEFORE references at equal timestamps: ">=" inclusive
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), !e.is_purchase))
+          val st0 = state.getOption.getOrElse(AsOfFwdState(Nil, Long.MinValue))
+          var pending = st0.pending
+          var maxSeen = st0.maxSeen
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { e =>
+            val m = micros(e.ts)
+            if (m < maxSeen) lateArrivals.foreach(_.add(1L))
+            if (e.is_purchase) pending ::= e
+            else {
+              val (matched, still) = pending.partition(f => micros(f.ts) <= m)
+              matched.foreach(f =>
+                out += AsOfOut(f.event_id, userId, f.ts, e.ts, e.value))
+              pending = still
+            }
+            if (m > maxSeen) maxSeen = m
+          }
+          state.update(AsOfFwdState(pending, maxSeen))
+          out.result().iterator
+      }
+  }
+
+  private def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
   }
 
   /** stream-static enrichment: join each streaming event to a static

@@ -162,6 +162,111 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asOfEnrichStreamForward: facts buffer across batches until the " +
+      "next reference arrives; the first at-or-after wins, inclusive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStreamForward(input.toDS())
+      .writeStream.format("memory").queryName("asof_fwd")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_fwd").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString, r.getDouble(4)))
+      .toSet
+    try {
+      // batch 1: two purchases, NO click yet -> both buffer, nothing
+      // emits; an equal-timestamp click matches inclusively
+      input.addData(
+        AsOfInput(200L, 1L, ts("2024-01-01 10:01:00"), true, 0.0),
+        AsOfInput(201L, 1L, ts("2024-01-01 10:03:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"facts must wait for a reference: ${rows()}")
+      // batch 2: the first click releases BOTH pending facts (it is the
+      // earliest at-or-after for each); a later click matches nothing
+      input.addData(
+        AsOfInput(2L, 1L, ts("2024-01-01 10:03:00"), false, 5.5),
+        AsOfInput(3L, 1L, ts("2024-01-01 10:09:00"), false, 9.9))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (200L, "2024-01-01 10:03:00.0", 5.5),
+        (201L, "2024-01-01 10:03:00.0", 5.5)), s"batch 2: ${rows()}")
+      // batch 3: a new fact after all clicks stays pending forever
+      // (inner drop); a same-batch fact+click pair resolves in order
+      input.addData(
+        AsOfInput(202L, 1L, ts("2024-01-01 10:20:00"), true, 0.0),
+        AsOfInput(203L, 1L, ts("2024-01-01 10:10:00"), true, 0.0),
+        AsOfInput(4L, 1L, ts("2024-01-01 10:12:00"), false, 1.25))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (200L, "2024-01-01 10:03:00.0", 5.5),
+        (201L, "2024-01-01 10:03:00.0", 5.5),
+        (203L, "2024-01-01 10:12:00.0", 1.25)), s"batch 3: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("late-arrival counter fires on cross-batch time descents and the " +
+      "machines degrade safely, never corrupt") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    // backward machine
+    val late = spark.sparkContext.longAccumulator("late_bwd")
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStream(input.toDS(), Some(late))
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        AsOfInput(10L, 1L, ts("2024-01-01 10:10:00"), false, 7.0),
+        AsOfInput(300L, 1L, ts("2024-01-01 10:11:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(late.value == 0L, "in-order batch must not count late")
+      // batch 2 delivers OLDER events: one late ref (must not regress
+      // state), one late fact (must not be enriched by the FUTURE ref)
+      input.addData(
+        AsOfInput(11L, 1L, ts("2024-01-01 10:02:00"), false, 3.0),
+        AsOfInput(301L, 1L, ts("2024-01-01 10:01:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(late.value == 2L, s"both descents must count: ${late.value}")
+      val got = spark.table("asof_late").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      // 301 (ts 10:01) found no ref at-or-before itself: dropped, NOT
+      // matched to the 10:10 ref sitting in state
+      assert(got == Set((300L, 7.0)), s"late fact must drop: $got")
+      // batch 3: a fresh fact still sees the 10:10 ref — the late 10:02
+      // ref did not regress the state
+      input.addData(AsOfInput(302L, 1L, ts("2024-01-01 10:30:00"), true, 0.0))
+      q.processAllAvailable()
+      val got3 = spark.table("asof_late").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      assert(got3 == Set((300L, 7.0), (302L, 7.0)),
+        s"state must hold the NEWEST ref: $got3")
+    } finally q.stop()
+    // forward machine: same counter contract
+    val lateF = spark.sparkContext.longAccumulator("late_fwd")
+    val inputF = MemoryStream[AsOfInput]
+    val qf = EventStreams.asOfEnrichStreamForward(inputF.toDS(), Some(lateF))
+      .writeStream.format("memory").queryName("asof_late_fwd")
+      .outputMode("append").start()
+    try {
+      inputF.addData(AsOfInput(400L, 1L, ts("2024-01-01 10:10:00"), true, 0.0))
+      qf.processAllAvailable()
+      inputF.addData(AsOfInput(20L, 1L, ts("2024-01-01 10:05:00"), false, 2.0))
+      qf.processAllAvailable()
+      assert(lateF.value == 1L, s"forward descent must count: ${lateF.value}")
+      // the late 10:05 ref is BEFORE the pending 10:10 fact — no match
+      assert(spark.table("asof_late_fwd").isEmpty,
+        "a late earlier ref must not match a later pending fact")
+      // the next in-order ref releases it
+      inputF.addData(AsOfInput(21L, 1L, ts("2024-01-01 10:15:00"), false, 4.0))
+      qf.processAllAvailable()
+      val gotF = spark.table("asof_late_fwd").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      assert(gotF == Set((400L, 4.0)), s"forward release: $gotF")
+    } finally qf.stop()
+  }
+
   test("st16 novelty filter: both bloom branches carry traffic") {
     // the split direction matters: keep-probable-matches (the semi-join
     // bloom composition) would drop exactly the novel traffic — this
