@@ -20,15 +20,27 @@ import org.apache.spark.sql.types.StringType
   *   SELECT * FROM asof_join_left(...)            -- LEFT OUTER variant
   *   SELECT * FROM asof_join_forward(...)         -- earliest ts >= left
   *   SELECT * FROM asof_join_forward_left(...)    -- both combined
+  *   -- INLINE SUBQUERIES instead of temp views, and an optional
+  *   -- tolerance (integer literal, time-column units) before the
+  *   -- payload list:
+  *   SELECT * FROM asof_join(
+  *     'SELECT event_id, user_id, ts FROM events WHERE ...',
+  *     'SELECT user_id, ts, value FROM events WHERE ...',
+  *     'user_id', 'user_id', 'ts', 'ts', 600000000, 'ts', 'value')
   * }}}
   *
-  * Arguments (all string literals — the TVF builder runs at resolution
+  * Arguments (string literals — the TVF builder runs at resolution
   * time, before any child plan exists to resolve column references
-  * against): left table, right table (temp-view or catalog names),
-  * left key, right key, left time, right time, then one or more right
-  * payload column names, which surface as `asof_<name>` — the exact
-  * output contract of `JoinOps.asOfJoinNative`, so e24/e25 share one
-  * oracle.
+  * against): left table, right table — each either a temp-view/catalog
+  * NAME or an inline SQL QUERY (dispatched on shape; queries parse via
+  * the session-independent Catalyst parser and resolve in the same
+  * analyzer fixed point) — left key, right key, left time, right time,
+  * optionally a tolerance (the ONE non-string argument, an integer
+  * literal type-dispatched from the payload list; pandas
+  * merge_asof(tolerance=...) semantics per [[AsOfJoin]]), then one or
+  * more right payload column names, which surface as `asof_<name>` —
+  * the exact output contract of `JoinOps.asOfJoinNative`, so e24/e25
+  * share one oracle.
   *
   * Resolution happens in two steps because a TVF builder only sees
   * literal arguments: the builder emits an [[UnresolvedAsOfJoin]]
@@ -46,7 +58,7 @@ object AsOfJoinTvf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightVals: Seq[String], leftOuter: Boolean,
-      forward: Boolean) extends BinaryNode {
+      forward: Boolean, tolerance: Option[Long] = None) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = Nil
     override protected def withNewChildrenInternal(
@@ -65,15 +77,39 @@ object AsOfJoinTvf {
       args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 7,
       s"$fn(leftTable, rightTable, leftKey, rightKey, leftTime, " +
-        "rightTime, rightVal...) needs at least 7 arguments, got " +
-        args.length)
-    val parts = args.indices.map(strArg(fn, args, _))
-    def rel(name: String) =
-      org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
-        name.split('.').toSeq)
-    UnresolvedAsOfJoin(rel(parts(0)), rel(parts(1)),
-      parts(2), parts(3), parts(4), parts(5),
-      parts.drop(6), leftOuter, forward)
+        "rightTime, [toleranceMicros,] rightVal...) needs at least 7 " +
+        s"arguments, got ${args.length}")
+    // a table argument may be a NAME ('quotes', 'db.quotes') or an
+    // INLINE QUERY ('SELECT user_id, ts FROM events WHERE ...') — the
+    // round-13 "temp views required" friction. Dispatch on shape: names
+    // are identifier chains; anything else parses as a plan with the
+    // session-independent Catalyst parser, and the analyzer resolves it
+    // in the same fixed-point batch as a relation would.
+    def rel(text: String): LogicalPlan = {
+      val t = text.trim
+      if (t.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"))
+        org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(
+          t.split('.').toSeq)
+      else
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(t)
+    }
+    // optional 7th argument: an INTEGER literal = tolerance in the time
+    // column's units (micros for timestamps) — type-dispatched so the
+    // string payload list stays unambiguous
+    val (tol, valIdx) = args(6) match {
+      case Literal(v, dt) if v != null &&
+          Seq("integer", "bigint", "smallint", "tinyint")
+            .contains(dt.typeName) =>
+        (Some(v.toString.toLong), 7)
+      case _ => (None, 6)
+    }
+    require(args.length > valIdx,
+      s"$fn: at least one right payload column is required")
+    UnresolvedAsOfJoin(rel(strArg(fn, args, 0)), rel(strArg(fn, args, 1)),
+      strArg(fn, args, 2), strArg(fn, args, 3),
+      strArg(fn, args, 4), strArg(fn, args, 5),
+      (valIdx until args.length).map(strArg(fn, args, _)),
+      leftOuter, forward, tol)
   }
 
   /** registration tuples for `SparkSessionExtensions.injectTableFunction` */
@@ -95,7 +131,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
-          fwd) if l.resolved && r.resolved =>
+          fwd, tol) if l.resolved && r.resolved =>
         def attr(out: Seq[Attribute], n: String, side: String): Attribute =
           out.find(a => conf.resolver(a.name, n)).getOrElse(
             throw new IllegalArgumentException(
@@ -137,7 +173,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
           throw new IllegalArgumentException(
             s"asof_join: time columns `$lt` (${ltE.dataType.sql}) and " +
               s"`$rt` (${rtE.dataType.sql}) must be bigint or timestamp")
-        val aoj = AsOfJoin(l, rp, lkE, rkE, ltE, rtE, outer, fwd)
+        val aoj = AsOfJoin(l, rp, lkE, rkE, ltE, rtE, outer, fwd, tol)
         // payload attrs come from aoj.output (NOT rp.output): outer mode
         // rewrites their nullability there
         val rightOut = aoj.output.drop(l.output.size)

@@ -1129,6 +1129,35 @@ object Events {
               WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
                         WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- as-of TVF with INLINE SUBQUERIES + tolerance --------------------
+    //      closes the round-13 "SQL users must create temp views and
+    //      can't inline subqueries" friction: table arguments are
+    //      dispatched on shape (identifier chain -> relation lookup,
+    //      anything else -> CatalystSqlParser.parsePlan, resolved in the
+    //      same analyzer fixed point), and the tolerance rides as the
+    //      ONE integer literal type-dispatched from the string payload
+    //      list. This is e30's exact query — bound INSIDE the join, no
+    //      temp views, pure spark.sql end to end — against e30's oracle.
+    Q("e32_asof_tvf_inline",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("e32_events")
+        s.sql("""SELECT * FROM asof_join(
+          'SELECT event_id, user_id, ts FROM e32_events
+             WHERE event_type = "purchase"',
+          'SELECT user_id, ts, value FROM e32_events
+             WHERE event_type = "click"',
+          'user_id', 'user_id', 'ts', 'ts', 600000000, 'ts', 'value')""")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000"""))
   )
 }

@@ -395,6 +395,37 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("TVF inline subqueries and the integer tolerance argument") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 09:00:00"), 50.0))
+      .toDF("qk", "qts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:06:00")),
+      (1L, ts("2024-01-01 10:04:00")),
+      (2L, ts("2024-01-01 10:02:00")))
+      .toDF("k", "tts")
+    quotes.createOrReplaceTempView("jos_tq")
+    trades.createOrReplaceTempView("jos_tt")
+    // inline subqueries instead of pre-made views; tolerance as the one
+    // integer literal before the payload list (10 min in micros)
+    val sqlDf = spark.sql("""SELECT * FROM asof_join(
+      'SELECT k, tts FROM jos_tt',
+      'SELECT qk, qts, price FROM jos_tq WHERE price > 0',
+      'k', 'qk', 'tts', 'qts', 600000000, 'price')""")
+    assert(sqlDf.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val api = JoinOps.asOfJoinNative(trades, quotes,
+      "k", "qk", "tts", "qts", Seq("price"),
+      tolerance = Some(600000000L))
+    assert(sqlDf.collect().toSet == api.collect().toSet,
+      "inline+tolerance TVF must equal the API with tolerance")
+    // the stale key-2 trade dropped; without tolerance it matches
+    assert(sqlDf.count() == 2 &&
+      spark.sql("""SELECT * FROM asof_join('jos_tt', 'jos_tq',
+        'k', 'qk', 'tts', 'qts', 'price')""").count() == 3)
+  }
+
   test("TVF analysis-time type discipline: INT keys widen, bad types " +
       "fail with pointed messages") {
     Seq((1, ts("2024-01-01 10:04:00"), 7.0))
