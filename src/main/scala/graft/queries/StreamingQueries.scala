@@ -866,8 +866,105 @@ object StreamingQueries {
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts <= c.ts"""),
-      setup = Some((s, d) => writeTimeSlices(s, d, "st18")))
+      setup = Some((s, d) => writeTimeSlices(s, d, "st18"))),
+
+    // ---- LEFT OUTER streaming as-of (backward) ---------------------------
+    //      e26's streaming twin: every purchase emits on arrival —
+    //      enriched when a prior click exists, None-padded otherwise.
+    //      Outer is STREAMABLE only backward: a backward match can never
+    //      be improved by future data (later refs are later in time), so
+    //      the pad decision on arrival is final — exactly the batch ASOF
+    //      LEFT row. (Forward outer would need watermark-timeout
+    //      eviction to know no reference is coming; documented on the
+    //      operator.) Shares e26's DuckDB oracle.
+    Q("st19_stream_asof_left",
+      (s, d) => runAsOfGate(s, d, "st19") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStreamOuter(input,
+          lateArrivals = Some(late)).toDF()
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st19"))),
+
+    // ---- tolerance-bounded streaming as-of, both directions --------------
+    //      e30/e31's staleness cap in the live machines: ONE extra
+    //      comparison against the per-key O(1) state (backward) or at
+    //      pending-fact release (forward — where a staler-than-bound
+    //      first reference is a FINAL no-match: no later ref can be
+    //      closer, so the fact leaves pending without emitting, exactly
+    //      the batch inner drop). st20 shares e30's oracle; st21 is
+    //      e27's oracle with the mirrored staleness predicate.
+    Q("st20_stream_asof_tol",
+      (s, d) => runAsOfGate(s, d, "st20") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStream(input,
+          lateArrivals = Some(late), tolerance = Some(600000000L)).toDF()
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st20"))),
+
+    Q("st21_stream_asof_fwd_tol",
+      (s, d) => runAsOfGate(s, d, "st21") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStreamForward(input,
+          lateArrivals = Some(late), tolerance = Some(600000000L)).toDF()
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 600000000"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st21")))
   )
+
+  /** shared harness for the streaming as-of gates: read the gate's
+    * time-sliced source one file per trigger in a child session, run the
+    * machine to completion with a late-arrival accumulator, require ZERO
+    * late arrivals (the mtime discipline's runtime check — failing loud
+    * beats a silent non-batch-equal diff), hand back the memory sink. */
+  private def runAsOfGate(s: SparkSession, d: String, tag: String)(
+      build: (org.apache.spark.sql.Dataset[
+          graft.streaming.EventStreams.AsOfInput],
+        org.apache.spark.util.LongAccumulator) => DataFrame): DataFrame = {
+    val base = scratchRoot.resolve(
+      tag + "-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    import child.implicits._
+    val input = child.readStream
+      .schema(Tables.events(s, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").as("is_purchase"),
+        col("value"))
+      .as[graft.streaming.EventStreams.AsOfInput]
+    val late = child.sparkContext.longAccumulator(tag + "_late")
+    val q = build(input, late)
+      .writeStream.format("memory").queryName(tag)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+    require(late.value == 0L,
+      s"$tag: ${late.value} late arrivals — slice delivery out of order")
+    child.table(tag)
+  }
 
   /** 8 time-ranged slices of the purchase/click stream written ONE AT A
     * TIME with strictly increasing EXPLICIT mtimes: FileStreamSource

@@ -99,6 +99,12 @@ object EventStreams {
   case class AsOfState(ts: Timestamp, value: Double)
   case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
                      asof_ts: Timestamp, asof_value: Double)
+  /** LEFT OUTER output: unmatched facts survive with None asof_* —
+    * a separate type so the inner machines' output schema (and the
+    * st17/st18 oracles hashing it) stays untouched */
+  case class AsOfOutOuter(event_id: Long, user_id: Long, ts: Timestamp,
+                          asof_ts: Option[Timestamp],
+                          asof_value: Option[Double])
   /** backward enrichment state: the latest reference + the max event
     * time this key has PROCESSED — the high-water mark that makes
     * out-of-order delivery detectable instead of silent */
@@ -148,34 +154,80 @@ object EventStreams {
     * timeout eviction like [[sessionize]]'s. */
   def asOfEnrichStream(events: Dataset[AsOfInput],
                        lateArrivals: Option[org.apache.spark.util
-                         .LongAccumulator] = None): Dataset[AsOfOut] = {
+                         .LongAccumulator] = None,
+                       tolerance: Option[Long] = None): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfEnrichState, AsOfOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[AsOfInput],
          state: GroupState[AsOfEnrichState]) =>
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_purchase))
-          val st0 = state.getOption
-            .getOrElse(AsOfEnrichState(None, Long.MinValue))
-          var ref = st0.ref
-          var maxSeen = st0.maxSeen
-          val out = Seq.newBuilder[AsOfOut]
-          sorted.foreach { e =>
-            val m = micros(e.ts)
-            // in-batch order is sorted, so m < maxSeen can only mean a
-            // cross-batch descent: delivery order violated time order
-            if (m < maxSeen) lateArrivals.foreach(_.add(1L))
-            if (!e.is_purchase) {
-              if (ref.forall(c => micros(c.ts) <= m))
-                ref = Some(AsOfState(e.ts, e.value))
-            } else ref.filter(c => micros(c.ts) <= m).foreach(c =>
-              out += AsOfOut(e.event_id, userId, e.ts, c.ts, c.value))
-            if (m > maxSeen) maxSeen = m
-          }
-          state.update(AsOfEnrichState(ref, maxSeen))
-          out.result().iterator
+          backwardBatch(userId, rows, state, lateArrivals, tolerance)
+            .collect { case (e, Some(c)) =>
+              AsOfOut(e.event_id, userId, e.ts, c.ts, c.value)
+            }.iterator
       }
+  }
+
+  /** LEFT OUTER twin of [[asOfEnrichStream]]: every fact emits on
+    * arrival — enriched when a fresh-enough reference exists, None-padded
+    * otherwise. Valid STREAMING outer only for the backward direction: a
+    * backward match can never be improved by FUTURE data (later refs are
+    * later in time), so padding on arrival is final, exactly the batch
+    * ASOF LEFT row; a forward outer would have to hold unmatched facts
+    * until a watermark declares no reference is coming (timeout
+    * eviction), a latency/completeness trade this engine leaves to the
+    * caller. Same late-arrival counter and tolerance semantics. */
+  def asOfEnrichStreamOuter(events: Dataset[AsOfInput],
+                            lateArrivals: Option[org.apache.spark.util
+                              .LongAccumulator] = None,
+                            tolerance: Option[Long] = None)
+      : Dataset[AsOfOutOuter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfEnrichState, AsOfOutOuter](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[AsOfInput],
+         state: GroupState[AsOfEnrichState]) =>
+          backwardBatch(userId, rows, state, lateArrivals, tolerance)
+            .map { case (e, m) =>
+              AsOfOutOuter(e.event_id, userId, e.ts,
+                m.map(_.ts), m.map(_.value))
+            }.iterator
+      }
+  }
+
+  /** shared backward merge step: processes one micro-batch group and
+    * returns every FACT with its fresh-enough match (None = no match —
+    * inner drops it, outer pads it). Tolerance in the time column's
+    * units (micros): a staler match is NO match, the batch exec's
+    * exact rule (AsOfJoinExec). */
+  private def backwardBatch(userId: Long, rows: Iterator[AsOfInput],
+                            state: GroupState[AsOfEnrichState],
+                            lateArrivals: Option[org.apache.spark.util
+                              .LongAccumulator],
+                            tolerance: Option[Long])
+      : Seq[(AsOfInput, Option[AsOfState])] = {
+    val tol = tolerance.getOrElse(Long.MaxValue)
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_purchase))
+    val st0 = state.getOption.getOrElse(AsOfEnrichState(None, Long.MinValue))
+    var ref = st0.ref
+    var maxSeen = st0.maxSeen
+    val out = Seq.newBuilder[(AsOfInput, Option[AsOfState])]
+    sorted.foreach { e =>
+      val m = micros(e.ts)
+      // in-batch order is sorted, so m < maxSeen can only mean a
+      // cross-batch descent: delivery order violated time order
+      if (m < maxSeen) lateArrivals.foreach(_.add(1L))
+      if (!e.is_purchase) {
+        if (ref.forall(c => micros(c.ts) <= m))
+          ref = Some(AsOfState(e.ts, e.value))
+      } else out += ((e,
+        ref.filter(c => micros(c.ts) <= m && m - micros(c.ts) <= tol)))
+      if (m > maxSeen) maxSeen = m
+    }
+    state.update(AsOfEnrichState(ref, maxSeen))
+    out.result()
   }
 
   /** FORWARD streaming as-of enrichment — e27's direction as a live
@@ -200,8 +252,11 @@ object EventStreams {
     * reference at-or-after its own time — never a wrong one). */
   def asOfEnrichStreamForward(events: Dataset[AsOfInput],
                               lateArrivals: Option[org.apache.spark.util
-                                .LongAccumulator] = None): Dataset[AsOfOut] = {
+                                .LongAccumulator] = None,
+                              tolerance: Option[Long] = None)
+      : Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
+    val tol = tolerance.getOrElse(Long.MaxValue)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfFwdState, AsOfOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -218,9 +273,15 @@ object EventStreams {
             if (m < maxSeen) lateArrivals.foreach(_.add(1L))
             if (e.is_purchase) pending ::= e
             else {
-              val (matched, still) = pending.partition(f => micros(f.ts) <= m)
-              matched.foreach(f =>
-                out += AsOfOut(f.event_id, userId, f.ts, e.ts, e.value))
+              // this ref RESOLVES every pending fact at-or-before it
+              // (in time order it is each one's earliest at-or-after):
+              // within tolerance -> emit; staler -> final NO match, the
+              // fact leaves pending (no later ref can be closer)
+              val (resolved, still) = pending.partition(f => micros(f.ts) <= m)
+              resolved.foreach { f =>
+                if (m - micros(f.ts) <= tol)
+                  out += AsOfOut(f.event_id, userId, f.ts, e.ts, e.value)
+              }
               pending = still
             }
             if (m > maxSeen) maxSeen = m

@@ -267,6 +267,73 @@ class EventStreamsSpec extends SparkSpec {
     } finally qf.stop()
   }
 
+  test("outer + tolerance streaming as-of: pad-on-arrival is final, " +
+      "stale matches drop (backward) or leave pending (forward)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    val tol = Some(600000000L) // 10 min in micros
+    // backward OUTER with tolerance: enriched / padded-no-prior /
+    // padded-stale, all three in one replay
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStreamOuter(input.toDS(), None, tol)
+      .writeStream.format("memory").queryName("asof_outer")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        AsOfInput(500L, 1L, ts("2024-01-01 09:00:00"), true, 0.0), // no prior
+        AsOfInput(30L, 1L, ts("2024-01-01 10:00:00"), false, 6.0))
+      q.processAllAvailable()
+      input.addData(
+        AsOfInput(501L, 1L, ts("2024-01-01 10:05:00"), true, 0.0), // fresh
+        AsOfInput(502L, 1L, ts("2024-01-01 11:05:00"), true, 0.0)) // stale
+      q.processAllAvailable()
+      val got = spark.table("asof_outer").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.toString),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+      assert(got == Set(
+        (500L, None, None),
+        (501L, Some("2024-01-01 10:00:00.0"), Some(6.0)),
+        (502L, None, None)), s"outer+tol: $got")
+    } finally q.stop()
+    // backward INNER with tolerance: the stale fact drops entirely
+    val input2 = MemoryStream[AsOfInput]
+    val q2 = EventStreams.asOfEnrichStream(input2.toDS(), None, tol)
+      .writeStream.format("memory").queryName("asof_tol")
+      .outputMode("append").start()
+    try {
+      input2.addData(
+        AsOfInput(30L, 1L, ts("2024-01-01 10:00:00"), false, 6.0),
+        AsOfInput(503L, 1L, ts("2024-01-01 10:05:00"), true, 0.0),
+        AsOfInput(504L, 1L, ts("2024-01-01 11:05:00"), true, 0.0))
+      q2.processAllAvailable()
+      assert(spark.table("asof_tol").collect().map(_.getLong(0)).toSet ==
+        Set(503L), "stale fact must drop under inner")
+    } finally q2.stop()
+    // forward with tolerance: the first at-or-after ref resolves the
+    // fact FINALLY — staler than the bound means no emit, and the fact
+    // must NOT wait for (or match) an even-later ref
+    val input3 = MemoryStream[AsOfInput]
+    val q3 = EventStreams.asOfEnrichStreamForward(input3.toDS(), None, tol)
+      .writeStream.format("memory").queryName("asof_fwd_tol")
+      .outputMode("append").start()
+    try {
+      input3.addData(
+        AsOfInput(505L, 1L, ts("2024-01-01 10:00:00"), true, 0.0))
+      q3.processAllAvailable()
+      input3.addData( // 65 min later: STALE -> final no-match
+        AsOfInput(31L, 1L, ts("2024-01-01 11:05:00"), false, 8.0),
+        // this later in-tolerance-of-NOTHING ref must not revive 505
+        AsOfInput(32L, 1L, ts("2024-01-01 11:06:00"), false, 9.0),
+        // a fresh fact matched within tolerance still works
+        AsOfInput(506L, 1L, ts("2024-01-01 11:00:00"), true, 0.0))
+      q3.processAllAvailable()
+      val gotF = spark.table("asof_fwd_tol").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      assert(gotF == Set((506L, 8.0)), s"fwd+tol: $gotF")
+    } finally q3.stop()
+  }
+
   test("st16 novelty filter: both bloom branches carry traffic") {
     // the split direction matters: keep-probable-matches (the semi-join
     // bloom composition) would drop exactly the novel traffic — this
