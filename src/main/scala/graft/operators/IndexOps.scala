@@ -50,6 +50,31 @@ object IndexOps {
     df.sparkSession.createDataFrame(indexed, outSchema)
   }
 
+  /** Deterministic epoch shuffle for training-order assignment: a
+    * reproducible pseudo-random permutation of the corpus, seeded — the
+    * step between curation and the training loader (every epoch
+    * reshuffles with a new seed; a run that restarts must rebuild the
+    * SAME order). The sort key is md5(seed ':' id) — portable (any
+    * engine replays it; xxhash64 is not) and effectively collision-free,
+    * with the id as tiebreak so the order is well-defined regardless.
+    * Position assignment rides [[globalRowIndex]]'s range-partition +
+    * offsets machinery — sorting by the hash is embarrassingly balanced
+    * (the key IS uniform), so no single-task global sort at any scale.
+    * Output adds `shuffle_pos` (0-based) and `shard_id`
+    * (= pos div shardSize) — the writer-side alignment for fixed-size
+    * training shards. */
+  def epochShuffle(df: DataFrame, idCol: Column, seed: Long,
+                   shardSize: Long): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    val key = md5(concat(lit(seed.toString), lit(":"),
+      idCol.cast("string")).cast("binary"))
+    globalRowIndex(df.withColumn("_sk", key), Seq(col("_sk"), idCol),
+        "shuffle_pos")
+      // integer division, not `/` (which is DOUBLE division in Spark SQL)
+      .withColumn("shard_id", expr(s"shuffle_pos div $shardSize"))
+      .drop("_sk")
+  }
+
   /** [[hashSample]] but keyed on an md5 hex prefix, for when the sample
     * must be reproducible by OTHER engines too (md5 is universal;
     * xxhash64 is not): keep rows with md5(key) below the 32-hex-char

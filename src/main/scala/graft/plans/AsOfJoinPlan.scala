@@ -114,6 +114,13 @@ case class AsOfJoinExec(
   require(isTime(leftTime) && isTime(rightTime),
     s"as-of times must be bigint or timestamp, got " +
       s"${leftTime.dataType.sql} / ${rightTime.dataType.sql}")
+  // a bigint-vs-timestamp mix would compare raw units against micros —
+  // silently garbage if the bigint is millis/seconds. Make the caller
+  // state the units by casting one side.
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of time columns must have the SAME type on both sides " +
+      s"(got ${leftTime.dataType.sql} / ${rightTime.dataType.sql}) — " +
+      "cast one side so the units are explicit")
   require(tolerance.forall(_ >= 0L),
     s"as-of tolerance must be >= 0, got ${tolerance.get}")
 

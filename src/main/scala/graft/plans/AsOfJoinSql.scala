@@ -173,6 +173,11 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
           throw new IllegalArgumentException(
             s"asof_join: time columns `$lt` (${ltE.dataType.sql}) and " +
               s"`$rt` (${rtE.dataType.sql}) must be bigint or timestamp")
+        if (ltE.dataType != rtE.dataType)
+          throw new IllegalArgumentException(
+            s"asof_join: time columns `$lt` (${ltE.dataType.sql}) and " +
+              s"`$rt` (${rtE.dataType.sql}) must have the SAME type — " +
+              "cast one side so the units are explicit")
         val aoj = AsOfJoin(l, rp, lkE, rkE, ltE, rtE, outer, fwd, tol)
         // payload attrs come from aoj.output (NOT rp.output): outer mode
         // rewrites their nullability there

@@ -2158,6 +2158,30 @@ object TextOps {
           COUNT(*) AS n_docs,
           COUNT(DISTINCT url) AS n_urls,
           COUNT(*) - COUNT(DISTINCT url) AS n_url_dups
-        FROM c6 GROUP BY 1"""))
+        FROM c6 GROUP BY 1""")),
+
+    // ---- deterministic epoch shuffle / training-order assignment --------
+    //      the step between curation and the training loader: a
+    //      reproducible seeded pseudo-random permutation (restartable
+    //      runs must rebuild the SAME order; every epoch reshuffles with
+    //      a new seed) plus fixed-size shard ids for the writer. Sort
+    //      key = md5(seed ':' doc_id) — portable across engines and
+    //      uniform, so the rank assignment (globalRowIndex's
+    //      range-partition + offsets, q33's machinery) is balanced by
+    //      construction: no single-task global sort at any scale. The
+    //      oracle replays the permutation with ROW_NUMBER over the same
+    //      md5 — bit-identical order, positions, and shard ids.
+    Q("t45_training_order",
+      (s, d) => graft.operators.IndexOps.epochShuffle(
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"), seed = 7L, shardSize = 100L)
+        .select(col("doc_id"), col("shuffle_pos"), col("shard_id")),
+      Some("""
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY md5('7:' || doc_id), doc_id) - 1
+            AS shuffle_pos,
+          CAST((ROW_NUMBER() OVER (ORDER BY md5('7:' || doc_id), doc_id)
+            - 1) // 100 AS BIGINT) AS shard_id
+        FROM documents"""))
   )
 }

@@ -30,6 +30,27 @@ class IndexOpsSpec extends SparkSpec {
     assert(s1.subsetOf(s3))
   }
 
+  test("epochShuffle: seeded permutation is reproducible, partitioning-" +
+      "invariant, seed-sensitive, and shards are contiguous runs") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 500L).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      IndexOps.epochShuffle(df, col("id"), seed, shardSize = 64L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = order(docs, seed = 1L)
+    // a permutation: every position exactly once
+    assert(a.map(_._2).sorted.toSeq == (0L until 500L))
+    // reproducible across runs AND input partitionings
+    assert(order(docs.repartition(17), 1L).sortBy(_._1).toSeq ==
+      a.sortBy(_._1).toSeq)
+    // a different seed is a different permutation
+    assert(order(docs, 2L).sortBy(_._1).map(_._2).toSeq !=
+      a.sortBy(_._1).map(_._2).toSeq)
+    // shard_id = pos div 64, so shards are contiguous position runs of 64
+    assert(a.forall { case (_, pos, sh) => sh == pos / 64 })
+    assert(a.map(_._3).distinct.sorted.toSeq == (0L to 499L / 64))
+  }
+
   test("portableHashSample thresholds on the md5 hex prefix") {
     val df = (1L to 10000L).toDF("id")
     val s = IndexOps.portableHashSample(df, col("id"), 0.125)
