@@ -102,6 +102,28 @@ object StreamingQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2""")),
 
+    // ---- incremental HOPPING-window aggregation --------------------------
+    //      1-hour windows sliding every 15 minutes — the moving-average
+    //      shape tumbling can't express (a spike shows in all 4
+    //      overlapping windows). Spark expands each event into its 4
+    //      windows row-locally BEFORE the keyed agg (state stays
+    //      windows × groups, never event-sized); the oracle replays the
+    //      expansion with an explicit k = 0..3 cross join against the
+    //      same epoch-aligned bucket arithmetic.
+    Q("st22_stream_hopping",
+      (s, d) => replay(s, "st22", mode = "complete")(c =>
+        EventStreams.hoppingCounts(eventsStream(c, d),
+          watermarkDelay = unbounded)),
+      Some("""
+        WITH h AS (
+          SELECT event_type, value,
+            time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k.k)
+              AS window_start
+          FROM events, (SELECT unnest(range(0, 4)) AS k) k)
+        SELECT window_start, event_type, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM h GROUP BY 1, 2""")),
+
     // ---- streaming exact dedup (dropDuplicatesWithinWatermark) ----------
     //      output projected to the dedup key: WHICH duplicate survives a
     //      batch is an execution detail, the surviving key set is the

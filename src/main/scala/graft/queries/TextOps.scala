@@ -2182,6 +2182,105 @@ object TextOps {
             AS shuffle_pos,
           CAST((ROW_NUMBER() OVER (ORDER BY md5('7:' || doc_id), doc_id)
             - 1) // 100 AS BIGINT) AS shard_id
-        FROM documents"""))
+        FROM documents""")),
+
+    // ---- END-TO-END curation funnel --------------------------------------
+    //      the composition proof: langid (t02's rule) → quality floor
+    //      (t03's exact formula) → exact dedup (d01's md5/first-doc rule)
+    //      → token-budget selection (t39's operator, 2/5 of the SURVIVING
+    //      tokens) chained as one plan, reported as the per-stage
+    //      doc/token funnel a curation run actually publishes. Every
+    //      stage's rule is the SAME arithmetic its standalone gate
+    //      proves bit-identical across engines, so the composed oracle
+    //      replays the entire funnel value-for-value — the "a user could
+    //      run their whole pipeline on this" check, not another operator
+    //      in isolation. The budget is re-derived from the DEDUPED
+    //      survivors (one driver-side scalar, t39's discipline).
+    Q("t46_curation_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality =
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            (wordlistCount("toks", EnglishStopwords).cast("double") /
+              tokenCount("toks")) * 0.2 +
+            (distinctTokenCount("toks").cast("double") /
+              tokenCount("toks")) * 0.4
+        // cache lifecycle: CALLER-owned — clearCache()/unpersist after the
+        // action (DedupOps class doc); all five stage aggregates + the
+        // budget-selection passes re-read this frame
+        val base = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("text"),
+            tokenCount("toks").cast("long").as("n_tok"),
+            wordlistCount("toks", EnglishStopwords).as("en_score"),
+            quality.as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lang = base.filter(col("en_score") > 0)
+        val qual = lang.filter(col("q") >= 0.5)
+        val uniq = qual
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(md5(col("text").cast("binary")))
+              .orderBy(col("doc_id"))))
+          .filter(col("rk") === 1).drop("rk")
+        val scored = uniq.select(col("doc_id"), col("n_tok"),
+          floor(col("q") * lit(1000000000.0)).cast("long").as("q9"))
+          // cache lifecycle: CALLER-owned (same contract as above)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = uniq.agg(coalesce(sum(col("n_tok")), lit(0L)))
+          .collect()(0).getLong(0)
+        val sel = graft.operators.SelectOps
+          .tokenBudgetSelect(scored, budget = total * 2 / 5)
+        def stage(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stage("1_raw", base)
+          .unionByName(stage("2_lang_en", lang))
+          .unionByName(stage("3_quality", qual))
+          .unionByName(stage("4_exact_unique", uniq))
+          .unionByName(stage("5_token_budget", sel))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars, text,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        base AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tok,
+                   len(list_filter(toks, x -> x IN ($stopSql))) AS en_score,
+                   LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                     + CAST(len(list_filter(toks, x -> x IN ($stopSql)))
+                         AS DOUBLE) / len(toks) * 0.2
+                     + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         * 0.4 AS q
+                 FROM t),
+        lang AS (SELECT * FROM base WHERE en_score > 0),
+        qual AS (SELECT * FROM lang WHERE q >= 0.5),
+        uniq AS (SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) AS rk FROM qual)
+                 WHERE rk = 1),
+        b AS (SELECT COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) * 2 // 5
+                AS budget FROM uniq),
+        sc AS (SELECT doc_id, n_tok,
+                 CAST(FLOOR(q * 1000000000.0) AS BIGINT) AS q9 FROM uniq),
+        c AS (SELECT doc_id, n_tok,
+                SUM(n_tok) OVER (ORDER BY q9 DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM sc),
+        sel AS (SELECT doc_id, n_tok FROM c
+                WHERE cum <= (SELECT budget FROM b))
+        SELECT '1_raw' AS stage, COUNT(*) AS n_docs,
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens FROM base
+        UNION ALL
+        SELECT '2_lang_en', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM lang
+        UNION ALL
+        SELECT '3_quality', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM qual
+        UNION ALL
+        SELECT '4_exact_unique', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM uniq
+        UNION ALL
+        SELECT '5_token_budget', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sel"""))
   )
 }

@@ -31,6 +31,24 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** HOPPING (sliding) window counts/sums: windows of `windowLen` that
+    * START every `slide` — each event lands in windowLen/slide
+    * overlapping windows (Spark's window() with a slide duration expands
+    * the event row-locally before the keyed aggregation, so state is
+    * (windows × groups)-sized, not event-sized). The moving-average /
+    * rate-monitor shape tumbling can't express: a spike is visible in
+    * every overlapping window, not just the bucket it fell into. */
+  def hoppingCounts(events: DataFrame, watermarkDelay: String = "10 minutes",
+                    windowLen: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** streaming exact dedup: drop rows whose key was already seen within
     * the watermark horizon — state for a key is evicted once event time
     * passes its arrival + delay, so state is bounded by stream rate x
