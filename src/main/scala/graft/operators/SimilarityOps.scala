@@ -802,4 +802,66 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"),
         (col("adc_q").cast("double") / lit(1e9)).as("adc"), col("rk"))
   }
+
+  /** Deterministic NEGATIVE SAMPLING for contrastive training: for each
+    * anchor doc, `k` pseudo-random negatives drawn from the corpus,
+    * EXCLUDING the anchor itself and its known positives (near-dup
+    * pairs — sampling a near-duplicate as a "negative" teaches the
+    * model to push twins apart).
+    *
+    * The naive formulation ranks md5(anchor, candidate) over ALL pairs —
+    * an all-pairs join, the shape this engine never materializes.
+    * Instead each anchor makes `k + oversample` independent DRAWS into a
+    * globally ROW-NUMBERED corpus ([[graft.operators.IndexOps
+    * .globalRowIndex]]'s range-partition + offsets — no one-task sort):
+    * draw j lands on position md5long(seed:anchor:j) mod N, one
+    * equi-join on position resolves it to a doc, exclusions filter
+    * (self by predicate, positives by LEFT ANTI on the pair key), and a
+    * per-anchor window keeps the first `k` surviving draws in draw
+    * order. Cost: anchors × (k+oversample) rows through ONE keyed join —
+    * linear, never all-pairs. Oversample covers exclusion losses: the
+    * chance a uniform draw hits the tiny excluded set is |excl|/N, so a
+    * few spare draws make a short sample set vanishingly rare (callers
+    * needing a HARD guarantee re-draw the rare short anchors).
+    *
+    * md5long = first 15 hex chars of md5 as a bigint (the d21 gid
+    * construction) — portable, so an independent engine replays the
+    * exact sample. Draw order (not hash order) ranks the keeps: a draw
+    * is already uniform, and ranking by j keeps the per-anchor window
+    * bounded by k+oversample rows.
+    *
+    * Output: (doc_id, neg_id, draw) with draw = the 0-based surviving
+    * draw index. */
+  def negativeSample(docs: DataFrame, positives: DataFrame, k: Int,
+                     seed: Long, oversample: Int = 8): DataFrame = {
+    require(k >= 1 && oversample >= 0)
+    val idx = graft.operators.IndexOps.globalRowIndex(
+      docs.select(col("doc_id")), Seq(col("doc_id")), "pos")
+    // corpus size: driver-side metadata scalar (same lifecycle as the
+    // offsets inside globalRowIndex itself)
+    val n = idx.agg(coalesce(max(col("pos")), lit(-1L)))
+      .collect()(0).getLong(0) + 1L
+    require(n > 0, "negativeSample needs a non-empty corpus")
+    val draws = docs.select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(k + oversample - 1))).as("j"))
+      .select(col("doc_id"), col("j"),
+        pmod(conv(substring(md5(concat(lit(seed.toString), lit(":"),
+          col("doc_id").cast("string"), lit(":"), col("j").cast("string"))
+          .cast("binary")), 1, 15), 16, 10).cast("long"), lit(n)).as("pos"))
+    val resolved = draws.as("dr")
+      .join(idx.as("ix"), col("dr.pos") === col("ix.pos"))
+      .select(col("dr.doc_id").as("doc_id"), col("dr.j").as("j"),
+        col("ix.doc_id").as("neg_id"))
+      .filter(col("neg_id") =!= col("doc_id"))
+    // positives are excluded in BOTH orientations
+    val excl = positives.select(col("doc_a"), col("doc_b"))
+      .union(positives.select(col("doc_b"), col("doc_a")))
+      .toDF("doc_id", "neg_id")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("j").asc)
+    resolved.join(excl, Seq("doc_id", "neg_id"), "left_anti")
+      .withColumn("draw", row_number().over(w).cast("long") - 1L)
+      .filter(col("draw") < k)
+      .select(col("doc_id"), col("neg_id"), col("draw"))
+  }
 }

@@ -810,7 +810,59 @@ object Similarity {
             ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rk FROM sc)
         WHERE rk <= 5"""))
   ) :+ filteredAnnEntry :+ ivfRecallEntry :+ ivfPqEntry :+
-    ivfPqRecallEntry :+ ivfMaintenanceEntry :+ retrainTriggerEntry
+    ivfPqRecallEntry :+ ivfMaintenanceEntry :+ retrainTriggerEntry :+
+    negativeSampleEntry
+
+  private lazy val negativeSampleEntry: Q =
+    // ---- deterministic negative sampling for contrastive training -------
+    //      k pseudo-random negatives per anchor, excluding self and known
+    //      positives (here: exact-duplicate pairs — a twin sampled as a
+    //      "negative" teaches the model to push duplicates apart). The
+    //      scale shape is the point: draws index into a globally
+    //      row-numbered corpus (q33's range-partition machinery) via
+    //      md5(seed:anchor:j) mod N — anchors × (k+oversample) rows
+    //      through ONE position join, never the all-pairs md5 ranking
+    //      the naive form implies. Fully deterministic, so the oracle
+    //      replays the exact sample: same row numbering, same 15-hex-md5
+    //      positions, same anti-join exclusions, same draw-order keeps.
+    Q("s28_negative_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val h = docs.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h"))
+        val positives = h.as("ha").join(h.as("hb"),
+            col("ha.h") === col("hb.h") &&
+              col("ha.doc_id") < col("hb.doc_id"))
+          .select(col("ha.doc_id").as("doc_a"), col("hb.doc_id").as("doc_b"))
+        SimilarityOps.negativeSample(docs, positives, k = 4, seed = 5L)
+      },
+      Some("""
+        WITH ix AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+                    FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        dr AS (SELECT d.doc_id, j.j,
+                 CAST(concat('0x', substr(
+                   md5('5:' || d.doc_id || ':' || j.j), 1, 15)) AS BIGINT)
+                   % (SELECT n FROM nn) AS pos
+               FROM documents d,
+                 (SELECT unnest(range(0, 12)) AS j) j),
+        res AS (SELECT dr.doc_id, dr.j, ix.doc_id AS neg_id
+                FROM dr JOIN ix ON dr.pos = ix.pos
+                WHERE ix.doc_id <> dr.doc_id),
+        pp AS (SELECT a.doc_id AS doc_id, b.doc_id AS neg_id
+               FROM documents a JOIN documents b
+                 ON md5(a.text) = md5(b.text) AND a.doc_id <> b.doc_id),
+        flt AS (SELECT r.doc_id, r.j, r.neg_id
+                FROM res r LEFT JOIN pp
+                  ON r.doc_id = pp.doc_id AND r.neg_id = pp.neg_id
+                WHERE pp.doc_id IS NULL),
+        rk AS (SELECT doc_id, neg_id,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) - 1
+                   AS draw
+               FROM flt)
+        SELECT doc_id, neg_id, CAST(draw AS BIGINT) AS draw
+        FROM rk WHERE draw < 4"""))
 
   private lazy val ivfMaintenanceEntry: Q =
     // ---- IVF index maintenance without retraining (FAISS add/remove) --

@@ -352,4 +352,38 @@ class SimilarityOpsSpec extends SparkSpec {
       s"refresh must reduce distortion on drift: $sseNew vs $sseStale")
     spark.catalog.clearCache()
   }
+
+  test("negativeSample: k per anchor, no self, no positives, " +
+      "deterministic, never all-pairs in the plan") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"text-${i % 180}"))
+      .toDF("doc_id", "text") // ids 180..199 duplicate 0..19's text
+    val h = docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    val positives = h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val posSet = positives.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+    val out = SimilarityOps.negativeSample(docs, positives, k = 4, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byAnchor = out.groupBy(_._1)
+    // every anchor present with exactly k negatives (oversample covers
+    // the tiny exclusion set at this corpus size)
+    assert(byAnchor.size == 200 && byAnchor.values.forall(_.length == 4),
+      s"anchors=${byAnchor.size}, sizes=${byAnchor.values.map(_.length).toSet}")
+    // draw indices are 0..k-1 per anchor
+    assert(byAnchor.values.forall(_.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L, 3L)))
+    // no self, no positive pair sampled
+    assert(out.forall { case (a, n, _) => a != n && !posSet((a, n)) })
+    // deterministic across invocations
+    val again = SimilarityOps.negativeSample(docs, positives, k = 4, seed = 9L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+    // a different seed draws a different sample
+    val other = SimilarityOps.negativeSample(docs, positives, k = 4, seed = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.sorted.toSeq != out.sorted.toSeq)
+  }
 }
