@@ -890,6 +890,90 @@ object StreamingQueries {
           ON p.user_id = c.user_id AND p.ts <= c.ts"""),
       setup = Some((s, d) => writeTimeSlices(s, d, "st18"))),
 
+    // ---- streaming PSI drift monitor (w15's live twin) -------------------
+    //      the curation-ops loop closed on a stream: the REFERENCE
+    //      histogram (first time-half) is batch metadata; the LIVE
+    //      half's (type, bin) counts aggregate INCREMENTALLY in the
+    //      state store (complete mode — the monitor's running totals),
+    //      and the PSI arithmetic runs over the two tiny histograms
+    //      (types × 10 bins — KBs at any stream rate). Same +1/+10
+    //      Laplace smoothing, same 1e9-quantized single ln as w15, and
+    //      the SAME w15 oracle: stream-counted PSI must equal the
+    //      batch-computed PSI value-for-value.
+    Q("st23_stream_psi",
+      (s, d) => {
+        import s.implicits._
+        val ev = Tables.events(s, d).select(col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        val mm = ev.agg(min(col("us")), max(col("us"))).head()
+        val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+        val bin = expr("least(CAST(floor(value / 50.0D) AS BIGINT), 9L)")
+        val ref = ev.filter(col("us") < cut)
+          .select(col("event_type"), bin.as("bin"))
+          .groupBy("event_type", "bin").agg(count(lit(1)).as("n1"))
+        val live = replay(s, "st23", mode = "complete")(c =>
+          eventsStream(c, d)
+            .filter(unix_micros(col("ts")) >= cut)
+            .select(col("event_type"), bin.as("bin"))
+            .groupBy(col("event_type"), col("bin"))
+            .agg(count(lit(1)).as("n2")))
+        val t1s = ref.groupBy("event_type").agg(sum(col("n1")).as("t1"))
+        val t2s = live.groupBy("event_type").agg(sum(col("n2")).as("t2"))
+        val grid = ref.select("event_type")
+          .union(live.select("event_type")).distinct()
+          .crossJoin((0L to 9L).toDF("bin"))
+        grid
+          .join(ref, Seq("event_type", "bin"), "left")
+          .join(live, Seq("event_type", "bin"), "left")
+          .join(broadcast(t1s), "event_type")
+          .join(broadcast(t2s), "event_type")
+          .select(col("event_type"), col("t1"), col("t2"),
+            expr("""CAST(FLOOR(
+              ((coalesce(n1, 0L) + 1) / CAST(t1 + 10 AS DOUBLE)
+                - (coalesce(n2, 0L) + 1) / CAST(t2 + 10 AS DOUBLE))
+              * ln(((coalesce(n1, 0L) + 1) / CAST(t1 + 10 AS DOUBLE))
+                / ((coalesce(n2, 0L) + 1) / CAST(t2 + 10 AS DOUBLE)))
+              * 1000000000D + 0.5D) AS BIGINT)""").as("term_q9"))
+          .groupBy(col("event_type"))
+          .agg(first(col("t1")).as("n_first"),
+            first(col("t2")).as("n_second"),
+            sum(col("term_q9")).as("psi_q9"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us
+                    FROM events),
+        c AS (SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS cut FROM ev),
+        b AS (SELECT event_type,
+                LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin,
+                us < (SELECT cut FROM c) AS h1
+              FROM ev),
+        cnt AS (SELECT event_type, bin, h1, COUNT(*) AS n
+                FROM b GROUP BY 1, 2, 3),
+        tot AS (SELECT event_type, h1, COUNT(*) AS tot
+                FROM b GROUP BY 1, 2),
+        grid AS (SELECT DISTINCT event_type, g.bin
+                 FROM b CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g),
+        g2 AS (SELECT grid.event_type, t1.tot AS t1, t2.tot AS t2,
+                 CAST(FLOOR(
+                   ((COALESCE(c1.n, 0) + 1) / CAST(t1.tot + 10 AS DOUBLE)
+                     - (COALESCE(c2.n, 0) + 1) / CAST(t2.tot + 10 AS DOUBLE))
+                   * ln(((COALESCE(c1.n, 0) + 1)
+                       / CAST(t1.tot + 10 AS DOUBLE))
+                     / ((COALESCE(c2.n, 0) + 1)
+                       / CAST(t2.tot + 10 AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT) AS term_q9
+               FROM grid
+               LEFT JOIN cnt c1 ON c1.event_type = grid.event_type
+                 AND c1.bin = grid.bin AND c1.h1
+               LEFT JOIN cnt c2 ON c2.event_type = grid.event_type
+                 AND c2.bin = grid.bin AND NOT c2.h1
+               JOIN tot t1 ON t1.event_type = grid.event_type AND t1.h1
+               JOIN tot t2 ON t2.event_type = grid.event_type AND NOT t2.h1)
+        SELECT event_type, CAST(ANY_VALUE(t1) AS BIGINT) AS n_first,
+          CAST(ANY_VALUE(t2) AS BIGINT) AS n_second,
+          CAST(SUM(term_q9) AS BIGINT) AS psi_q9
+        FROM g2 GROUP BY event_type""")),
+
     // ---- LEFT OUTER streaming as-of (backward) ---------------------------
     //      e26's streaming twin: every purchase emits on arrival —
     //      enriched when a prior click exists, None-padded otherwise.
