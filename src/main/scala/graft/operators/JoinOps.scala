@@ -225,6 +225,35 @@ object JoinOps {
       .drop(l("_bin")).drop(r("_bin"))
   }
 
+  /** LEFT OUTER [[rangeJoinBinned]]: left rows with NO right row in
+    * their window survive null-padded — the shape that keeps zero-touch
+    * facts visible (e28's inner form silently drops a purchase with no
+    * prior-hour click, corrupting a "credit per purchase" denominator).
+    *
+    * The bin-explode makes a naive outer join WRONG two ways: a left row
+    * probes TWO bins, so (a) it would pad once per unmatched bin
+    * (duplicates), and (b) a row matched in one bin would ALSO pad from
+    * its other bin. So the outer form composes from the inner result:
+    * matched left rows (distinct over the left columns) anti-join the
+    * original left to find the unmatched, which union back null-padded —
+    * two cheap passes over the inner output + one over `left`, all keyed
+    * shuffles. Left rows must be distinct as tuples for the anti-join to
+    * identify them (duplicate left ROWS pad collectively — document or
+    * pre-tag with a unique id, which every gate's fixture has). */
+  def rangeJoinBinnedLeft(left: DataFrame, right: DataFrame,
+                          leftTime: String, rightTime: String,
+                          windowSec: Long,
+                          keys: Seq[(String, String)] = Nil): DataFrame = {
+    val inner = rangeJoinBinned(left, right, leftTime, rightTime,
+      windowSec, keys)
+    val lCols = left.columns.toSeq
+    val matchedLeft = inner.select(lCols.map(col): _*).distinct()
+    val pads = left.join(matchedLeft, lCols, "left_anti")
+    val padded = right.columns.foldLeft(pads)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+    inner.unionByName(padded)
+  }
+
   /** Bloom semi-join reduction: filter `fact` down to rows whose key
     * PROBABLY appears in `build`'s key set, using a bloom filter built
     * with [[graft.expressions.BloomAgg]] and probed per-row with

@@ -1158,6 +1158,46 @@ object Events {
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
-        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000"""))
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000""")),
+
+    // ---- LEFT OUTER attribution via the binned range join ---------------
+    //      e28 keeps only purchases WITH prior-hour clicks — correct for
+    //      per-touch credit but silently wrong as a denominator ("of all
+    //      purchases, how many had any touch?"). rangeJoinBinnedLeft
+    //      null-pads the zero-touch purchases THROUGH the bin-probing
+    //      plan (a naive outer join over the exploded bins would pad
+    //      per-bin and double-count — the operator composes pads from
+    //      the inner result instead); n_touch counts non-null matches,
+    //      credit is NULL when there is nothing to split.
+    Q("e33_attribution_left",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value").as("p_value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        graft.operators.JoinOps.rangeJoinBinnedLeft(purchases, clicks,
+            "p_ts", "c_ts", windowSec = 3600L,
+            keys = Seq(("p_user", "c_user")))
+          .groupBy(col("p_id"), col("p_user"), col("p_ts"), col("p_value"))
+          .agg(count(col("c_ts")).as("n_touch"))
+          .select(col("p_id").as("event_id"), col("p_user").as("user_id"),
+            col("p_ts").as("ts"), col("n_touch"),
+            when(col("n_touch") > 0, col("p_value") / col("n_touch"))
+              .as("credit_per_touch"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          COUNT(c.ts) AS n_touch,
+          CASE WHEN COUNT(c.ts) > 0 THEN p.value / COUNT(c.ts) END
+            AS credit_per_touch
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts, p.value"""))
   )
 }

@@ -2281,6 +2281,40 @@ object TextOps {
           COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM uniq
         UNION ALL
         SELECT '5_token_budget', COUNT(*),
-          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sel"""))
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sel""")),
+
+    // ---- k-anonymity suppression screen ----------------------------------
+    //      the release-time privacy check on quasi-identifiers: any
+    //      (lang, source) combination carried by fewer than k documents
+    //      re-identifies its members, so those cells are SUPPRESSED to
+    //      '*' before the per-cell stats ship. One keyed rollup builds
+    //      the group-size table (|lang| × |source| rows — metadata,
+    //      broadcast back); every surviving output cell holds >= k docs
+    //      by construction, with the '*' bucket absorbing the tail. The
+    //      same shape generalizes to hierarchy-walking generalization
+    //      (city → region → '*'): re-run the rollup per level.
+    Q("t47_k_anonymity",
+      (s, d) => {
+        val k = 5L
+        val docs = Tables.documents(s, d)
+        val groups = docs.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+        docs.join(broadcast(groups), Seq("lang", "source"))
+          .select(
+            when(col("n") >= k, col("lang")).otherwise(lit("*"))
+              .as("lang_out"),
+            when(col("n") >= k, col("source")).otherwise(lit("*"))
+              .as("source_out"))
+          .groupBy(col("lang_out"), col("source_out"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        WITH g AS (SELECT lang, source, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2)
+        SELECT CASE WHEN g.n >= 5 THEN d.lang ELSE '*' END AS lang_out,
+          CASE WHEN g.n >= 5 THEN d.source ELSE '*' END AS source_out,
+          COUNT(*) AS n_docs
+        FROM documents d JOIN g USING (lang, source)
+        GROUP BY 1, 2"""))
   )
 }

@@ -519,6 +519,46 @@ class JoinOpsSpec extends SparkSpec {
     assert(got == Set(10L))
   }
 
+  test("rangeJoinBinnedLeft: unmatched lefts pad exactly once, matched " +
+      "lefts never pad, equals the plain left range join") {
+    val lefts = Seq(
+      (1L, ts("2024-01-01 10:30:00")),  // 1 click in window
+      (2L, ts("2024-01-01 12:00:00")),  // 0 clicks -> pad once
+      (3L, ts("2024-01-01 10:59:00")))  // 2 clicks
+      .toDF("p_id", "p_ts")
+    val rights = Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:45:00"))
+      .map(Tuple1(_)).toDF("c_ts")
+    val out = JoinOps.rangeJoinBinnedLeft(lefts, rights,
+        "p_ts", "c_ts", windowSec = 3600L)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(2)).map(_.toString).getOrElse("-")))
+    // the bin explode probes 2 bins per left row: a naive outer join
+    // would pad p_id=2 twice and pad p_id=1/3 from their unmatched bin
+    assert(out.sorted.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0"),
+      (2L, "-"),
+      (3L, "2024-01-01 10:00:00.0"), (3L, "2024-01-01 10:45:00.0")),
+      s"got ${out.sorted.toSeq}")
+    // oracle-shape equality on a denser mix
+    val l2 = (0 until 120).map(i =>
+      (i.toLong, new Timestamp(1700000000000L + (i * 977 % 7200) * 1000L)))
+      .toDF("p_id", "p_ts")
+    val r2 = (0 until 40).map(i =>
+      Tuple1(new Timestamp(1700000000000L + (i * 373 % 7200) * 1000L)))
+      .toDF("c_ts")
+    val got = JoinOps.rangeJoinBinnedLeft(l2, r2, "p_ts", "c_ts", 600L)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(2)).map(_.getTime).getOrElse(-1L))).toSet
+    val want = l2.join(r2,
+        r2("c_ts") >= l2("p_ts") - expr("INTERVAL 600 SECONDS") &&
+          r2("c_ts") <= l2("p_ts"), "left")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getTimestamp(2)).map(_.getTime).getOrElse(-1L))).toSet
+    assert(got == want,
+      s"only-binned ${(got -- want).take(3)}, only-plain ${(want -- got).take(3)}")
+  }
+
   test("saltedJoin equals the plain join") {
     val fact = (1 to 1000).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
     val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
