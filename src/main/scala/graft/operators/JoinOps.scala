@@ -239,7 +239,11 @@ object JoinOps {
     * two cheap passes over the inner output + one over `left`, all keyed
     * shuffles. Left rows must be distinct as tuples for the anti-join to
     * identify them (duplicate left ROWS pad collectively — document or
-    * pre-tag with a unique id, which every gate's fixture has). */
+    * pre-tag with a unique id, which every gate's fixture has), and a
+    * NULL in any left column defeats the anti-join's equality (SQL null
+    * semantics: the row would pad even when matched) — carry a non-null
+    * key column, the same discipline the tuple-distinctness rule already
+    * implies. */
   def rangeJoinBinnedLeft(left: DataFrame, right: DataFrame,
                           leftTime: String, rightTime: String,
                           windowSec: Long,
