@@ -23,7 +23,7 @@ object TextFunctions {
   /** URL canonicalization (RefinedWeb §3.2's URL-dedup prerequisite):
     * the row-local normalization that makes exact-URL dedup and
     * host-level stats meaningful on crawled corpora. Steps, in order —
-    * each a stock regexp expression, so the whole chain stays inside
+    * stock regexp/HOF expressions, so the whole chain stays inside
     * codegen and replays verbatim in DuckDB (with the 'g' flag where
     * Spark's regexp_replace is implicitly global):
     *  1. drop the #fragment;
@@ -32,13 +32,19 @@ object TextFunctions {
     *  3. strip a leading www.;
     *  4. strip default ports (http:80 / https:443; a NON-default or
     *     mismatched port is meaningful and kept);
-    *  5. strip utm_* tracking params, healing ?&/trailing-? seams;
+    *  5. strip utm_* tracking params by SPLITTING the query into params
+    *     and filtering — a regex deletion cannot be safely anchored to
+    *     the preceding separator without lookbehind (RE2 has none), and
+    *     an unanchored pattern eats 'utm_' substrings inside OTHER
+    *     params' names/values;
     *  6. strip trailing slashes.
-    * Non-URL strings pass through unchanged (step 2's extract matches
-    * nothing and every other pattern is URL-shaped). No lookarounds
-    * anywhere: DuckDB's RE2 has none, Java does — the shared subset is
-    * the contract. */
+    * Strings not shaped like a URL (no scheme://) pass through BYTE
+    * UNCHANGED — the whole chain is gated on the shape, so dirty crawl
+    * rows can't be mangled into false duplicates by the fragment/slash
+    * steps. No lookarounds anywhere: DuckDB's RE2 has none, Java does —
+    * the shared subset is the contract. */
   def canonicalUrl(u: Column): Column = {
+    val isUrl = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
     val noFrag = regexp_replace(u, lit("#.*"), lit(""))
     val prefix = "^([^/]*//[^/?#]*)"
     val lowered = concat(
@@ -50,13 +56,15 @@ object TextFunctions {
       regexp_replace(noWww,
         lit("^(http://[^/:?#]*):80([/?#].*)?$"), lit("$1$2")),
       lit("^(https://[^/:?#]*):443([/?#].*)?$"), lit("$1$2"))
-    val noUtm = regexp_replace(
-      regexp_replace(
-        regexp_replace(noPort, lit("utm_[^&#]*&"), lit("")),
-        lit("[?&]utm_[^&#]*$"), lit("")),
-      lit("\\?&"), lit("?"))
-    regexp_replace(regexp_replace(noUtm, lit("\\?$"), lit("")),
-      lit("/+$"), lit(""))
+    val base = regexp_extract(noPort, "^([^?]*)", 1)
+    val query = regexp_extract(noPort, "\\?(.*)$", 1)
+    val keptQuery = array_join(
+      filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
+    val noUtm = concat(base,
+      when(length(keptQuery) > 0, concat(lit("?"), keptQuery))
+        .otherwise(lit("")))
+    when(isUrl, regexp_replace(noUtm, lit("/+$"), lit("")))
+      .otherwise(u)
   }
 
   /** host of an (ideally canonicalized) URL — empty when not URL-shaped */

@@ -860,6 +860,13 @@ object SimilarityOps {
       .toDF("doc_id", "neg_id")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("j").asc)
     resolved.join(excl, Seq("doc_id", "neg_id"), "left_anti")
+      // draws are WITH replacement (independent hashes mod N can
+      // collide), so the same candidate can arrive under two draw
+      // indices — dedup to its EARLIEST draw before ranking, or an
+      // anchor's k slots could hand contrastive training the same
+      // negative twice
+      .groupBy(col("doc_id"), col("neg_id"))
+      .agg(min(col("j")).as("j"))
       .withColumn("draw", row_number().over(w).cast("long") - 1L)
       .filter(col("draw") < k)
       .select(col("doc_id"), col("neg_id"), col("draw"))

@@ -95,11 +95,15 @@ object AsOfJoinTvf {
     }
     // optional 7th argument: an INTEGER literal = tolerance in the time
     // column's units (micros for timestamps) — type-dispatched so the
-    // string payload list stays unambiguous
+    // string payload list stays unambiguous. Match on the TYPES, not
+    // typeName strings: LongType.typeName is "long" (its simpleString is
+    // "bigint"), so a name list silently rejected any tolerance above
+    // Int.MaxValue micros (~35.8 minutes).
     val (tol, valIdx) = args(6) match {
-      case Literal(v, dt) if v != null &&
-          Seq("integer", "bigint", "smallint", "tinyint")
-            .contains(dt.typeName) =>
+      case Literal(v, org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType) if v != null =>
         (Some(v.toString.toLong), 7)
       case _ => (None, 6)
     }

@@ -857,10 +857,12 @@ object Similarity {
                 FROM res r LEFT JOIN pp
                   ON r.doc_id = pp.doc_id AND r.neg_id = pp.neg_id
                 WHERE pp.doc_id IS NULL),
+        dd AS (SELECT doc_id, neg_id, MIN(j) AS j
+               FROM flt GROUP BY 1, 2),
         rk AS (SELECT doc_id, neg_id,
                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY j) - 1
                    AS draw
-               FROM flt)
+               FROM dd)
         SELECT doc_id, neg_id, CAST(draw AS BIGINT) AS draw
         FROM rk WHERE draw < 4"""))
 

@@ -799,35 +799,9 @@ object StreamingQueries {
     //      batches and the result equals the batch ASOF JOIN — the SAME
     //      DuckDB oracle as e24/e25, now pinning the streaming plan too.
     Q("st17_stream_asof",
-      (s, d) => {
-        val base = scratchRoot.resolve(
-          "st17-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-        val child = s.newSession()
-        child.conf.set("spark.sql.shuffle.partitions", "8")
-        import child.implicits._
-        val stream = child.readStream
-          .schema(Tables.events(s, d).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(base)
-        val input = stream
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(col("event_id"), col("user_id"), col("ts"),
-            (col("event_type") === "purchase").as("is_purchase"),
-            col("value"))
-          .as[graft.streaming.EventStreams.AsOfInput]
-        // the ordering-precondition signal: time-ascending delivery must
-        // leave the late counter at ZERO — a nonzero count here would
-        // mean the gate's own mtime discipline broke, and failing loud
-        // beats a silent non-batch-equal diff downstream
-        val late = child.sparkContext.longAccumulator("st17_late")
-        val q = graft.streaming.EventStreams
-          .asOfEnrichStream(input, lateArrivals = Some(late))
-          .writeStream.format("memory").queryName("st17")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        require(late.value == 0L,
-          s"st17: ${late.value} late arrivals — slice delivery out of order")
-        child.table("st17")
+      (s, d) => runAsOfGate(s, d, "st17") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStream(input,
+          lateArrivals = Some(late)).toDF()
       },
       Some("""
         SELECT p.event_id, p.user_id, p.ts,
@@ -854,31 +828,9 @@ object StreamingQueries {
     //      e27's DuckDB oracle (reversed inequality) across real
     //      micro-batch boundaries. Same late-arrival signal as st17.
     Q("st18_stream_asof_fwd",
-      (s, d) => {
-        val base = scratchRoot.resolve(
-          "st18-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
-        val child = s.newSession()
-        child.conf.set("spark.sql.shuffle.partitions", "8")
-        import child.implicits._
-        val stream = child.readStream
-          .schema(Tables.events(s, d).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(base)
-        val input = stream
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(col("event_id"), col("user_id"), col("ts"),
-            (col("event_type") === "purchase").as("is_purchase"),
-            col("value"))
-          .as[graft.streaming.EventStreams.AsOfInput]
-        val late = child.sparkContext.longAccumulator("st18_late")
-        val q = graft.streaming.EventStreams
-          .asOfEnrichStreamForward(input, lateArrivals = Some(late))
-          .writeStream.format("memory").queryName("st18")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        try q.awaitTermination() finally if (q.isActive) q.stop()
-        require(late.value == 0L,
-          s"st18: ${late.value} late arrivals — slice delivery out of order")
-        child.table("st18")
+      (s, d) => runAsOfGate(s, d, "st18") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStreamForward(input,
+          lateArrivals = Some(late)).toDF()
       },
       Some("""
         SELECT p.event_id, p.user_id, p.ts,

@@ -2145,14 +2145,14 @@ object TextOps {
                    '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2') AS u
                FROM c3),
         c5 AS (SELECT doc_id,
-                 regexp_replace(regexp_replace(regexp_replace(u,
-                   'utm_[^&#]*&', '', 'g'),
-                   '[?&]utm_[^&#]*$', ''),
-                   '\?&', '?') AS u
+                 regexp_extract(u, '^([^?]*)', 1) AS base,
+                 array_to_string(list_filter(
+                   string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+                   p -> NOT starts_with(p, 'utm_')), '&') AS nq
                FROM c4),
         c6 AS (SELECT doc_id,
-                 regexp_replace(regexp_replace(u, '\?$', ''),
-                   '/+$', '') AS url
+                 regexp_replace(base || CASE WHEN length(nq) > 0
+                   THEN '?' || nq ELSE '' END, '/+$', '') AS url
                FROM c5)
         SELECT regexp_extract(url, '^[^/]*//([^/:?#]+)', 1) AS host,
           COUNT(*) AS n_docs,
@@ -2299,11 +2299,18 @@ object TextOps {
         val docs = Tables.documents(s, d)
         val groups = docs.groupBy(col("lang"), col("source"))
           .agg(count(lit(1)).as("n"))
-        docs.join(broadcast(groups), Seq("lang", "source"))
+        // NULL-SAFE join back (<=>): a privacy screen must account for
+        // every row — plain equality would silently DROP docs whose QI
+        // is NULL (groupBy groups nulls, the join back then rejects
+        // them), so released totals would no longer sum to the corpus;
+        // a NULL QI group below k suppresses to '*' like any other
+        docs.as("d").join(broadcast(groups).as("g"),
+            col("d.lang") <=> col("g.lang") &&
+              col("d.source") <=> col("g.source"))
           .select(
-            when(col("n") >= k, col("lang")).otherwise(lit("*"))
+            when(col("g.n") >= k, col("d.lang")).otherwise(lit("*"))
               .as("lang_out"),
-            when(col("n") >= k, col("source")).otherwise(lit("*"))
+            when(col("g.n") >= k, col("d.source")).otherwise(lit("*"))
               .as("source_out"))
           .groupBy(col("lang_out"), col("source_out"))
           .agg(count(lit(1)).as("n_docs"))
@@ -2314,7 +2321,9 @@ object TextOps {
         SELECT CASE WHEN g.n >= 5 THEN d.lang ELSE '*' END AS lang_out,
           CASE WHEN g.n >= 5 THEN d.source ELSE '*' END AS source_out,
           COUNT(*) AS n_docs
-        FROM documents d JOIN g USING (lang, source)
+        FROM documents d JOIN g
+          ON d.lang IS NOT DISTINCT FROM g.lang
+            AND d.source IS NOT DISTINCT FROM g.source
         GROUP BY 1, 2"""))
   )
 }

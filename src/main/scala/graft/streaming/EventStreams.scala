@@ -265,9 +265,13 @@ object EventStreams {
     * stay pending and drop at stream end — precisely the batch inner
     * drop); st18 shares e27's DuckDB oracle across real micro-batch
     * boundaries. Same late-arrival discipline as [[asOfEnrichStream]]:
-    * the counter fires on any cross-batch time descent, and a late
-    * fact simply waits for the next reference (it can only match a
-    * reference at-or-after its own time — never a wrong one). */
+    * the counter fires on any cross-batch time descent, and a late fact
+    * DROPS rather than buffering — references at-or-after its time may
+    * already have passed through (a forward ref with no pending facts is
+    * consumed and discarded), so buffering would resolve it against a
+    * LATER ref than its batch-correct earliest: a wrong value, where the
+    * contract is that late events only ever degrade toward the inner
+    * drop. */
   def asOfEnrichStreamForward(events: Dataset[AsOfInput],
                               lateArrivals: Option[org.apache.spark.util
                                 .LongAccumulator] = None,
@@ -288,8 +292,16 @@ object EventStreams {
           val out = Seq.newBuilder[AsOfOut]
           sorted.foreach { e =>
             val m = micros(e.ts)
-            if (m < maxSeen) lateArrivals.foreach(_.add(1L))
-            if (e.is_purchase) pending ::= e
+            val late = m < maxSeen
+            if (late) lateArrivals.foreach(_.add(1L))
+            // a LATE fact must DROP, not buffer: references at-or-after
+            // its time may already have passed through (a forward ref
+            // with no pending facts is consumed and discarded), so
+            // buffering would resolve it against a LATER ref than its
+            // batch-correct earliest — a wrong VALUE, which the
+            // degrade-safely contract forbids; dropping mirrors the
+            // backward machine's late-fact inner drop
+            if (e.is_purchase) { if (!late) pending ::= e }
             else {
               // this ref RESOLVES every pending fact at-or-before it
               // (in time order it is each one's earliest at-or-after):

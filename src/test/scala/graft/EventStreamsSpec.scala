@@ -265,6 +265,29 @@ class EventStreamsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(4))).toSet
       assert(gotF == Set((400L, 4.0)), s"forward release: $gotF")
     } finally qf.stop()
+    // forward machine: a LATE FACT must DROP, never resolve against a
+    // LATER ref than its batch-correct earliest (which may already have
+    // passed through unconsumed)
+    val lateF2 = spark.sparkContext.longAccumulator("late_fwd2")
+    val inputF2 = MemoryStream[AsOfInput]
+    val qf2 = EventStreams.asOfEnrichStreamForward(inputF2.toDS(), Some(lateF2))
+      .writeStream.format("memory").queryName("asof_late_fwd2")
+      .outputMode("append").start()
+    try {
+      // batch 1: ref R1 at 10:05 — no pending facts, consumed + discarded
+      inputF2.addData(AsOfInput(40L, 1L, ts("2024-01-01 10:05:00"), false, 1.0))
+      qf2.processAllAvailable()
+      // batch 2: LATE fact at 10:00 (its batch answer is R1, already gone)
+      inputF2.addData(AsOfInput(600L, 1L, ts("2024-01-01 10:00:00"), true, 0.0))
+      qf2.processAllAvailable()
+      assert(lateF2.value == 1L)
+      // batch 3: ref R2 at 10:15 must NOT resolve the late fact — a
+      // wrong value is worse than the inner drop
+      inputF2.addData(AsOfInput(41L, 1L, ts("2024-01-01 10:15:00"), false, 2.0))
+      qf2.processAllAvailable()
+      assert(spark.table("asof_late_fwd2").isEmpty,
+        "a late fact must drop, not match a later ref")
+    } finally qf2.stop()
   }
 
   test("outer + tolerance streaming as-of: pad-on-arrival is final, " +

@@ -424,6 +424,12 @@ class JoinOpsSpec extends SparkSpec {
     assert(sqlDf.count() == 2 &&
       spark.sql("""SELECT * FROM asof_join('jos_tt', 'jos_tq',
         'k', 'qk', 'tts', 'qts', 'price')""").count() == 3)
+    // a tolerance ABOVE Int.MaxValue micros (here 2 h) parses as a
+    // BIGINT literal and must still dispatch as the tolerance argument
+    // (typeName-based matching rejected every bound past ~35.8 min)
+    val wide = spark.sql("""SELECT * FROM asof_join('jos_tt', 'jos_tq',
+      'k', 'qk', 'tts', 'qts', 7200000000, 'price')""")
+    assert(wide.count() == 3, "2h tolerance keeps all three trades")
   }
 
   test("TVF analysis-time type discipline: INT keys widen, bad types " +

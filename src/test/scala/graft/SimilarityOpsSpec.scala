@@ -375,6 +375,10 @@ class SimilarityOpsSpec extends SparkSpec {
       s"anchors=${byAnchor.size}, sizes=${byAnchor.values.map(_.length).toSet}")
     // draw indices are 0..k-1 per anchor
     assert(byAnchor.values.forall(_.map(_._3).sorted.toSeq == Seq(0L, 1L, 2L, 3L)))
+    // the k negatives are DISTINCT documents (draws are with
+    // replacement; the operator dedups colliding draws before ranking)
+    assert(byAnchor.values.forall(_.map(_._2).distinct.length == 4),
+      "an anchor's negatives must not repeat a document")
     // no self, no positive pair sampled
     assert(out.forall { case (a, n, _) => a != n && !posSet((a, n)) })
     // deterministic across invocations

@@ -28,14 +28,25 @@ class UrlCanonicalSpec extends SparkSpec {
       ("http://a.com/x?q=2&utm_a=1", "http://a.com/x?q=2"),
       ("http://a.com/x?utm_a=1&utm_b=2", "http://a.com/x"),
       ("http://a.com/x?utm_a=1&q=2&utm_b=3", "http://a.com/x?q=2"),
+      // CONSECUTIVE utm params all drop (the regex-deletion formulation
+      // left every second one behind)
+      ("http://a.com/x?utm_a=1&utm_b=2&q=3", "http://a.com/x?q=3"),
+      // 'utm_' inside another param's NAME or VALUE is not a tracking
+      // param — must survive byte-identical (the unanchored-regex bug)
+      ("http://a.com/p?q=my_utm_test&r=1", "http://a.com/p?q=my_utm_test&r=1"),
+      ("http://a.com/x?xutm_a=1&q=2", "http://a.com/x?xutm_a=1&q=2"),
       // trailing slashes strip, incl. after query removal
       ("http://a.com/x/", "http://a.com/x"),
       ("http://a.com/x/?utm_a=1", "http://a.com/x"),
       // www strips only as a host prefix
       ("http://www.a.com/x", "http://a.com/x"),
       ("http://awww.a.com/x", "http://awww.a.com/x"),
-      // non-URL strings pass through
+      // non-URL strings pass through BYTE UNCHANGED — including ones
+      // containing the chain's trigger characters (#, trailing /, utm_&)
       ("not a url at all", "not a url at all"),
+      ("see note #3", "see note #3"),
+      ("ends with slash/", "ends with slash/"),
+      ("foo utm_x& bar", "foo utm_x& bar"),
       ("", ""))
     val got = cases.map(_._1).toDF("u")
       .select(col("u"), canonicalUrl(col("u")).as("c")).collect()
