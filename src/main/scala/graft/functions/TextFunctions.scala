@@ -37,7 +37,11 @@ object TextFunctions {
     *     the preceding separator without lookbehind (RE2 has none), and
     *     an unanchored pattern eats 'utm_' substrings inside OTHER
     *     params' names/values;
-    *  6. strip trailing slashes.
+    *  6. strip trailing slashes from the PATH, before the kept query is
+    *     re-attached — stripping the assembled string instead would eat
+    *     a slash that ends the last query parameter's VALUE
+    *     ('?p=/dir/' is not '?p=/dir'), conflating URLs that differ in
+    *     a meaningful parameter.
     * Strings not shaped like a URL (no scheme://) pass through BYTE
     * UNCHANGED — the whole chain is gated on the shape, so dirty crawl
     * rows can't be mangled into false duplicates by the fragment/slash
@@ -56,15 +60,15 @@ object TextFunctions {
       regexp_replace(noWww,
         lit("^(http://[^/:?#]*):80([/?#].*)?$"), lit("$1$2")),
       lit("^(https://[^/:?#]*):443([/?#].*)?$"), lit("$1$2"))
-    val base = regexp_extract(noPort, "^([^?]*)", 1)
+    val base = regexp_replace(
+      regexp_extract(noPort, "^([^?]*)", 1), lit("/+$"), lit(""))
     val query = regexp_extract(noPort, "\\?(.*)$", 1)
     val keptQuery = array_join(
       filter(split(query, "&"), p => !p.startsWith("utm_")), "&")
     val noUtm = concat(base,
       when(length(keptQuery) > 0, concat(lit("?"), keptQuery))
         .otherwise(lit("")))
-    when(isUrl, regexp_replace(noUtm, lit("/+$"), lit("")))
-      .otherwise(u)
+    when(isUrl, noUtm).otherwise(u)
   }
 
   /** host of an (ideally canonicalized) URL — empty when not URL-shaped */

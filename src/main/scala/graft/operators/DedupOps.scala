@@ -800,14 +800,23 @@ object DedupOps {
     * span (the boilerplate shared by half the corpus is exactly what
     * this screen should strip everywhere but once).
     *
-    * Scale shape: one gram-keyed shuffle (both windows share the
-    * partition key), one doc-keyed rollup whose collect_list is bounded
-    * by the doc's own word count — d21's contract shape. Returns
-    * (doc_id, n_words, n_removed, clean_text) for EVERY input doc.
+    * Scale shape: the first-carrier and occurrence count come from
+    * groupBy(gram).agg(min(struct(doc_id, i)), count) — MAP-SIDE
+    * aggregable, so a gram shared by half the corpus reaches its
+    * reducer as one partial row per map partition (a window over
+    * partitionBy(gram) would instead buffer every occurrence of the
+    * hot gram in ONE task — the straggler/OOM this shape exists to
+    * avoid; min over the (doc_id, i) struct is exactly the
+    * rank-1-by-(doc_id, i) row). Anchors then join back on gram —
+    * the aggregate output is already hash-partitioned on gram, so
+    * only the anchors side exchanges, and the probe side STREAMS
+    * through the join (no per-gram buffering). One doc-keyed rollup
+    * whose collect_list is bounded by the doc's own word count —
+    * d21's contract shape. Returns (doc_id, n_words, n_removed,
+    * clean_text) for EVERY input doc.
     *
     * Cache/collect: none — a straight-line plan, caller composes. */
   def substringDedupSpans(docs: DataFrame, gramLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(gramLen >= 2)
     val anchorWords = gramLen / 2 + 1
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -820,14 +829,18 @@ object DedupOps {
           1, gramLen).as("gram"))
       .filter(length(col("gram")) === gramLen)
     // first occurrence keeps the span; every later occurrence of a
-    // >=2-occurrence gram is a removal site. Both windows share one
-    // gram-keyed shuffle.
-    val wG = Window.partitionBy(col("gram"))
-    val removals = anchors
-      .withColumn("rn", row_number().over(
-        wG.orderBy(col("doc_id"), col("i"))))
-      .withColumn("cnt", count(lit(1)).over(wG))
-      .filter(col("cnt") >= 2 && col("rn") > 1)
+    // >=2-occurrence gram is a removal site. min(struct) under struct's
+    // lexicographic field order IS the (doc_id, i)-first row, and both
+    // it and the count partial-aggregate map-side — the hot-gram-safe
+    // form of rank-1 + count-over.
+    val firsts = anchors.groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("i"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"), col("first"))
+    val removals = anchors.join(firsts, Seq("gram"))
+      .filter(col("doc_id") =!= col("first.doc_id") ||
+        col("i") =!= col("first.i"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (anchorWords - 1))).as("wi"))
       .distinct()

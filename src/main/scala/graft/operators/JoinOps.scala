@@ -233,29 +233,30 @@ object JoinOps {
     * The bin-explode makes a naive outer join WRONG two ways: a left row
     * probes TWO bins, so (a) it would pad once per unmatched bin
     * (duplicates), and (b) a row matched in one bin would ALSO pad from
-    * its other bin. So the outer form composes from the inner result:
-    * matched left rows (distinct over the left columns) anti-join the
-    * original left to find the unmatched, which union back null-padded —
-    * two cheap passes over the inner output + one over `left`, all keyed
-    * shuffles. Left rows must be distinct as tuples for the anti-join to
-    * identify them (duplicate left ROWS pad collectively — document or
-    * pre-tag with a unique id, which every gate's fixture has), and a
-    * NULL in any left column defeats the anti-join's equality (SQL null
-    * semantics: the row would pad even when matched) — carry a non-null
-    * key column, the same discipline the tuple-distinctness rule already
-    * implies. */
+    * its other bin. So the outer form composes from the inner result —
+    * and identifies unmatched left ROWS by an internal
+    * monotonically_increasing_id tag, not by tuple equality: duplicate
+    * left rows each pad/match independently and NULLs in left columns
+    * are inert (the round-14 footguns, closed here instead of pushed
+    * onto callers — the anti-join now compares one non-null long). The
+    * tag requires `left`'s row order to be deterministic per partition
+    * (any scan-rooted plan is; a nondeterministically-ordered input —
+    * e.g. fresh round-robin repartition — is the one remaining caller
+    * contract, shared by every id-tagging operator). Cost: the inner
+    * result projected to one long + distinct, one long-keyed anti-join
+    * over `left`, union — all keyed shuffles on scalar keys. */
   def rangeJoinBinnedLeft(left: DataFrame, right: DataFrame,
                           leftTime: String, rightTime: String,
                           windowSec: Long,
                           keys: Seq[(String, String)] = Nil): DataFrame = {
-    val inner = rangeJoinBinned(left, right, leftTime, rightTime,
+    val tagged = left.withColumn("_rjid", monotonically_increasing_id())
+    val inner = rangeJoinBinned(tagged, right, leftTime, rightTime,
       windowSec, keys)
-    val lCols = left.columns.toSeq
-    val matchedLeft = inner.select(lCols.map(col): _*).distinct()
-    val pads = left.join(matchedLeft, lCols, "left_anti")
+    val pads = tagged.join(inner.select(col("_rjid")).distinct(),
+      Seq("_rjid"), "left_anti")
     val padded = right.columns.foldLeft(pads)((df, c) =>
       df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
-    inner.unionByName(padded)
+    inner.unionByName(padded).drop("_rjid")
   }
 
   /** Bloom semi-join reduction: filter `fact` down to rows whose key

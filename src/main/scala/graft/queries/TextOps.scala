@@ -2145,14 +2145,15 @@ object TextOps {
                    '^(https://[^/:?#]*):443([/?#].*)?$', '\1\2') AS u
                FROM c3),
         c5 AS (SELECT doc_id,
-                 regexp_extract(u, '^([^?]*)', 1) AS base,
+                 regexp_replace(regexp_extract(u, '^([^?]*)', 1),
+                   '/+$', '') AS base,
                  array_to_string(list_filter(
                    string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
                    p -> NOT starts_with(p, 'utm_')), '&') AS nq
                FROM c4),
         c6 AS (SELECT doc_id,
-                 regexp_replace(base || CASE WHEN length(nq) > 0
-                   THEN '?' || nq ELSE '' END, '/+$', '') AS url
+                 base || CASE WHEN length(nq) > 0
+                   THEN '?' || nq ELSE '' END AS url
                FROM c5)
         SELECT regexp_extract(url, '^[^/]*//([^/:?#]+)', 1) AS host,
           COUNT(*) AS n_docs,

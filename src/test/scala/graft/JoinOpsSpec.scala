@@ -565,6 +565,29 @@ class JoinOpsSpec extends SparkSpec {
       s"only-binned ${(got -- want).take(3)}, only-plain ${(want -- got).take(3)}")
   }
 
+  test("rangeJoinBinnedLeft: duplicate left rows and NULL left columns " +
+      "pad/match independently (the round-14 footguns)") {
+    // two IDENTICAL unmatched rows must pad TWICE; an identical matched
+    // pair must match twice and never pad; a NULL-bearing matched row
+    // must not pad (null-unsafe tuple equality broke both before the
+    // internal id tag)
+    val lefts = Seq(
+      (java.lang.Long.valueOf(2L), ts("2024-01-01 12:00:00")), // unmatched dup
+      (java.lang.Long.valueOf(2L), ts("2024-01-01 12:00:00")), // unmatched dup
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 10:30:00")), // matched dup
+      (java.lang.Long.valueOf(1L), ts("2024-01-01 10:30:00")), // matched dup
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 10:30:00"))) // NULL col, matched
+      .toDF("p_id", "p_ts")
+    val rights = Seq(Tuple1(ts("2024-01-01 10:00:00"))).toDF("c_ts")
+    val out = JoinOps.rangeJoinBinnedLeft(lefts, rights,
+        "p_ts", "c_ts", windowSec = 3600L)
+      .collect().map(r => (Option(r.get(0)), r.get(2) != null))
+    assert(out.length == 5, s"got ${out.toSeq}")
+    assert(out.count(_ == (Some(2L), false)) == 2, s"got ${out.toSeq}")
+    assert(out.count(_ == (Some(1L), true)) == 2, s"got ${out.toSeq}")
+    assert(out.count(_ == (None, true)) == 1, s"got ${out.toSeq}")
+  }
+
   test("saltedJoin equals the plain join") {
     val fact = (1 to 1000).map(i => (i.toLong % 3, i.toLong)).toDF("k", "v")
     val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")

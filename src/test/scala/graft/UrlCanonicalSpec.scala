@@ -38,6 +38,11 @@ class UrlCanonicalSpec extends SparkSpec {
       // trailing slashes strip, incl. after query removal
       ("http://a.com/x/", "http://a.com/x"),
       ("http://a.com/x/?utm_a=1", "http://a.com/x"),
+      // ...but only PATH slashes: a slash ending the last query
+      // parameter's VALUE is meaningful and survives (the strip runs
+      // on the path before the kept query is re-attached)
+      ("http://a.com/x?p=/dir/", "http://a.com/x?p=/dir/"),
+      ("http://a.com/x/?p=/dir/", "http://a.com/x?p=/dir/"),
       // www strips only as a host prefix
       ("http://www.a.com/x", "http://a.com/x"),
       ("http://awww.a.com/x", "http://awww.a.com/x"),
