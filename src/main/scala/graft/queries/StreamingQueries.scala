@@ -974,10 +974,18 @@ object StreamingQueries {
         WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000"""),
       setup = Some((s, d) => writeTimeSlices(s, d, "st20"))),
 
+    //      st21 runs the BOUNDED forward machine (round 15): with a
+    //      finite tolerance the event-time timeout can retire each
+    //      pending fact at its tolerance horizon — state capped at
+    //      fact-rate x (tolerance + delay) instead of growing on silent
+    //      keys — and under inner semantics eviction emits NOTHING, so
+    //      the output (and e27+staleness oracle) is bit-identical to the
+    //      unbounded machine's.
     Q("st21_stream_asof_fwd_tol",
       (s, d) => runAsOfGate(s, d, "st21") { (input, late) =>
         graft.streaming.EventStreams.asOfEnrichStreamForward(input,
-          lateArrivals = Some(late), tolerance = Some(600000000L)).toDF()
+          lateArrivals = Some(late), tolerance = Some(600000000L),
+          watermarkDelay = Some("10 seconds")).toDF()
       },
       Some("""
         SELECT p.event_id, p.user_id, p.ts,
@@ -988,7 +996,53 @@ object StreamingQueries {
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts <= c.ts
         WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 600000000"""),
-      setup = Some((s, d) => writeTimeSlices(s, d, "st21")))
+      setup = Some((s, d) => writeTimeSlices(s, d, "st21"))),
+
+    // ---- FORWARD LEFT OUTER streaming as-of: the LAST matrix cell -------
+    //      st19's scaladoc named the hole: a forward outer must know "no
+    //      reference is coming" before it pads, which pad-on-arrival
+    //      cannot. Closed by watermark-timeout eviction: with a finite
+    //      tolerance, once the watermark passes a fact's horizon
+    //      (fact_ts + tolerance), any on-time reference still to arrive
+    //      is provably staler than the bound — padding is FINAL and
+    //      batch-exact. The oracle is e31's CASE-padded form with the
+    //      inequality reversed, plus the replay-end cut the watermark
+    //      semantics define (st15's withheld-tail convention): a
+    //      never-referenced fact whose horizon the FINAL watermark
+    //      (max event ms - delay) never passes stays in state unemitted,
+    //      so the oracle withholds exactly those rows — in the same
+    //      floor-to-millisecond arithmetic Spark's watermark uses.
+    //      Completes the direction x shape matrix live: st17/st19
+    //      backward inner/outer, st18 forward inner, st24 forward outer
+    //      (st20/st21 the tolerance twins).
+    Q("st24_stream_asof_fwd_left",
+      (s, d) => runAsOfGate(s, d, "st24") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStreamForwardOuter(input,
+          lateArrivals = Some(late), tolerance = 600000000L,
+          watermarkDelay = "10 seconds").toDF()
+      },
+      Some("""
+        WITH src AS (SELECT event_id, user_id, ts, event_type, value,
+                       epoch_us(ts) AS us
+                     FROM events
+                     WHERE event_type IN ('purchase', 'click')),
+        wm AS (SELECT MAX(us) // 1000 - 10000 AS wm_ms FROM src),
+        p AS (SELECT event_id, user_id, ts, us FROM src
+              WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts, value FROM src
+              WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts,
+          CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(c.ts) - p.us <= 600000000
+               THEN c.ts END AS asof_ts,
+          CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(c.ts) - p.us <= 600000000
+               THEN c.value END AS asof_value
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        WHERE NOT (c.ts IS NULL
+          AND (p.us + 600000000) // 1000 >= (SELECT wm_ms FROM wm))"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st24")))
   )
 
   /** shared harness for the streaming as-of gates: read the gate's

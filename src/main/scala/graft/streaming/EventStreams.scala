@@ -255,10 +255,24 @@ object EventStreams {
     * arrival; forward must WAIT — facts buffer in state until the next
     * reference arrives, then every pending fact at-or-before it emits
     * with that reference (in time order, the first reference after a
-    * fact IS its earliest). Pending-list size is bounded by the key's
-    * fact rate x its reference inter-arrival gap — the ref-arrival-rate
-    * bound; a production stream with silent keys adds an event-time
-    * timeout to cap the tail.
+    * fact IS its earliest).
+    *
+    * TWO state regimes, picked by `watermarkDelay`:
+    *  - None (default): NoTimeout — pending-list size is bounded only
+    *    by the key's fact rate x its reference inter-arrival gap, and a
+    *    key whose references STOP arriving grows state forever. This is
+    *    inherent to an UNBOUNDED forward wait, not an implementation
+    *    gap: no watermark can prove "no in-tolerance reference is still
+    *    coming" when the tolerance is infinite.
+    *  - Some(delay) (requires a finite `tolerance`): event-time-timeout
+    *    eviction retires each pending fact once the watermark passes
+    *    its tolerance horizon — a FINAL, batch-exact no-match (any
+    *    on-time reference still to arrive is provably staler than the
+    *    bound), silently dropped under these inner semantics. State is
+    *    then capped at fact-rate x (tolerance + delay) per key however
+    *    long references stay silent; `evictions` counts the retired
+    *    facts. See [[asOfEnrichStreamForwardOuter]] for the same
+    *    mechanism padding instead of dropping.
     *
     * Delivered time-ascending, the bounded replay equals the batch
     * FORWARD as-of join exactly (facts whose reference never arrives
@@ -275,50 +289,194 @@ object EventStreams {
   def asOfEnrichStreamForward(events: Dataset[AsOfInput],
                               lateArrivals: Option[org.apache.spark.util
                                 .LongAccumulator] = None,
-                              tolerance: Option[Long] = None)
+                              tolerance: Option[Long] = None,
+                              watermarkDelay: Option[String] = None,
+                              evictions: Option[org.apache.spark.util
+                                .LongAccumulator] = None)
       : Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
-    val tol = tolerance.getOrElse(Long.MaxValue)
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[AsOfFwdState, AsOfOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    watermarkDelay match {
+      case Some(delay) =>
+        // BOUNDED machine (see [[asOfEnrichStreamForwardOuter]] for the
+        // eviction argument): state is capped at fact-rate x (tolerance
+        // + delay); a timed-out fact is a FINAL batch-exact no-match
+        // and drops silently (inner). Requires a finite tolerance —
+        // without one, no watermark can ever prove "no in-tolerance
+        // reference is still coming", which is exactly why the
+        // unbounded variant below exists.
+        val tol = tolerance.getOrElse(throw new IllegalArgumentException(
+          "bounded forward as-of requires a finite tolerance: the " +
+            "watermark can only retire a fact once its tolerance " +
+            "horizon has provably passed"))
+        events.withWatermark("ts", delay)
+          .groupByKey(_.user_id)
+          .flatMapGroupsWithState[AsOfFwdState, AsOfOut](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (userId: Long, rows: Iterator[AsOfInput],
+             state: GroupState[AsOfFwdState]) =>
+              forwardStep(rows, state, lateArrivals, tol,
+                bounded = true, evictions)
+                .collect { case (f, Some(c)) =>
+                  AsOfOut(f.event_id, userId, f.ts, c.ts, c.value)
+                }.iterator
+          }
+      case None =>
+        events.groupByKey(_.user_id)
+          .flatMapGroupsWithState[AsOfFwdState, AsOfOut](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (userId: Long, rows: Iterator[AsOfInput],
+             state: GroupState[AsOfFwdState]) =>
+              forwardStep(rows, state, lateArrivals,
+                tolerance.getOrElse(Long.MaxValue), bounded = false, None)
+                .collect { case (f, Some(c)) =>
+                  AsOfOut(f.event_id, userId, f.ts, c.ts, c.value)
+                }.iterator
+          }
+    }
+  }
+
+  /** FORWARD LEFT OUTER streaming as-of — the one matrix cell a
+    * pad-on-arrival design cannot reach (st19's scaladoc: a forward
+    * outer must know "no reference is coming" before it pads), closed
+    * here by watermark-timeout eviction. Requires a finite `tolerance`:
+    * once the event-time watermark passes a pending fact's tolerance
+    * horizon (fact time + tolerance), every on-time reference still to
+    * arrive is provably staler than the bound, so padding the fact is
+    * FINAL and batch-exact — precisely the e31-with-reversed-inequality
+    * cut, no approximation. Facts whose earliest at-or-after reference
+    * exists but is staler than the bound pad at that reference's
+    * arrival (no later reference can be closer); only never-referenced
+    * facts need the timeout.
+    *
+    * This same mechanism is what BOUNDS the state: the pending list the
+    * unbounded inner machine grows on a key whose references stop
+    * arriving (the round-14 scale flag) is here capped at fact-rate x
+    * (tolerance + delay) — each fact leaves state at its reference or
+    * at its horizon, whichever first. The `evictions` accumulator
+    * counts timed-out facts (driver- and Spark-UI-visible), the same
+    * observability pattern as `lateArrivals`.
+    *
+    * Replay-end contract (st15's convention): a pending fact whose
+    * horizon the FINAL watermark (max event time - delay) never passes
+    * stays in state unemitted — a bounded replay's oracle must withhold
+    * exactly those rows (the st24 gate's oracle does, in the same
+    * floor-to-millisecond arithmetic Spark's watermark uses).
+    *
+    * With EventTimeTimeout Spark drops input rows older than the
+    * current watermark BEFORE the machine sees them, so cross-batch
+    * descents deeper than `watermarkDelay` are absorbed there; the
+    * late-arrival counter still fires on descents above the watermark,
+    * and a late fact still drops rather than buffering. */
+  def asOfEnrichStreamForwardOuter(events: Dataset[AsOfInput],
+                                   lateArrivals: Option[org.apache.spark
+                                     .util.LongAccumulator] = None,
+                                   tolerance: Long,
+                                   watermarkDelay: String = "10 seconds",
+                                   evictions: Option[org.apache.spark.util
+                                     .LongAccumulator] = None)
+      : Dataset[AsOfOutOuter] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfFwdState, AsOfOutOuter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[AsOfInput],
          state: GroupState[AsOfFwdState]) =>
-          // facts BEFORE references at equal timestamps: ">=" inclusive
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), !e.is_purchase))
-          val st0 = state.getOption.getOrElse(AsOfFwdState(Nil, Long.MinValue))
-          var pending = st0.pending
-          var maxSeen = st0.maxSeen
-          val out = Seq.newBuilder[AsOfOut]
-          sorted.foreach { e =>
-            val m = micros(e.ts)
-            val late = m < maxSeen
-            if (late) lateArrivals.foreach(_.add(1L))
-            // a LATE fact must DROP, not buffer: references at-or-after
-            // its time may already have passed through (a forward ref
-            // with no pending facts is consumed and discarded), so
-            // buffering would resolve it against a LATER ref than its
-            // batch-correct earliest — a wrong VALUE, which the
-            // degrade-safely contract forbids; dropping mirrors the
-            // backward machine's late-fact inner drop
-            if (e.is_purchase) { if (!late) pending ::= e }
-            else {
-              // this ref RESOLVES every pending fact at-or-before it
-              // (in time order it is each one's earliest at-or-after):
-              // within tolerance -> emit; staler -> final NO match, the
-              // fact leaves pending (no later ref can be closer)
-              val (resolved, still) = pending.partition(f => micros(f.ts) <= m)
-              resolved.foreach { f =>
-                if (m - micros(f.ts) <= tol)
-                  out += AsOfOut(f.event_id, userId, f.ts, e.ts, e.value)
-              }
-              pending = still
-            }
-            if (m > maxSeen) maxSeen = m
-          }
-          state.update(AsOfFwdState(pending, maxSeen))
-          out.result().iterator
+          forwardStep(rows, state, lateArrivals, tolerance,
+            bounded = true, evictions)
+            .map { case (f, m) =>
+              AsOfOutOuter(f.event_id, userId, f.ts,
+                m.map(_.ts), m.map(_.value))
+            }.iterator
       }
+  }
+
+  /** shared forward merge step: processes one micro-batch group (or a
+    * timeout firing — empty `rows`) and returns every RESOLVED fact
+    * with its match (None = final no-match: the earliest at-or-after
+    * reference was staler than the bound, or — bounded mode — the
+    * watermark passed the fact's tolerance horizon; inner drops these,
+    * outer pads them).
+    *
+    * Bounded mode evicts in MILLISECOND arithmetic because that is the
+    * watermark's native unit (Spark floors event-time micros to ms
+    * before the max/delay subtraction): a fact expires when
+    * floor((fact_us + tol) / 1000) < watermark_ms — the exact predicate
+    * a replay oracle must mirror. The re-armed timeout fires when the
+    * watermark passes the earliest surviving horizon (Spark fires at
+    * timestamp < watermark, so arming AT the horizon is exact; the
+    * max-with-watermark guard only covers the disallowed
+    * earlier-than-watermark case). */
+  private def forwardStep(rows: Iterator[AsOfInput],
+                          state: GroupState[AsOfFwdState],
+                          lateArrivals: Option[org.apache.spark.util
+                            .LongAccumulator],
+                          tol: Long, bounded: Boolean,
+                          evictions: Option[org.apache.spark.util
+                            .LongAccumulator])
+      : Seq[(AsOfInput, Option[AsOfState])] = {
+    val st0 = state.getOption.getOrElse(AsOfFwdState(Nil, Long.MinValue))
+    var pending = st0.pending
+    var maxSeen = st0.maxSeen
+    val out = Seq.newBuilder[(AsOfInput, Option[AsOfState])]
+    if (!state.hasTimedOut) {
+      // facts BEFORE references at equal timestamps: ">=" inclusive
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), !e.is_purchase))
+      sorted.foreach { e =>
+        val m = micros(e.ts)
+        val late = m < maxSeen
+        if (late) lateArrivals.foreach(_.add(1L))
+        // a LATE fact must DROP, not buffer: references at-or-after
+        // its time may already have passed through (a forward ref
+        // with no pending facts is consumed and discarded), so
+        // buffering would resolve it against a LATER ref than its
+        // batch-correct earliest — a wrong VALUE, which the
+        // degrade-safely contract forbids; dropping mirrors the
+        // backward machine's late-fact inner drop
+        if (e.is_purchase) { if (!late) pending ::= e }
+        else {
+          // this ref RESOLVES every pending fact at-or-before it
+          // (in time order it is each one's earliest at-or-after):
+          // within tolerance -> match; staler -> final NO match (no
+          // later ref can be closer) — either way the fact leaves
+          // pending, resolved exactly once
+          val (resolved, still) = pending.partition(f => micros(f.ts) <= m)
+          resolved.foreach { f =>
+            out += ((f, if (m - micros(f.ts) <= tol)
+              Some(AsOfState(e.ts, e.value)) else None))
+          }
+          pending = still
+        }
+        if (m > maxSeen) maxSeen = m
+      }
+    }
+    if (bounded) {
+      val wmMs = state.getCurrentWatermarkMs()
+      val (expired, alive) =
+        pending.partition(f => horizonMs(f, tol) < wmMs)
+      expired.foreach { f =>
+        evictions.foreach(_.add(1L))
+        out += ((f, None))
+      }
+      pending = alive
+      state.update(AsOfFwdState(pending, maxSeen))
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(
+          math.max(pending.map(f => horizonMs(f, tol)).min,
+            math.max(wmMs, 1L)))
+    } else {
+      state.update(AsOfFwdState(pending, maxSeen))
+    }
+    out.result()
+  }
+
+  /** last watermark millisecond in which an in-tolerance reference for
+    * this fact can still be on time (saturating: the unbounded machine
+    * never calls this) */
+  private def horizonMs(f: AsOfInput, tol: Long): Long = {
+    val m = micros(f.ts)
+    val h = m + tol
+    if (h < m) Long.MaxValue / 1000 else h / 1000
   }
 
   private def micros(t: Timestamp): Long = {

@@ -357,6 +357,73 @@ class EventStreamsSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("bounded forward as-of: refs stop arriving mid-stream -> the " +
+      "watermark evicts pending facts (outer pads, inner drops), state " +
+      "does not grow forever") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    val tol = 600000000L // 10 min in micros
+    // OUTER: key 1 gets facts, then its refs go silent; key 2 keeps the
+    // watermark moving. Each key-1 fact must emit null-padded once its
+    // tolerance horizon is passed, and the evictions counter must count it.
+    val ev = spark.sparkContext.longAccumulator("evict_outer")
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStreamForwardOuter(input.toDS(),
+        tolerance = tol, watermarkDelay = "10 seconds", evictions = Some(ev))
+      .writeStream.format("memory").queryName("asof_fwd_outer")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        AsOfInput(700L, 1L, ts("2024-01-01 10:00:00"), true, 0.0),
+        AsOfInput(50L, 1L, ts("2024-01-01 10:01:00"), false, 3.0), // matches 700
+        AsOfInput(701L, 1L, ts("2024-01-01 10:02:00"), true, 0.0)) // then silence
+      q.processAllAvailable()
+      // advance the watermark far past 701's horizon (10:12) via key 2
+      input.addData(
+        AsOfInput(800L, 2L, ts("2024-01-01 11:00:00"), true, 0.0))
+      q.processAllAvailable()
+      // one more batch so the post-watermark-advance timeout pass runs
+      // even if no no-data batch fired; it ALSO pushes the watermark
+      // past 800's own horizon (11:10), so 800 evicts too — the
+      // mechanism is per-fact, not per-silent-key
+      input.addData(
+        AsOfInput(801L, 2L, ts("2024-01-01 11:30:00"), true, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_fwd_outer").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(3)).map(_.toString)))
+        .toSet
+      assert(got == Set(
+        (700L, Some("2024-01-01 10:01:00.0")),
+        (701L, None), (800L, None)), s"outer eviction: $got")
+      assert(ev.value == 2L, s"evictions counted: ${ev.value}")
+    } finally q.stop()
+    // INNER bounded: same silence — the evicted fact drops silently and
+    // the machine matches the unbounded inner's output exactly
+    val ev2 = spark.sparkContext.longAccumulator("evict_inner")
+    val input2 = MemoryStream[AsOfInput]
+    val q2 = EventStreams.asOfEnrichStreamForward(input2.toDS(),
+        tolerance = Some(tol), watermarkDelay = Some("10 seconds"),
+        evictions = Some(ev2))
+      .writeStream.format("memory").queryName("asof_fwd_bounded")
+      .outputMode("append").start()
+    try {
+      input2.addData(
+        AsOfInput(700L, 1L, ts("2024-01-01 10:00:00"), true, 0.0),
+        AsOfInput(50L, 1L, ts("2024-01-01 10:01:00"), false, 3.0),
+        AsOfInput(701L, 1L, ts("2024-01-01 10:02:00"), true, 0.0))
+      q2.processAllAvailable()
+      input2.addData(AsOfInput(800L, 2L, ts("2024-01-01 11:00:00"), true, 0.0))
+      q2.processAllAvailable()
+      input2.addData(AsOfInput(801L, 2L, ts("2024-01-01 11:30:00"), true, 0.0))
+      q2.processAllAvailable()
+      val got2 = spark.table("asof_fwd_bounded").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      assert(got2 == Set((700L, 3.0)), s"inner bounded: $got2")
+      assert(ev2.value == 2L, s"inner evictions counted: ${ev2.value}")
+    } finally q2.stop()
+  }
+
   test("st16 novelty filter: both bloom branches carry traffic") {
     // the split direction matters: keep-probable-matches (the semi-join
     // bloom composition) would drop exactly the novel traffic — this
