@@ -957,6 +957,115 @@ object Warehouse {
           CAST(SUM(CASE WHEN e.value > c.p95 THEN 1 ELSE 0 END) AS BIGINT)
             AS n_high
         FROM events e JOIN cuts c USING (event_type)
-        GROUP BY e.event_type, c.p05, c.p95"""))
+        GROUP BY e.event_type, c.p05, c.p95""")),
+
+    // ---- AS-OF-version (time-travel) read over the versioned MV ---------
+    //      the read half of the table-format emulation st14's writer
+    //      proves: the MERGE loop maintains versioned snapshots (v_n =
+    //      keyed rollup of time-slices 0..n, DECIMAL-exact, vacuum
+    //      keep=3 — v0 is already GONE by read time, exercising the
+    //      retention window for real), and the query is the comparison
+    //      a lakehouse user types as `VERSION AS OF n` vs `n+1`: per-key
+    //      purchase counts/spend at v2 and v3 plus the delta, keys new
+    //      in v3 coalesced to zero at v2. VersionedState.readVersion
+    //      fails loud on vacuumed versions instead of silently serving
+    //      the latest (VersionedStateSpec pins that). The oracle rebuilds
+    //      BOTH snapshots from the event log with the same quartile cuts
+    //      and exact DECIMAL(38,2) arithmetic, so the versioned files on
+    //      disk must byte-agree with a from-scratch replay — snapshot
+    //      isolation checked value-for-value. Scale shape: the setup
+    //      writer is |batch|+|table| per version (st14's contract); the
+    //      read is two snapshot scans + one keyed join, no driver data.
+    Q("w18_time_travel",
+      (s, d) => {
+        val stateDir = w18StateDir(d)
+        val v2 = graft.streaming.VersionedState
+          .readVersion(s, stateDir, 2L)
+          .select(col("user_id"), col("n_purchases").as("n2"),
+            col("spend").as("sp2"))
+        val v3 = graft.streaming.VersionedState
+          .readVersion(s, stateDir, 3L)
+          .select(col("user_id"), col("n_purchases").as("n3"),
+            col("spend").as("sp3"))
+        // v3's keys are a superset of v2's (versions only accrete), so
+        // LEFT from v3 sees every key; new-in-v3 keys zero-fill at v2
+        v3.join(v2, Seq("user_id"), "left")
+          .select(col("user_id"),
+            coalesce(col("n2"), lit(0L)).as("n_purchases_v2"),
+            coalesce(col("sp2"), lit(0).cast("decimal(38,2)"))
+              .cast("double").as("spend_v2"),
+            col("n3").as("n_purchases_v3"),
+            col("sp3").cast("double").as("spend_v3"),
+            (col("n3") - coalesce(col("n2"), lit(0L))).as("n_new"))
+      },
+      Some("""
+        WITH p AS (SELECT user_id, value, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'purchase'),
+        mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM p),
+        c AS (SELECT mn + (mx - mn) * 3 // 4 AS c3 FROM mm),
+        v2 AS (SELECT user_id, COUNT(*) AS n2,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS sp2
+               FROM p WHERE us < (SELECT c3 FROM c) GROUP BY user_id),
+        v3 AS (SELECT user_id, COUNT(*) AS n3,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS sp3
+               FROM p GROUP BY user_id)
+        SELECT v3.user_id,
+          COALESCE(v2.n2, 0) AS n_purchases_v2,
+          CAST(COALESCE(v2.sp2, 0) AS DOUBLE) AS spend_v2,
+          v3.n3 AS n_purchases_v3,
+          CAST(v3.sp3 AS DOUBLE) AS spend_v3,
+          v3.n3 - COALESCE(v2.n2, 0) AS n_new
+        FROM v3 LEFT JOIN v2 ON v3.user_id = v2.user_id"""),
+      setup = Some((s, d) => w18BuildVersions(s, d)))
   )
+
+  /** per-JVM scratch (same isolation rationale as IoQueries.scratchRoot) */
+  private lazy val scratchRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_wh_")
+
+  private def w18StateDir(d: String): java.nio.file.Path =
+    scratchRoot.resolve("w18-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      .resolve("state")
+
+  /** w18's version writer: st14's MERGE loop in batch form — four
+    * event-time quartile slices of the purchase stream, each merged
+    * into the previous snapshot by key (union + keyed re-aggregation,
+    * DECIMAL(38,2)-exact so merge order never shows), vacuum keep=3
+    * after each write exactly as a production MV would run it. Staging,
+    * not steady-state cost: Bench runs it once untimed. Idempotent —
+    * the state dir is rebuilt from scratch every call. */
+  private def w18BuildVersions(s: org.apache.spark.sql.SparkSession,
+                               d: String): Unit = {
+    import java.nio.file.{Files, Path}
+    val stateDir = w18StateDir(d)
+    if (Files.exists(stateDir))
+      Files.walk(stateDir)
+        .sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(x => Files.delete(x))
+    val p = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val mm = p.agg(min(col("us")), max(col("us"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    for (i <- 0 until 4) {
+      val lo = if (i == 0) Long.MinValue else mn + (mx - mn) * i / 4
+      val hi = if (i == 3) Long.MaxValue else mn + (mx - mn) * (i + 1) / 4
+      val inc = p.filter(col("us") >= lo && col("us") < hi)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("spend"))
+      val prev = stateDir.resolve(s"v${i - 1}")
+      val merged =
+        if (Files.exists(prev))
+          s.read.parquet(prev.toString)
+            .unionByName(inc)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_purchases")).as("n_purchases"),
+              sum(col("spend")).cast("decimal(38,2)").as("spend"))
+        else inc
+      merged.write.mode("overwrite").option("compression", "zstd")
+        .parquet(stateDir.resolve(s"v$i").toString)
+      graft.streaming.VersionedState.vacuum(stateDir, i.toLong, keep = 3)
+    }
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Lifecycle helpers for versioned-directory state tables (the st14
   * incremental-MV pattern: each micro-batch reads v_{n-1}, writes v_n).
@@ -34,6 +35,26 @@ object VersionedState {
     * never matches v\d+, and `overwrite` renames in place). */
   def latestVersion(stateDir: Path): Option[Long] =
     versionsIn(stateDir).map(_._1).maxOption
+
+  /** AS-OF-version (time-travel) read: the snapshot exactly as version
+    * `version` wrote it — the query surface an open table format's
+    * `VERSION AS OF n` exposes, over the same versioned directories the
+    * incremental-MV writer maintains. Immutability is the writer's
+    * contract (each merge reads v_{n-1} and writes a NEW v_n), so the
+    * returned frame is a stable snapshot however far the writer has
+    * advanced since. Fails LOUD when the version has been vacuumed past
+    * (or never existed), naming the retention dial — a silent
+    * latest-version fallback would be a wrong-answer generator. */
+  def readVersion(spark: SparkSession, stateDir: Path,
+                  version: Long): DataFrame = {
+    val have = versionsIn(stateDir).map(_._1).sorted
+    require(have.contains(version),
+      s"version $version is not on disk (available: " +
+        s"${have.mkString("[", ", ", "]")}); it either never existed " +
+        "or was vacuumed — raise `keep` to retain a longer time-travel " +
+        "window")
+    spark.read.parquet(stateDir.resolve(s"v$version").toString)
+  }
 
   /** Delete every version <= current - keep; returns the ids removed.
     * Keeps the `keep` most recent versions ending at `current`, so the

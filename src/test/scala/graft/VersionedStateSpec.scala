@@ -52,6 +52,25 @@ class VersionedStateSpec extends SparkSpec {
     assert(VersionedState.latestVersion(dir).contains(12L))
   }
 
+  test("readVersion serves a live snapshot and fails LOUD on a vacuumed " +
+      "or never-written version") {
+    val dir = mkState(0 to 5)
+    VersionedState.vacuum(dir, current = 5, keep = 3)
+    // live version reads back exactly what its writer wrote
+    val got = VersionedState.readVersion(spark, dir, 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 4L)), got)
+    // vacuumed (v0) and never-written (v9) both throw with the
+    // available versions and the retention dial named — a silent
+    // latest-version fallback would be a wrong-answer generator
+    for (bad <- Seq(0L, 9L)) {
+      val e = intercept[IllegalArgumentException](
+        VersionedState.readVersion(spark, dir, bad))
+      assert(e.getMessage.contains("keep") &&
+        e.getMessage.contains("[3, 4, 5]"), e.getMessage)
+    }
+  }
+
   test("vacuum refuses keep < 2 (v_{n-1} feeds the next merge)") {
     val dir = mkState(0 to 1)
     intercept[IllegalArgumentException] {
