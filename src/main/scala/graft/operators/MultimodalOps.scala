@@ -87,10 +87,16 @@ object MultimodalOps {
     }
   }
 
-  /** end-to-end typed pipeline: docs -> assets -> decoded features */
+  /** end-to-end typed pipeline: docs -> binary assets -> features out
+    * of the REAL codec (grayscale PNG encode -> javax.imageio decode —
+    * the default path is the production-shaped one; the byte-math stub
+    * above stays available only as the deterministic twin for payloads
+    * with no decodable format, reachable by explicit call, not from
+    * here). n_bytes in the result is the decoded PIXEL count (payload
+    * bytes zero-padded to the 32-wide raster grid). */
   def featurePipeline(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    decodeStub(buildAssets(docs).as[MediaAsset])
+    decodeImage(encodePng(buildAssets(docs).as[MediaAsset]))
   }
 
   // ------------------------------------------------------------------

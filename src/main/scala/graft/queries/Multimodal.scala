@@ -74,11 +74,15 @@ object Multimodal {
         CROSS JOIN LATERAL unnest(range(1, LENGTH(text) + 1, 48)) t(frame_off)""")),
 
     // ---- typed mapPartitions decode path, oracle-checked ----------------
-    //      featurePipeline runs the Dataset[MediaAsset] -> mapPartitions
-    //      decode stub (the swap-in point for a real codec); the stub is
-    //      deterministic byte math, so DuckDB can recompute it from the
-    //      text: mean byte value and two histogram-bin ratios (bin = code
-    //      point >> 5: bin 1 = space, bin 3 = lowercase letters).
+    //      featurePipeline now runs the REAL codec by default (round 15):
+    //      PNG encode -> javax.imageio decode, the same lossless
+    //      round-trip m08 proves — so the oracle recomputes the pixel
+    //      statistics from the source text plus the known zero padding
+    //      (n_bytes = decoded pixel count = 32 * ceil(len/32), min one
+    //      row; pad pixels land in bin 0 and the mean's denominator).
+    //      The byte-math decodeStub is no longer reachable from any
+    //      gate — it survives only as the spec-pinned deterministic
+    //      twin for undecodable payload classes.
     Q("m04_decode_features",
       (s, d) => MultimodalOps.featurePipeline(s, Tables.documents(s, d))
         .select(col("asset_id"), col("n_bytes"), col("mean_byte"),
@@ -86,16 +90,17 @@ object Multimodal {
           element_at(col("feature"), 4).as("letter_ratio")),
       Some("""
         WITH a AS (SELECT doc_id AS asset_id,
-                     LENGTH(text) AS n_bytes,
+                     32 * GREATEST(CAST(CEIL(LENGTH(text) / 32.0)
+                       AS BIGINT), 1) AS n_pixels,
                      list_transform(string_split(text, ''), x -> ascii(x)) cs
                    FROM documents)
-        SELECT asset_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        SELECT asset_id, n_pixels AS n_bytes,
           CAST(list_reduce(list_prepend(0, cs), (x, y) -> x + y) AS DOUBLE)
-            / GREATEST(n_bytes, 1) AS mean_byte,
+            / n_pixels AS mean_byte,
           CAST(len(list_filter(cs, x -> x // 32 = 1)) AS DOUBLE)
-            / GREATEST(n_bytes, 1) AS space_ratio,
+            / n_pixels AS space_ratio,
           CAST(len(list_filter(cs, x -> x // 32 = 3)) AS DOUBLE)
-            / GREATEST(n_bytes, 1) AS letter_ratio
+            / n_pixels AS letter_ratio
         FROM a""")),
 
     // ---- modality mix report: format x size-band histogram --------------

@@ -5,9 +5,29 @@ import graft.operators.MultimodalOps
 class MultimodalOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("featurePipeline decodes deterministic features from bytes") {
+  test("featurePipeline runs the REAL codec by default: PNG round-trip " +
+      "pixel stats, zero padding accounted") {
     val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
     val feats = MultimodalOps.featurePipeline(spark, docs)
+      .collect().map(f => f.asset_id -> f).toMap
+    // 'abc' becomes one 32x1 gray PNG row: 3 letter pixels + 29 pad
+    // zeros; n_bytes is the decoded PIXEL count
+    val f1 = feats(1L)
+    assert(f1.n_bytes == 32)
+    assert(math.abs(f1.mean_byte - (97 + 98 + 99) / 32.0) < 1e-12)
+    assert(math.abs(f1.feature(0) - 29.0 / 32) < 1e-12) // pad zeros
+    assert(math.abs(f1.feature(3) - 3.0 / 32) < 1e-12)  // 96-127 bin
+    // empty payload still decodes: one all-pad row
+    val f2 = feats(2L)
+    assert(f2.n_bytes == 32 && f2.mean_byte == 0.0 && f2.feature(0) == 1.0)
+  }
+
+  test("decodeStub (the spec-only twin for undecodable payloads) stays " +
+      "deterministic byte math") {
+    val docs = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val feats = MultimodalOps.decodeStub(MultimodalOps.buildAssets(docs)
+        .as[MultimodalOps.MediaAsset](
+          org.apache.spark.sql.Encoders.product[MultimodalOps.MediaAsset]))
       .collect().map(f => f.asset_id -> f).toMap
     val f1 = feats(1L)
     assert(f1.n_bytes == 3)
