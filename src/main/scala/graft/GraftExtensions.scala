@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // table functions + the rule completing their placeholder node
     graft.plans.AsOfJoinTvf.functions.foreach(ext.injectTableFunction)
     ext.injectResolutionRule(_ => graft.plans.ResolveAsOfJoin)
+    // parser-level ASOF JOIN syntax (DuckDB dialect): text rewrite to a
+    // marked plain join + the rule completing it into the AsOfJoin node
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectFunction(graft.plans.AsOfSyntax.markerFunction)
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsOfSyntax)
   }
 }

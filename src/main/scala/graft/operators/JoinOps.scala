@@ -192,6 +192,112 @@ object JoinOps {
       rightVals.map(v => col(s"asof_$v")): _*)
   }
 
+  /** Time-sliced skew-split as-of join — the hot-key scale path for
+    * [[asOfJoinNative]]. AQE's skew-join optimization pattern-matches
+    * only the built-in SortMergeJoin/ShuffledHashJoin execs, so the
+    * native as-of exec's ClusteredDistribution exchanges are OUTSIDE
+    * runtime skew splitting (pinned by AsOfSkewSpec): one key carrying
+    * half the rows lands on one task. This operator is the documented
+    * mitigation, the as-of analogue of the w14 salt planner: partition
+    * the TIME axis into `sliceWidth`-wide slices and join on the
+    * composite key `(key, slice)` — a hot key now spreads across as many
+    * tasks as it has active slices.
+    *
+    * Salting an as-of join needs more than duplicating the build side: a
+    * left row's match may live in an EARLIER slice. Correctness comes
+    * from carry-ins — for every (key, slice) the left side occupies, the
+    * single latest right row from any earlier slice is replicated into
+    * that slice. The latest right row at-or-before each left time is
+    * then either in the same slice (kept as-is) or the carry-in, never
+    * lost. Carry-ins are computed on AGGREGATED frames (one row per
+    * (key, slice)), so the extra work is metadata-scale: the slice
+    * inequality join touches |keys| x |slices| rows, not the corpus.
+    *
+    * Same output contract and null semantics as [[asOfJoinNative]]
+    * (NULL key/time never matches; inner drops, `leftOuter` pads) — the
+    * composite struct key is nulled whenever either component is null so
+    * struct ordering cannot resurrect SQL-null equality. Backward
+    * direction only (the forward mirror carries FORWARD, flip the
+    * inequalities). `tolerance` composes unchanged: a carried row that
+    * is too stale fails the exec's bound exactly like the unsliced plan.
+    * Ties on (key, rightTime) are broken by the payload struct order
+    * here vs physical order natively — both unspecified contracts;
+    * callers needing determinism must dedup (key, time) first.
+    *
+    * `sliceWidth` is in the time column's own units (micros for
+    * timestamps, via unix_micros — NOT the seconds a timestamp->long
+    * cast would give). Sizing: aim for hot-key rows / sliceWidth-slices
+    * ~ a healthy task, e.g. ceil(hotspan / (hotrows / targetRows)); the
+    * w14 salt planner's histogram supplies hotrows. */
+  def asOfJoinTimeSliced(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         rightVals: Seq[String],
+                         sliceWidth: Long,
+                         leftOuter: Boolean = false,
+                         tolerance: Option[Long] = None): DataFrame = {
+    require(sliceWidth > 0, s"sliceWidth must be > 0, got $sliceWidth")
+    import org.apache.spark.sql.types.TimestampType
+    def micros(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
+      else col(c).cast("long")
+    // exact floor division on longs: pmod keeps negatives correct and
+    // `div` is INTEGRAL division — `/` would route through double and
+    // round above 2^53; the subtraction makes the quotient exact
+    def slice(tCol: String): Column =
+      expr(s"($tCol - pmod($tCol, ${sliceWidth}L)) div ${sliceWidth}L")
+    // composite key fields are aliased (k, s) at every construction site:
+    // the exec compares struct types INCLUDING field names, and
+    // unionByName matches nested names
+    def compositeKey(k: Column, s: Column): Column =
+      when(k.isNull || s.isNull, lit(null))
+        .otherwise(struct(k.as("k"), s.as("s")))
+
+    val lS = left.withColumn("__t", micros(left, leftTime))
+      .withColumn("__slice", slice("__t"))
+      .withColumn("__kk", compositeKey(col(leftKey), col("__slice")))
+    val rS = right.withColumn("__t", micros(right, rightTime))
+      .withColumn("__slice", slice("__t"))
+      .withColumn("__kk", compositeKey(col(rightKey), col("__slice")))
+      .filter(col("__kk").isNotNull) // null key/time never matches anyway
+
+    // one representative per (key, slice): the slice's LATEST right row
+    // (payload struct breaks rt ties deterministically)
+    val payload = struct(right.columns.map(col).toIndexedSeq: _*)
+    val lastPerSlice = rS
+      .groupBy(col(rightKey).as("__k"), col("__slice").as("__rs"))
+      .agg(max_by(payload, struct(col("__t"), payload)).as("__row"))
+    // slices the LEFT occupies (only these can emit output)
+    val leftSlices = lS.filter(col("__kk").isNotNull)
+      .select(col(leftKey).as("__k"), col("__slice").as("__ls")).distinct()
+    // carry-in per occupied slice: the latest representative from any
+    // EARLIER slice — an inequality join, but over per-(key,slice)
+    // aggregates, so |keys| x |slices|^2 at worst, never corpus-scale
+    val carries = leftSlices.join(lastPerSlice,
+        leftSlices("__k") === lastPerSlice("__k") &&
+          col("__rs") < col("__ls"))
+      .groupBy(leftSlices("__k").as("__gk"), col("__ls"))
+      .agg(max_by(col("__row"), col("__rs")).as("__row"))
+      .select((right.columns.map(c => col(s"__row.$c")) ++
+        Seq(col("__ls"))).toIndexedSeq: _*)
+      .withColumn("__slice", col("__ls"))
+      // rebuild the composite key in the DESTINATION slice (the carried
+      // row's key/time are non-null by construction)
+      .withColumn("__kk", compositeKey(col(rightKey), col("__ls")))
+      .drop("__ls")
+    val rAug = rS.select((right.columns.map(col) ++
+        Seq(col("__slice"), col("__kk"))).toIndexedSeq: _*)
+      .unionByName(carries.select((right.columns.map(col) ++
+        Seq(col("__slice"), col("__kk"))).toIndexedSeq: _*))
+
+    asOfJoinNative(lS, rAug, leftKey = "__kk", rightKey = "__kk",
+        leftTime = leftTime, rightTime = rightTime,
+        rightVals = rightVals, leftOuter = leftOuter,
+        tolerance = tolerance)
+      .select((left.columns.map(col) ++
+        rightVals.map(v => col(s"asof_$v"))).toIndexedSeq: _*)
+  }
+
   /** Binned range join: pairs (l, r) with
     * rightTime in [leftTime - windowSec, leftTime]. Instead of an
     * inequality join (nested-loop at any scale), both sides are bucketed

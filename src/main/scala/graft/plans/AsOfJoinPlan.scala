@@ -43,9 +43,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * must be filtered back apart afterwards. The native exec shuffles
   * each side as-is (same total rows moved, no padding), sorts each
   * side by (key, time) — both via EnsureRequirements, so AQE still
-  * plans the exchanges — and then streams BOTH sorted iterators once
-  * per partition with O(1) state (one lookahead row + one matched-row
-  * copy). No buffering, no padding, no re-filtering.
+  * plans and coalesces the exchanges — and then streams BOTH sorted
+  * iterators once per partition with O(1) state (one lookahead row +
+  * one matched-row copy). No buffering, no padding, no re-filtering.
+  * AQE's skew-JOIN splitting, however, does NOT apply here:
+  * OptimizeSkewedJoin pattern-matches only the built-in SortMergeJoin/
+  * ShuffledHashJoin execs (pinned by AsOfSkewSpec with a positive
+  * control), so a hot key serializes onto one task — the documented
+  * mitigation is `JoinOps.asOfJoinTimeSliced`, which splits the hot
+  * key across time slices with per-slice carry-in rows and feeds THIS
+  * exec a composite (key, slice) key.
   *
   * Contract and bounds:
   *  - key expressions may be ANY orderable type (atomic — bigint,
@@ -106,7 +113,11 @@ case class AsOfJoinExec(
 
   private def isTime(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == TimestampType
-  require(leftKey.dataType == rightKey.dataType,
+  // equalsIgnoreNullability, not ==: nullability (incl. struct FIELD nullability, which
+  // differs whenever one side's key is provably non-null) is irrelevant
+  // to the interpreted ordering the merge uses
+  require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+      leftKey.dataType, rightKey.dataType),
     s"as-of keys must have the same type on both sides, got " +
       s"${leftKey.dataType.sql} / ${rightKey.dataType.sql}")
   require(RowOrdering.isOrderable(leftKey.dataType),

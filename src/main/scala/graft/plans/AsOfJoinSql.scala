@@ -160,7 +160,8 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
         }
         val (lkE, rkE) = (widen(attr(l.output, lk, "left")),
           widen(attr(rp.output, rk, "right")))
-        if (lkE.dataType != rkE.dataType)
+        if (!org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
+            lkE.dataType, rkE.dataType))
           throw new IllegalArgumentException(
             s"asof_join: key columns `$lk` (${lkE.dataType.sql}) and " +
               s"`$rk` (${rkE.dataType.sql}) must have the same type")

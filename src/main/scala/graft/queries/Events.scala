@@ -1198,6 +1198,85 @@ object Events {
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id
             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
-        GROUP BY p.event_id, p.user_id, p.ts, p.value"""))
+        GROUP BY p.event_id, p.user_id, p.ts, p.value""")),
+
+    // ---- time-sliced skew-split as-of join -------------------------------
+    //      e24's exact query through JoinOps.asOfJoinTimeSliced — the
+    //      hot-key scale path: AQE's OptimizeSkewedJoin cannot split the
+    //      custom exec's exchanges (AsOfSkewSpec pins this with a
+    //      positive control), so a user whose key histogram shows a hot
+    //      key swaps this operator in; the time axis is sliced at one
+    //      day and the single latest pre-slice right row is carried into
+    //      each occupied slice, making results IDENTICAL to the unsliced
+    //      plan — proven here against the same DuckDB ASOF oracle as
+    //      e24, and against the native exec on a null-mixed Zipf fixture
+    //      in AsOfSkewSpec.
+    Q("e36_asof_time_sliced",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinTimeSliced(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"),
+          sliceWidth = 86400000000L) // 1 day in micros
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- parser-level ASOF JOIN syntax -----------------------------------
+    //      the SAME SQL text runs verbatim on both engines: Spark parses
+    //      it through GraftSqlParser (injectParser rewrite ->
+    //      ResolveAsOfSyntax -> the native AsOfJoinExec), DuckDB through
+    //      its own native ASOF grammar. e24 shares the oracle SEMANTICS;
+    //      this is the first gate where the query STRING itself is the
+    //      shared artifact — the dialect-compatibility claim, pinned.
+    Q("e34_asof_syntax",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofSyntaxSql)
+      },
+      Some(asofSyntaxSql)),
+
+    // ---- parser-level ASOF LEFT JOIN, same verbatim-text contract --------
+    //      the outer half of the dialect surface: unmatched purchases
+    //      null-pad instead of dropping, through the identical shared
+    //      string (AsOfSyntaxSpec pins direction flips, tolerance, struct
+    //      keys, and the loud strict-inequality/OR rejections).
+    Q("e35_asof_syntax_left",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofSyntaxLeftSql)
+      },
+      Some(asofSyntaxLeftSql))
   )
+
+  /** one string, two engines — the e34 contract is textual, so the text
+    * lives in one place */
+  private lazy val asofSyntaxSql = """
+    SELECT p.event_id, p.user_id, p.ts,
+      c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
+  private lazy val asofSyntaxLeftSql = """
+    SELECT p.event_id, p.user_id, p.ts,
+      c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts"""
 }

@@ -2325,6 +2325,133 @@ object TextOps {
         FROM documents d JOIN g
           ON d.lang IS NOT DISTINCT FROM g.lang
             AND d.source IS NOT DISTINCT FROM g.source
-        GROUP BY 1, 2"""))
+        GROUP BY 1, 2""")),
+
+    // ---- curation funnel WITH the near-dedup stage -----------------------
+    //      t46 plus the stage real pipelines run between exact dedup and
+    //      the token budget (RefinedWeb §3.4, C4): MinHash+LSH candidate
+    //      generation over the exact-unique survivors, candidates
+    //      EXACT-verified at Jaccard >= 0.6 (d03's operator — recall
+    //      comes from 64 bands x 2 rows, precision from the verify), then
+    //      a deterministic lowest-id-wins survivor rule: a doc drops iff
+    //      it is doc_b of any verified pair (pairs are emitted doc_a <
+    //      doc_b). The oracle replays candidates→verify→survivors with
+    //      the exact all-pairs join — viable at oracle scale only, which
+    //      is the point: the engine runs the LSH plan, the oracle proves
+    //      its OUTPUT equals exhaustive comparison. Budget re-derives
+    //      from the near-unique survivors, so every downstream count
+    //      shifts — the whole-funnel composition, not a bolt-on.
+    Q("t48_curation_near_funnel",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val quality =
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.4 +
+            (wordlistCount("toks", EnglishStopwords).cast("double") /
+              tokenCount("toks")) * 0.2 +
+            (distinctTokenCount("toks").cast("double") /
+              tokenCount("toks")) * 0.4
+        // cache lifecycle: CALLER-owned — clearCache()/unpersist after the
+        // action (DedupOps class doc); five stage aggregates, the LSH
+        // shingle pass, and the budget selection all re-read this frame
+        val base = Tables.documents(s, d)
+          .withColumn("toks", tokens("text"))
+          .select(col("doc_id"), col("text"),
+            tokenCount("toks").cast("long").as("n_tok"),
+            wordlistCount("toks", EnglishStopwords).as("en_score"),
+            quality.as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val lang = base.filter(col("en_score") > 0)
+        val qual = lang.filter(col("q") >= 0.5)
+        val uniq = qual
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(md5(col("text").cast("binary")))
+              .orderBy(col("doc_id"))))
+          .filter(col("rk") === 1).drop("rk")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // near-dedup over the exact-unique survivors: LSH candidates,
+        // exact-verified pairs, lowest-id survivor
+        val pairs = graft.operators.DedupOps.minHashNearDups(
+          uniq.select(col("doc_id"), col("text")),
+          n = 3, k = 128, bands = 64, minJaccard = 0.6)
+        val near = uniq.join(
+          pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        val scored = near.select(col("doc_id"), col("n_tok"),
+          floor(col("q") * lit(1000000000.0)).cast("long").as("q9"))
+          // cache lifecycle: CALLER-owned (same contract as above)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val total = near.agg(coalesce(sum(col("n_tok")), lit(0L)))
+          .collect()(0).getLong(0)
+        val sel = graft.operators.SelectOps
+          .tokenBudgetSelect(scored, budget = total * 2 / 5)
+        def stage(name: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
+            .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+        stage("1_raw", base)
+          .unionByName(stage("2_lang_en", lang))
+          .unionByName(stage("3_quality", qual))
+          .unionByName(stage("4_exact_unique", uniq))
+          .unionByName(stage("5_near_unique", near))
+          .unionByName(stage("6_token_budget", sel))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars, text,
+                     string_split_regex(trim(text), ' +') toks
+                   FROM documents),
+        base AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tok,
+                   len(list_filter(toks, x -> x IN ($stopSql))) AS en_score,
+                   LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+                     + CAST(len(list_filter(toks, x -> x IN ($stopSql)))
+                         AS DOUBLE) / len(toks) * 0.2
+                     + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         * 0.4 AS q
+                 FROM t),
+        lang AS (SELECT * FROM base WHERE en_score > 0),
+        qual AS (SELECT * FROM lang WHERE q >= 0.5),
+        uniq AS (SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                     ORDER BY doc_id) AS rk FROM qual)
+                 WHERE rk = 1),
+        gr AS (SELECT u.doc_id,
+                 list_distinct(list_transform(range(1, len(t.toks) - 1),
+                   i -> t.toks[i] || ' ' || t.toks[i+1] || ' '
+                     || t.toks[i+2])) grams
+               FROM uniq u JOIN t ON u.doc_id = t.doc_id
+               WHERE len(t.toks) >= 3),
+        rem AS (SELECT DISTINCT b.doc_id
+                FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams))) >= 0.6),
+        near AS (SELECT * FROM uniq
+                 WHERE doc_id NOT IN (SELECT doc_id FROM rem)),
+        b AS (SELECT COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) * 2 // 5
+                AS budget FROM near),
+        sc AS (SELECT doc_id, n_tok,
+                 CAST(FLOOR(q * 1000000000.0) AS BIGINT) AS q9 FROM near),
+        c AS (SELECT doc_id, n_tok,
+                SUM(n_tok) OVER (ORDER BY q9 DESC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM sc),
+        sel AS (SELECT doc_id, n_tok FROM c
+                WHERE cum <= (SELECT budget FROM b))
+        SELECT '1_raw' AS stage, COUNT(*) AS n_docs,
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens FROM base
+        UNION ALL
+        SELECT '2_lang_en', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM lang
+        UNION ALL
+        SELECT '3_quality', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM qual
+        UNION ALL
+        SELECT '4_exact_unique', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM uniq
+        UNION ALL
+        SELECT '5_near_unique', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM near
+        UNION ALL
+        SELECT '6_token_budget', COUNT(*),
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sel"""))
   )
 }

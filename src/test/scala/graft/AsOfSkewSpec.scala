@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.JoinOps
+
+/** Two claims about as-of joins under key skew, both pinned:
+  *
+  *  1. AQE's skew-join optimization does NOT split the native
+  *     AsOfJoinExec's exchanges — OptimizeSkewedJoin pattern-matches the
+  *     built-in SortMergeJoin/ShuffledHashJoin execs only. The spec
+  *     proves the harness would see a split (positive control on a plain
+  *     SMJ with the same data and thresholds), then shows the as-of plan
+  *     unchanged.
+  *  2. asOfJoinTimeSliced — the documented mitigation — equals
+  *     asOfJoinNative row-for-row on a Zipf-skewed fixture, across
+  *     inner/outer, tolerance, null keys/times, and slice widths that
+  *     leave some slices empty.
+  */
+class AsOfSkewSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  /** Zipf-ish: key 0 owns ~80% of rows; payload pads partition bytes so
+    * tiny skew thresholds trigger on the control join */
+  private def skewed(n: Int, seed: Int): (DataFrame, DataFrame) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val pad = "x" * 64
+    val lRows = (1 to n).map { i =>
+      val k = if (rnd.nextDouble() < 0.8) 0L else 1L + rnd.nextInt(20)
+      (i.toLong, k, rnd.nextInt(100000).toLong, pad)
+    }
+    // rt is globally unique (odd, strictly increasing): duplicate
+    // (key, rt) pairs would make BOTH plans' tie-break unspecified
+    // (documented contract), so equality could not be asserted
+    val rRows = (1 to n).map { i =>
+      val k = if (rnd.nextDouble() < 0.8) 0L else 1L + rnd.nextInt(20)
+      (k, i.toLong * 66 + 1, rnd.nextDouble(), pad)
+    }
+    (lRows.toDF("id", "k", "t", "lpad"), rRows.toDF("k", "rt", "v", "rpad"))
+  }
+
+  private def withSkewConfs[T](body: => T): T = {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
+  test("pin: AQE splits the control SMJ but NOT the as-of exec") {
+    val (l, r) = skewed(4000, seed = 7)
+    withSkewConfs {
+      // positive control: same data, plain equi-join -> skew split fires
+      val smj = l.join(r, "k")
+      smj.collect() // materialize THIS queryExecution so AQE finalizes
+      val smjPlan = smj.queryExecution.executedPlan.toString
+      assert(smjPlan.contains("skew=true"),
+        s"control SMJ did not skew-split — thresholds wrong?\n$smjPlan")
+      // the native as-of exec: same data, same thresholds -> no split
+      val aoj = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"))
+      aoj.collect()
+      val aojPlan = aoj.queryExecution.executedPlan.toString
+      assert(aojPlan.contains("AsOfJoin"), aojPlan)
+      assert(!aojPlan.contains("skew=true"),
+        "AsOfJoinExec unexpectedly skew-split — update the scaladoc " +
+          s"claim and retire asOfJoinTimeSliced's rationale\n$aojPlan")
+    }
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("time-sliced == native on the skewed fixture (inner)") {
+    val (l, r) = skewed(3000, seed = 11)
+    val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"))
+    val sliced = JoinOps.asOfJoinTimeSliced(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"), sliceWidth = 10000L)
+    assert(canon(sliced) == canon(native))
+  }
+
+  test("time-sliced == native with LEFT OUTER + tolerance + nulls") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(
+      (1L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100L)),
+      (2L, java.lang.Long.valueOf(0L), java.lang.Long.valueOf(25000L)),
+      (3L, null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(50L)),
+      (4L, java.lang.Long.valueOf(0L), null.asInstanceOf[java.lang.Long]),
+      (5L, java.lang.Long.valueOf(3L), java.lang.Long.valueOf(99999L)),
+      (6L, java.lang.Long.valueOf(4L), java.lang.Long.valueOf(10L)))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      (java.lang.Long.valueOf(0L), java.lang.Long.valueOf(90L), 1.0),
+      (java.lang.Long.valueOf(0L), java.lang.Long.valueOf(60L), 2.0),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(40L), 3.0),
+      (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long], 4.0),
+      (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(70000L), 5.0))
+      .toDF("k", "rt", "v")
+    for (outer <- Seq(false, true); tol <- Seq(None, Some(5000L))) {
+      val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"), leftOuter = outer, tolerance = tol)
+      val sliced = JoinOps.asOfJoinTimeSliced(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"), sliceWidth = 1000L,
+        leftOuter = outer, tolerance = tol)
+      assert(canon(sliced) == canon(native), s"outer=$outer tol=$tol")
+    }
+  }
+
+  test("time-sliced == native on timestamp time columns") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, "a", "2024-01-01 10:00:00"),
+      (2L, "a", "2024-01-03 10:00:00"), (3L, "b", "2024-01-02 00:00:00"))
+      .toDF("id", "k", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val r = Seq(("a", "2024-01-01 09:00:00", 1.0),
+      ("a", "2024-01-02 09:00:00", 2.0), ("b", "2024-01-01 23:00:00", 3.0))
+      .toDF("k", "rts", "v").withColumn("rts", to_timestamp(col("rts")))
+    val native = JoinOps.asOfJoinNative(l, r, "k", "k", "ts", "rts",
+      rightVals = Seq("rts", "v"))
+    val sliced = JoinOps.asOfJoinTimeSliced(l, r, "k", "k", "ts", "rts",
+      rightVals = Seq("rts", "v"), sliceWidth = 86400000000L) // 1 day
+    assert(canon(sliced) == canon(native))
+  }
+
+  test("degenerate widths: one giant slice and one-row slices") {
+    val (l, r) = skewed(500, seed = 3)
+    val native = canon(JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("v")))
+    for (w <- Seq(1L, 1000000000L)) {
+      val sliced = JoinOps.asOfJoinTimeSliced(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("v"), sliceWidth = w)
+      assert(canon(sliced) == native, s"width=$w")
+    }
+  }
+}

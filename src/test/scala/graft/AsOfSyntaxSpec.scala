@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import graft.plans.{AsOfJoin, AsOfSyntax}
+
+/** Parser-level ASOF JOIN syntax (AsOfSyntax.scala): the text rewrite,
+  * the resolution rule's decomposition, and end-to-end equality with the
+  * Scala-API operator the rule must plan into. */
+class AsOfSyntaxSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def setup(): Unit = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "b", 90L), (4L, "c", 500L))
+      .toDF("id", "k", "t").createOrReplaceTempView("asx_l")
+    Seq(("a", 80L, 1.0), ("a", 200L, 2.0), ("a", 300L, 3.0),
+      ("b", 100L, 4.0), ("c", 100L, 5.0))
+      .toDF("k", "rt", "v").createOrReplaceTempView("asx_r")
+  }
+
+  // ---- the text rewrite in isolation ---------------------------------
+
+  test("rewrite leaves ASOF-free text byte-identical") {
+    val q = "SELECT * FROM t JOIN u ON t.k = u.k WHERE t.x > 1"
+    assert(AsOfSyntax.rewrite(q) eq q)
+  }
+
+  test("rewrite ignores asof inside strings, comments, identifiers") {
+    val q = "SELECT 'ASOF JOIN', `asof` -- ASOF JOIN\nFROM asof_tbl"
+    assert(AsOfSyntax.rewrite(q) == q)
+  }
+
+  test("rewrite splices the marker and drops TOLERANCE") {
+    val out = AsOfSyntax.rewrite(
+      "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.t >= r.rt TOLERANCE 50")
+    assert(out.contains("__graft_asof(50) AND"))
+    assert(!out.toLowerCase.contains("asof join"))
+    assert(!out.toUpperCase.contains("TOLERANCE"))
+  }
+
+  test("rewrite rejects unsupported shapes loudly") {
+    intercept[AnalysisException] {
+      AsOfSyntax.rewrite("SELECT * FROM l ASOF RIGHT JOIN r ON l.k = r.k")
+    }
+    intercept[AnalysisException] {
+      AsOfSyntax.rewrite("SELECT * FROM l ASOF JOIN r USING (k)")
+    }
+  }
+
+  // ---- end-to-end through spark.sql ----------------------------------
+
+  test("backward inner ASOF JOIN matches the Scala-API operator") {
+    setup()
+    val sqlRes = spark.sql(
+      """SELECT l.id, l.k, l.t, r.rt, r.v FROM asx_l l
+        |ASOF JOIN asx_r r ON l.k = r.k AND l.t >= r.rt
+        |ORDER BY l.id""".stripMargin)
+    // the plan must contain the native node, not a plain join
+    assert(sqlRes.queryExecution.optimizedPlan.collect {
+      case _: AsOfJoin => true }.nonEmpty)
+    val api = graft.operators.JoinOps.asOfJoinNative(
+      spark.table("asx_l"), spark.table("asx_r"),
+      leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "rt",
+      rightVals = Seq("rt", "v"))
+      .select(col("id"), col("k"), col("t"),
+        col("asof_rt").as("rt"), col("asof_v").as("v"))
+      .orderBy("id")
+    assert(sqlRes.collect().toSeq == api.collect().toSeq)
+  }
+
+  test("ASOF LEFT JOIN null-pads unmatched left rows") {
+    setup()
+    val rows = spark.sql(
+      """SELECT l.id, r.v FROM asx_l l
+        |ASOF LEFT JOIN asx_r r ON l.k = r.k AND l.t >= r.rt
+        |ORDER BY l.id""".stripMargin).collect()
+    assert(rows.length == 4)
+    // id=3 (k=b, t=90) has no right row at-or-before 90 -> null pad
+    assert(rows.find(_.getLong(0) == 3L).get.isNullAt(1))
+    assert(rows.find(_.getLong(0) == 4L).get.getDouble(1) == 5.0)
+  }
+
+  test("forward direction from a flipped inequality") {
+    setup()
+    val rows = spark.sql(
+      """SELECT l.id, r.rt FROM asx_l l
+        |ASOF JOIN asx_r r ON l.k = r.k AND l.t <= r.rt
+        |ORDER BY l.id""".stripMargin).collect()
+    // id=1 (a,100): earliest rt >= 100 is 200; id=2 (a,250): 300
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 200L), (2L, 300L), (3L, 100L)))
+  }
+
+  test("TOLERANCE bounds staleness like the exec's native bound") {
+    setup()
+    val rows = spark.sql(
+      """SELECT l.id, r.rt FROM asx_l l
+        |ASOF JOIN asx_r r ON l.k = r.k AND l.t >= r.rt TOLERANCE 50
+        |ORDER BY l.id""".stripMargin).collect()
+    // id=2 (a,250) matches rt=200 (gap 50, inside); id=4 (c,500) gap 400
+    // drops; id=1 (a,100) matches 80 (gap 20)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 80L), (2L, 200L)))
+  }
+
+  test("multiple key equalities compose into a struct key") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 1, 100L), (2L, "a", 2, 100L))
+      .toDF("id", "k1", "k2", "t").createOrReplaceTempView("asx_l2")
+    Seq(("a", 1, 50L, 10.0), ("a", 2, 60L, 20.0))
+      .toDF("k1", "k2", "rt", "v").createOrReplaceTempView("asx_r2")
+    val rows = spark.sql(
+      """SELECT l.id, r.v FROM asx_l2 l
+        |ASOF JOIN asx_r2 r
+        |ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.t >= r.rt
+        |ORDER BY l.id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+  }
+
+  test("strict inequality and OR conditions fail with named errors") {
+    setup()
+    val e1 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM asx_l l ASOF JOIN asx_r r " +
+        "ON l.k = r.k AND l.t > r.rt").collect()
+    }
+    assert(e1.getMessage.contains("strict"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM asx_l l ASOF JOIN asx_r r " +
+        "ON l.k = r.k OR l.t >= r.rt").collect()
+    }
+    assert(e2.getMessage.contains("ASOF JOIN"))
+  }
+
+  test("self-join through the syntax: analyzer dedup keeps sides apart") {
+    setup()
+    val rows = spark.sql(
+      """SELECT a.id, b.t FROM asx_l a
+        |ASOF JOIN asx_l b ON a.k = b.k AND a.t >= b.t
+        |ORDER BY a.id""".stripMargin).collect()
+    // every row at least matches itself (t >= t, same key)
+    assert(rows.length == 4)
+  }
+}
