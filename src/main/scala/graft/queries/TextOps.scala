@@ -2373,9 +2373,16 @@ object TextOps {
         val pairs = graft.operators.DedupOps.minHashNearDups(
           uniq.select(col("doc_id"), col("text")),
           n = 3, k = 128, bands = 64, minJaccard = 0.6)
-        val near = uniq.join(
-          pairs.select(col("doc_b").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
+        // cache lifecycle: CALLER-owned (same contract as above) — the
+        // removed-id set is tiny but its LINEAGE is the whole LSH +
+        // verify pipeline, and `near` is consumed three times (stage
+        // aggregate, budget scalar, scored); unpersisted, each use
+        // replays candidate generation end to end (measured 10.4 s ->
+        // 5.5 s at sf0.1 — the residual is the honest one-pass cost of
+        // LSH + verify over the survivors on top of the t46 funnel)
+        val removed = pairs.select(col("doc_b").as("doc_id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val near = uniq.join(removed, Seq("doc_id"), "left_anti")
         val scored = near.select(col("doc_id"), col("n_tok"),
           floor(col("q") * lit(1000000000.0)).cast("long").as("q9"))
           // cache lifecycle: CALLER-owned (same contract as above)
