@@ -16,7 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorExpressions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => graft.plans.VectorFoldRewrite)
     // whole-operator tier: plans the graft.plans.AsOfJoin logical node
-    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    // (cost-based: broadcast exec under the autoBroadcast threshold,
+    // shuffled streaming-merge exec above it)
+    ext.injectPlannerStrategy(s => new graft.plans.AsOfJoinStrategy(s))
     // SQL frontend for the same operator: asof_join / asof_join_left
     // table functions + the rule completing their placeholder node
     graft.plans.AsOfJoinTvf.functions.foreach(ext.injectTableFunction)

@@ -192,6 +192,73 @@ object JoinOps {
       rightVals.map(v => col(s"asof_$v")): _*)
   }
 
+  /** Broadcast as-of join — the shuffle-free scale path when the RIGHT
+    * side is dimension-sized (a rate table, a config history, a quotes
+    * snapshot): [[asOfJoinNative]] shuffles BOTH sides on the key, which
+    * at 100 TB means moving the entire fact table to look up a table
+    * that fits in one executor. Here the right side collapses to one row
+    * per key holding its time-sorted (time, payload) array (one small
+    * keyed shuffle over the DIM side only), that aggregate BROADCASTS,
+    * and the fact side flows scan -> BroadcastHashJoin -> project with
+    * ZERO exchanges — the plan shape is pinned in AsOfBroadcastSpec.
+    * The per-row match is `element_at(filter(arr, ...), -1/1)`: a linear
+    * scan of the key's history inside whole-stage codegen, O(rows per
+    * key) per probe — the right trade when the history is dim-sized
+    * (the broadcast bound, ~10MB-1GB, enforces that honestly).
+    *
+    * Full contract parity with the native exec, proven by equality
+    * specs: backward/forward, inner/LEFT OUTER, tolerance, SQL-null
+    * semantics (NULL key/time never matches; inner drops the row, outer
+    * null-pads). Ties on (key, rightTime) break by payload order (the
+    * sort_array tiebreak) vs physical order natively — both unspecified
+    * contracts. Output is `left.columns ++ asof_<rightVals>`, same as
+    * every as-of variant, so all share one oracle. */
+  def asOfJoinBroadcast(left: DataFrame, right: DataFrame,
+                        leftKey: String, rightKey: String,
+                        leftTime: String, rightTime: String,
+                        rightVals: Seq[String],
+                        leftOuter: Boolean = false,
+                        forward: Boolean = false,
+                        tolerance: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    def micros(df: DataFrame, c: String, e: Column): Column =
+      if (df.schema(c).dataType == TimestampType) unix_micros(e) else
+        e.cast("long")
+    // dim side: one row per key, history sorted by (time, payload) —
+    // ascending, so backward takes the LAST qualifying element and
+    // forward the FIRST
+    val rAgg = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .groupBy(col(rightKey).as("__bk"))
+      .agg(sort_array(collect_list(struct(
+        col(rightTime).as("__rt"),
+        struct(rightVals.distinct.map(col).toIndexedSeq: _*).as("__pv"))))
+        .as("__arr"))
+    // always a LEFT broadcast join: inner as-of semantics are applied
+    // AFTER the match probe (a key present in the dim table whose rows
+    // are all out of tolerance must still drop under inner — a plain
+    // inner join would keep it through the probe)
+    val probe = left.join(broadcast(rAgg),
+      col(leftKey) === col("__bk"), "left")
+    val lt = micros(left, leftTime, col(leftTime))
+    def inBound(x: Column): Column = {
+      val rt = micros(right, rightTime, x("__rt"))
+      val dir = if (forward) rt >= lt else rt <= lt
+      tolerance.fold(dir)(tol =>
+        dir && (if (forward) rt - lt else lt - rt) <= lit(tol))
+    }
+    // try_element_at, not element_at: an empty qualifying set must be
+    // NULL (no match), never an ANSI out-of-bounds error
+    val m = try_element_at(
+      filter(col("__arr"), inBound _), lit(if (forward) 1 else -1))
+    val withMatch = probe.withColumn("__m",
+      when(col(leftTime).isNotNull, m))
+    val kept = if (leftOuter) withMatch
+               else withMatch.filter(col("__m").isNotNull)
+    kept.select((left.columns.map(col) ++ rightVals.map(v =>
+      col(s"__m.__pv.$v").as(s"asof_$v"))).toIndexedSeq: _*)
+  }
+
   /** Time-sliced skew-split as-of join — the hot-key scale path for
     * [[asOfJoinNative]]. AQE's skew-join optimization pattern-matches
     * only the built-in SortMergeJoin/ShuffledHashJoin execs, so the
@@ -216,25 +283,30 @@ object JoinOps {
     * Same output contract and null semantics as [[asOfJoinNative]]
     * (NULL key/time never matches; inner drops, `leftOuter` pads) — the
     * composite struct key is nulled whenever either component is null so
-    * struct ordering cannot resurrect SQL-null equality. Backward
-    * direction only (the forward mirror carries FORWARD, flip the
-    * inequalities). `tolerance` composes unchanged: a carried row that
-    * is too stale fails the exec's bound exactly like the unsliced plan.
+    * struct ordering cannot resurrect SQL-null equality. `forward` is
+    * the exact mirror: the carried row becomes the EARLIEST right row
+    * from any LATER slice (min-slice representative, each slice
+    * represented by its earliest row). `tolerance` composes unchanged:
+    * a carried row that is too stale fails the exec's bound exactly
+    * like the unsliced plan.
     * Ties on (key, rightTime) are broken by the payload struct order
     * here vs physical order natively — both unspecified contracts;
     * callers needing determinism must dedup (key, time) first.
     *
     * `sliceWidth` is in the time column's own units (micros for
     * timestamps, via unix_micros — NOT the seconds a timestamp->long
-    * cast would give). Sizing: aim for hot-key rows / sliceWidth-slices
-    * ~ a healthy task, e.g. ceil(hotspan / (hotrows / targetRows)); the
-    * w14 salt planner's histogram supplies hotrows. */
+    * cast would give). Sizing: the w19 slice planner
+    * (`queries/Warehouse.scala`, w14's arithmetic on the time axis)
+    * derives it from the key histogram — per hot key,
+    * span / ceil(rows / targetRowsPerTask); take the MIN across hot
+    * keys as the global width. */
   def asOfJoinTimeSliced(left: DataFrame, right: DataFrame,
                          leftKey: String, rightKey: String,
                          leftTime: String, rightTime: String,
                          rightVals: Seq[String],
                          sliceWidth: Long,
                          leftOuter: Boolean = false,
+                         forward: Boolean = false,
                          tolerance: Option[Long] = None): DataFrame = {
     require(sliceWidth > 0, s"sliceWidth must be > 0, got $sliceWidth")
     import org.apache.spark.sql.types.TimestampType
@@ -262,22 +334,27 @@ object JoinOps {
       .filter(col("__kk").isNotNull) // null key/time never matches anyway
 
     // one representative per (key, slice): the slice's LATEST right row
-    // (payload struct breaks rt ties deterministically)
+    // backward / EARLIEST forward (payload struct breaks rt ties
+    // deterministically)
     val payload = struct(right.columns.map(col).toIndexedSeq: _*)
-    val lastPerSlice = rS
+    val repPerSlice = rS
       .groupBy(col(rightKey).as("__k"), col("__slice").as("__rs"))
-      .agg(max_by(payload, struct(col("__t"), payload)).as("__row"))
+      .agg((if (forward) min_by(payload, struct(col("__t"), payload))
+            else max_by(payload, struct(col("__t"), payload))).as("__row"))
     // slices the LEFT occupies (only these can emit output)
     val leftSlices = lS.filter(col("__kk").isNotNull)
       .select(col(leftKey).as("__k"), col("__slice").as("__ls")).distinct()
-    // carry-in per occupied slice: the latest representative from any
-    // EARLIER slice — an inequality join, but over per-(key,slice)
-    // aggregates, so |keys| x |slices|^2 at worst, never corpus-scale
-    val carries = leftSlices.join(lastPerSlice,
-        leftSlices("__k") === lastPerSlice("__k") &&
-          col("__rs") < col("__ls"))
+    // carried row per occupied slice: backward, the latest representative
+    // from any EARLIER slice; forward, the earliest from any LATER one —
+    // an inequality join, but over per-(key,slice) aggregates, so
+    // |keys| x |slices|^2 at worst, never corpus-scale
+    val carries = leftSlices.join(repPerSlice,
+        leftSlices("__k") === repPerSlice("__k") &&
+          (if (forward) col("__rs") > col("__ls")
+           else col("__rs") < col("__ls")))
       .groupBy(leftSlices("__k").as("__gk"), col("__ls"))
-      .agg(max_by(col("__row"), col("__rs")).as("__row"))
+      .agg((if (forward) min_by(col("__row"), col("__rs"))
+            else max_by(col("__row"), col("__rs"))).as("__row"))
       .select((right.columns.map(c => col(s"__row.$c")) ++
         Seq(col("__ls"))).toIndexedSeq: _*)
       .withColumn("__slice", col("__ls"))
@@ -293,7 +370,7 @@ object JoinOps {
     asOfJoinNative(lS, rAug, leftKey = "__kk", rightKey = "__kk",
         leftTime = leftTime, rightTime = rightTime,
         rightVals = rightVals, leftOuter = leftOuter,
-        tolerance = tolerance)
+        forward = forward, tolerance = tolerance)
       .select((left.columns.map(col) ++
         rightVals.map(v => col(s"asof_$v"))).toIndexedSeq: _*)
   }

@@ -93,13 +93,31 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule mapping the logical [[AsOfJoin]] to [[AsOfJoinExec]];
-  * injected by [[graft.GraftExtensions]]. */
-class AsOfJoinStrategy extends SparkStrategy {
+/** Planner rule mapping the logical [[AsOfJoin]] to a physical exec;
+  * injected by [[graft.GraftExtensions]]. COST-BASED, the way Spark's
+  * own JoinSelection picks BroadcastHashJoin over SortMergeJoin: when
+  * the right side's estimated size fits under
+  * `spark.sql.autoBroadcastJoinThreshold`, plan
+  * [[BroadcastAsOfJoinExec]] (fact side untouched, dim side broadcast);
+  * otherwise the shuffled streaming-merge [[AsOfJoinExec]]. Setting the
+  * threshold to -1 forces the shuffled plan, same switch as for
+  * built-in joins. */
+class AsOfJoinStrategy(session: org.apache.spark.sql.SparkSession)
+    extends SparkStrategy {
+  // legacy zero-arg constructor: shuffled-only planning (used by specs
+  // that pin the merge exec's behavior in isolation)
+  def this() = this(null)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, outer, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
-        planLater(l), planLater(r)) :: Nil
+      val threshold =
+        if (session == null) -1L
+        else session.sessionState.conf.autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -1233,6 +1233,73 @@ object Events {
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts""")),
 
+    // ---- BROADCAST as-of join (shuffle-free fact side) -------------------
+    //      e24's exact query through JoinOps.asOfJoinBroadcast: the
+    //      click history collapses to one sorted array per user (keyed
+    //      shuffle over the DIM side only), broadcasts, and purchases
+    //      flow scan -> BroadcastHashJoin -> project with ZERO fact-side
+    //      exchanges — the dimension-lookup as-of shape (rate tables,
+    //      config histories) where shuffling the 100 TB fact side to
+    //      meet a broadcastable table is the wrong plan. Same DuckDB
+    //      ASOF oracle as e24; AsOfBroadcastSpec pins plan shape and
+    //      native-equality across the full contract matrix.
+    Q("e37_asof_broadcast",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinBroadcast(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- broadcast as-of, fully loaded: FORWARD + LEFT OUTER + tolerance -
+    //      the hardest corner of the contract in one gate: each purchase
+    //      matched to the user's EARLIEST click at-or-after it, kept
+    //      only within 10 min staleness, unmatched purchases retained
+    //      null-padded — all through the broadcast probe's single
+    //      filter+element_at expression (direction picks element 1,
+    //      tolerance rides inside the lambda, outer keeps the join's
+    //      null rows). Oracle: DuckDB ASOF LEFT with the reversed
+    //      inequality + e31's CASE-nulling for the staleness bound.
+    Q("e38_asof_broadcast_fwd",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinBroadcast(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"), leftOuter = true,
+          forward = true, tolerance = Some(600000000L))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.ts) <= 600000000
+               THEN c.ts END AS asof_ts,
+          CASE WHEN c.ts IS NOT NULL
+                 AND epoch_us(c.ts) - epoch_us(p.ts) <= 600000000
+               THEN c.value END AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts""")),
+
     // ---- parser-level ASOF JOIN syntax -----------------------------------
     //      the SAME SQL text runs verbatim on both engines: Spark parses
     //      it through GraftSqlParser (injectParser rewrite ->

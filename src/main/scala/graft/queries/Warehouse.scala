@@ -1017,6 +1017,64 @@ object Warehouse {
           v3.n3 - COALESCE(v2.n2, 0) AS n_new
         FROM v3 LEFT JOIN v2 ON v3.user_id = v2.user_id"""),
       setup = Some((s, d) => w18BuildVersions(s, d)))
+  ) ++ Seq(
+
+    // ---- as-of slice planner (w14's sizing step for the TIME axis) -------
+    //      the histogram->plan arithmetic that picks
+    //      asOfJoinTimeSliced's sliceWidth: per hot key (count above the
+    //      per-reducer target, w14's rule on the same synthetic Zipf),
+    //      n_slices = ceil(n/target) and slice_width = its time span
+    //      divided into that many slices — what the hottest key needs so
+    //      each of its (key, slice) tasks sees ~target rows; the caller
+    //      takes MIN(slice_width) across hot keys as the global
+    //      parameter. Pure integer/ceil arithmetic on one keyed
+    //      aggregate + a broadcast one-row total, replayed exactly in
+    //      DuckDB — production would feed the ds04 heavy-hitter sketch
+    //      instead of the exact groupBy, same as w14.
+    Q("w19_asof_slice_plan",
+      (s, d) => {
+        val keyed = Tables.events(s, d).select(
+          expr("4096L div (1L + pmod(event_id * 48271L, 4096L))")
+            .as("key"),
+          unix_micros(col("ts")).as("tus"))
+        val total = keyed.agg(count(lit(1)).as("total_rows"))
+        keyed.groupBy(col("key")).agg(count(lit(1)).as("n_rows"),
+            min(col("tus")).as("t_min"), max(col("tus")).as("t_max"))
+          .crossJoin(broadcast(total))
+          .withColumn("target",
+            greatest(expr("total_rows div 32"), lit(1L)))
+          .filter(col("n_rows") > col("target"))
+          .select(col("key"), col("n_rows"),
+            expr("CAST(ceil(n_rows / CAST(target AS DOUBLE)) AS BIGINT)")
+              .as("n_slices"), col("t_min"), col("t_max"))
+          .withColumn("slice_width", greatest(lit(1L),
+            expr("CAST(ceil((t_max - t_min + 1) / CAST(n_slices AS " +
+              "DOUBLE)) AS BIGINT)")))
+          .withColumn("est_rows_per_slice",
+            expr("CAST(ceil(n_rows / CAST(n_slices AS DOUBLE)) AS BIGINT)"))
+      },
+      Some("""
+        WITH k AS (SELECT 4096 // (1 + ((event_id * 48271)
+                     % 4096 + 4096) % 4096) AS key,
+                     epoch_us(ts) AS tus
+                   FROM events),
+        h AS (SELECT key, COUNT(*) AS n_rows,
+                MIN(tus) AS t_min, MAX(tus) AS t_max
+              FROM k GROUP BY 1),
+        t AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT) // 32,
+                CAST(1 AS BIGINT)) AS target FROM k)
+        SELECT key, n_rows,
+          CAST(CEIL(n_rows / CAST((SELECT target FROM t) AS DOUBLE))
+            AS BIGINT) AS n_slices,
+          t_min, t_max,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(CEIL((t_max - t_min + 1) /
+              CEIL(n_rows / CAST((SELECT target FROM t) AS DOUBLE)))
+              AS BIGINT)) AS slice_width,
+          CAST(CEIL(n_rows / CEIL(n_rows /
+            CAST((SELECT target FROM t) AS DOUBLE))) AS BIGINT)
+            AS est_rows_per_slice
+        FROM h WHERE n_rows > (SELECT target FROM t)"""))
   )
 
   /** per-JVM scratch (same isolation rationale as IoQueries.scratchRoot) */

@@ -111,14 +111,26 @@ class AsOfSkewSpec extends SparkSpec {
       (java.lang.Long.valueOf(3L), null.asInstanceOf[java.lang.Long], 4.0),
       (java.lang.Long.valueOf(3L), java.lang.Long.valueOf(70000L), 5.0))
       .toDF("k", "rt", "v")
-    for (outer <- Seq(false, true); tol <- Seq(None, Some(5000L))) {
+    for (outer <- Seq(false, true); tol <- Seq(None, Some(5000L));
+         fwd <- Seq(false, true)) {
       val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
-        rightVals = Seq("rt", "v"), leftOuter = outer, tolerance = tol)
+        rightVals = Seq("rt", "v"), leftOuter = outer, forward = fwd,
+        tolerance = tol)
       val sliced = JoinOps.asOfJoinTimeSliced(l, r, "k", "k", "t", "rt",
         rightVals = Seq("rt", "v"), sliceWidth = 1000L,
-        leftOuter = outer, tolerance = tol)
-      assert(canon(sliced) == canon(native), s"outer=$outer tol=$tol")
+        leftOuter = outer, forward = fwd, tolerance = tol)
+      assert(canon(sliced) == canon(native),
+        s"outer=$outer tol=$tol fwd=$fwd")
     }
+  }
+
+  test("time-sliced forward == native forward on the skewed fixture") {
+    val (l, r) = skewed(2000, seed = 19)
+    val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"), forward = true)
+    val sliced = JoinOps.asOfJoinTimeSliced(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"), sliceWidth = 7000L, forward = true)
+    assert(canon(sliced) == canon(native))
   }
 
   test("time-sliced == native on timestamp time columns") {
