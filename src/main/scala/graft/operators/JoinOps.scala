@@ -221,6 +221,11 @@ object JoinOps {
                         forward: Boolean = false,
                         tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.TimestampType
+    // reserved internal names — fail loud instead of silently shadowing
+    Seq("__bk", "__arr", "__m").foreach(n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"asOfJoinBroadcast reserves the column name `$n`; rename the " +
+          "caller's column first"))
     def micros(df: DataFrame, c: String, e: Column): Column =
       if (df.schema(c).dataType == TimestampType) unix_micros(e) else
         e.cast("long")
@@ -309,6 +314,11 @@ object JoinOps {
                          forward: Boolean = false,
                          tolerance: Option[Long] = None): DataFrame = {
     require(sliceWidth > 0, s"sliceWidth must be > 0, got $sliceWidth")
+    // reserved internal names — fail loud instead of silently shadowing
+    Seq("__t", "__slice", "__kk").foreach(n =>
+      require(!left.columns.contains(n) && !right.columns.contains(n),
+        s"asOfJoinTimeSliced reserves the column name `$n`; rename the " +
+          "caller's column first"))
     import org.apache.spark.sql.types.TimestampType
     def micros(df: DataFrame, c: String): Column =
       if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
@@ -432,6 +442,11 @@ object JoinOps {
                           leftTime: String, rightTime: String,
                           windowSec: Long,
                           keys: Seq[(String, String)] = Nil): DataFrame = {
+    // fail LOUD, not by silently overwriting and dropping a caller
+    // column that happens to use the operator's internal tag name
+    require(!left.columns.contains("_rjid"),
+      "rangeJoinBinnedLeft reserves the column name `_rjid` for its " +
+        "internal row tag; rename the caller's column first")
     val tagged = left.withColumn("_rjid", monotonically_increasing_id())
     val inner = rangeJoinBinned(tagged, right, leftTime, rightTime,
       windowSec, keys)

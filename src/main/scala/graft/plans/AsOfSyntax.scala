@@ -55,6 +55,17 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType,
   * at parse; an `OR` in the condition fails decomposition with a named
   * error. A marker that somehow survives analysis is [[Unevaluable]], so
   * failure is loud, never a silently-wrong plain join.
+  *
+  * Reservation contract: ONLY the exact token sequences
+  * `ASOF [INNER|LEFT [OUTER]] JOIN` are claimed — `asof` as a column,
+  * alias, or type name anywhere else passes through untouched. The one
+  * deliberate overlap is an alias named `asof` IMMEDIATELY before JOIN
+  * (`FROM t asof JOIN u`): ASOF is a join modifier in that position in
+  * DuckDB's own grammar (effectively reserved), and the decomposition
+  * rule errors loudly unless the ON clause is genuinely as-of-shaped.
+  * `TOLERANCE` is consumed only while an ASOF join's ON region is still
+  * open — any same-depth clause keyword (WHERE/GROUP/ORDER/...) closes
+  * it, so a COLUMN named tolerance in later clauses is never eaten.
   */
 object AsOfSyntax {
 
@@ -148,8 +159,19 @@ object AsOfSyntax {
   private final class Pending(val depth: Int) {
     var markerPos: Int = -1      // insertion offset (right after ON)
     var tol: Option[String] = None
+    var closed: Boolean = false  // a clause boundary ended its ON region
     def awaitingOn: Boolean = markerPos < 0
   }
+
+  /** same-depth words that cannot appear inside an ON condition — seeing
+    * one closes every ON-matched pending join at that depth, so a later
+    * bare `tolerance` column in a WHERE/ORDER BY is never consumed */
+  private val clauseBoundary: Set[String] = Set(
+    "WHERE", "GROUP", "ORDER", "HAVING", "WINDOW", "LIMIT", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT", "MINUS", "JOIN", "INNER", "LEFT",
+    "RIGHT", "FULL", "CROSS", "SEMI", "ANTI", "NATURAL", "LATERAL",
+    "ASOF", "ON", "USING", "DISTRIBUTE", "CLUSTER", "SORT", "PIVOT",
+    "UNPIVOT", "TABLESAMPLE")
 
   /** rewrite `ASOF [INNER|LEFT [OUTER]] JOIN ... ON cond [TOLERANCE n]`
     * to `[LEFT] JOIN ... ON __graft_asof([n]) AND cond`; text without a
@@ -166,8 +188,17 @@ object AsOfSyntax {
     var sawAsof = false
     while (k < toks.length) {
       val t = toks(k)
-      if (t.isWord("ASOF")) {
-        // keyword sequence after ASOF must lead to a plain/left JOIN
+      // is this ASOF the join modifier, or just an identifier named
+      // `asof` (a column, an alias, a type name)? ONLY the exact keyword
+      // sequences ASOF [INNER|LEFT [OUTER]] JOIN (plus the explicitly-
+      // rejected directions) are claimed; anything else passes through
+      // untouched — `SELECT asof FROM t` and `CREATE TABLE t (asof
+      // TIMESTAMP)` stay valid. Note `FROM t asof JOIN u` IS claimed:
+      // ASOF immediately before JOIN is a join modifier in DuckDB's own
+      // grammar too (effectively reserved in that position), and the
+      // decomposition rule then errors loudly unless the ON clause is
+      // genuinely as-of-shaped.
+      val asofJoin: Int = if (!t.isWord("ASOF")) -1 else {
         var j = k + 1
         if (j < toks.length && toks(j).isWord("INNER")) j += 1
         else if (j < toks.length && toks(j).isWord("LEFT")) {
@@ -175,35 +206,48 @@ object AsOfSyntax {
           if (j < toks.length && toks(j).isWord("OUTER")) j += 1
         } else if (j < toks.length && (toks(j).isWord("RIGHT") ||
           toks(j).isWord("FULL") || toks(j).isWord("SEMI") ||
-          toks(j).isWord("ANTI") || toks(j).isWord("CROSS")))
+          toks(j).isWord("ANTI") || toks(j).isWord("CROSS")) &&
+          j + 1 < toks.length && toks(j + 1).isWord("JOIN"))
           err(s"only ASOF [INNER|LEFT [OUTER]] JOIN is supported, " +
             s"got ASOF ${toks(j).text.toUpperCase} JOIN")
-        if (j >= toks.length || !toks(j).isWord("JOIN"))
-          err("expected JOIN after ASOF")
+        if (j < toks.length && toks(j).isWord("JOIN")) j else -1
+      }
+      if (asofJoin >= 0) {
         dels += ((t.start, t.end))                    // drop the ASOF word
         pend += new Pending(t.depth)
         sawAsof = true
-        k = j + 1
+        k = asofJoin + 1
       } else if (t.isWord("ON") &&
-        pend.exists(p => p.depth == t.depth && p.awaitingOn)) {
+        pend.exists(p => p.depth == t.depth && p.awaitingOn && !p.closed)) {
         pend.findLast(p => p.depth == t.depth && p.awaitingOn).get
           .markerPos = t.end
         k += 1
       } else if (t.isWord("USING") &&
-        pend.exists(p => p.depth == t.depth && p.awaitingOn)) {
+        pend.exists(p => p.depth == t.depth && p.awaitingOn && !p.closed)) {
         err("USING is not supported for ASOF JOIN — spell the key " +
           "equalities and the time inequality in an ON clause")
       } else if (t.isWord("TOLERANCE") &&
         pend.exists(p => p.depth == t.depth && !p.awaitingOn &&
-          p.tol.isEmpty)) {
+          !p.closed && p.tol.isEmpty)) {
         if (k + 1 >= toks.length || !toks(k + 1).text.forall(_.isDigit))
           err("TOLERANCE must be followed by an integer literal " +
             "(time-column units; micros for timestamps)")
-        pend.findLast(p => p.depth == t.depth && !p.awaitingOn &&
-          p.tol.isEmpty).get.tol = Some(toks(k + 1).text)
+        val p = pend.findLast(p => p.depth == t.depth && !p.awaitingOn &&
+          !p.closed && p.tol.isEmpty).get
+        p.tol = Some(toks(k + 1).text)
+        p.closed = true
         dels += ((t.start, toks(k + 1).end))          // drop both tokens
         k += 2
-      } else k += 1
+      } else {
+        // a clause boundary ends the ON region of every matched pending
+        // join at this depth — a `tolerance` COLUMN referenced later in
+        // the statement must never be eaten as the staleness bound
+        if (clauseBoundary.contains(t.text.toUpperCase(
+            java.util.Locale.ROOT)))
+          pend.foreach(p =>
+            if (p.depth == t.depth && !p.awaitingOn) p.closed = true)
+        k += 1
+      }
     }
     if (!sawAsof) return sql                          // "asof" was a name
     pend.find(_.awaitingOn).foreach(_ =>
@@ -311,10 +355,18 @@ object ResolveAsOfSyntax extends Rule[LogicalPlan] with PredicateHelper {
           "(the operator partitions by key; an unkeyed as-of would " +
           "serialize the whole input through one task)")
         // several equalities compose into ONE struct key — the exec
-        // orders any orderable type, structs included
+        // orders any orderable type, structs included. Components are
+        // aliased POSITIONALLY (_1, _2, ...): CreateStruct would derive
+        // field names from the attributes, and differently-NAMED but
+        // same-typed key columns (l.k1 = r.kA) — or a widening Cast on
+        // one side only — would then fail the struct type check on
+        // field names alone
         def mkKey(parts: Seq[Expression]): Expression =
           if (parts.size == 1) widen(parts.head)
-          else CreateStruct(parts.map(widen))
+          else CreateStruct(parts.zipWithIndex.map { case (p, i) =>
+            org.apache.spark.sql.catalyst.expressions.Alias(
+              widen(p), s"_${i + 1}")()
+          })
         val (lkE, rkE) = (mkKey(eqs.map(_._1).toSeq),
           mkKey(eqs.map(_._2).toSeq))
         if (!org.apache.spark.sql.types.DataType.equalsIgnoreNullability(

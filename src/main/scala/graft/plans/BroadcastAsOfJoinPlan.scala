@@ -67,6 +67,18 @@ case class BroadcastAsOfJoinExec(
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) ::
       Nil
 
+  // the whole point of this exec is that the fact side's layout
+  // survives the join — forward its partitioning AND ordering (every
+  // left attribute is in the output), the BroadcastHashJoin pattern:
+  // a downstream aggregation keyed on a pre-shuffled/bucketed fact key
+  // must not re-Exchange
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering:
+      Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    left.outputOrdering
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -100,9 +112,20 @@ case class BroadcastAsOfJoinExec(
       bcast.value.foreach { r =>
         val keyRow = rKeyProj(r)
         val t = rt.eval(r)
-        if (!keyRow.isNullAt(0) && t != null)
-          buf.getOrElseUpdate(keyRow.copy(),
-            mutable.ArrayBuffer.empty) += ((t.asInstanceOf[Long], r))
+        if (!keyRow.isNullAt(0) && t != null) {
+          // look up with the REUSED projection row; copy only on first
+          // insert — one key allocation per distinct key, not per row
+          val entries = buf.getOrElse(keyRow, null)
+          val target =
+            if (entries != null) entries
+            else {
+              val fresh =
+                mutable.ArrayBuffer.empty[(Long, InternalRow)]
+              buf.put(keyRow.copy(), fresh)
+              fresh
+            }
+          target += ((t.asInstanceOf[Long], r))
+        }
       }
       val index: mutable.HashMap[UnsafeRow, History] = buf.map {
         case (k, entries) =>

@@ -1042,7 +1042,53 @@ object StreamingQueries {
           ON p.user_id = c.user_id AND p.ts <= c.ts
         WHERE NOT (c.ts IS NULL
           AND (p.us + 600000000) // 1000 >= (SELECT wm_ms FROM wm))"""),
-      setup = Some((s, d) => writeTimeSlices(s, d, "st24")))
+      setup = Some((s, d) => writeTimeSlices(s, d, "st24"))),
+
+    // ---- STATELESS streaming as-of: stream facts x STATIC dim history ----
+    //      the enrichment shape most production streams actually run
+    //      (facts stream in, the rate/config/quote history is a TABLE):
+    //      JoinOps.asOfJoinBroadcast composes into a stream-static
+    //      broadcast join + a per-row codegen'd probe — NO state store,
+    //      no watermark, no ordering requirement on the stream (each
+    //      fact row sees the FULL static history, so batch-equality is
+    //      structural, not a state-machine invariant like st17-st24's).
+    //      8 slices, one file per trigger, proves multi-batch; e24's
+    //      DuckDB ASOF oracle verbatim.
+    Q("st25_stream_asof_static",
+      (s, d) => {
+        val base = scratchRoot.resolve(
+          "st25-" + d.replaceAll("[^A-Za-z0-9.]", "_")).toString
+        val child = s.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", "8")
+        val stream = child.readStream
+          .schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(base)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = Tables.events(child, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value"))
+        val out = graft.operators.JoinOps.asOfJoinBroadcast(
+          stream, clicks, leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"))
+        val q = out.writeStream.format("memory").queryName("st25")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+        child.table("st25")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st25")))
   )
 
   /** shared harness for the streaming as-of gates: read the gate's

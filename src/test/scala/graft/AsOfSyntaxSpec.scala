@@ -48,6 +48,47 @@ class AsOfSyntaxSpec extends SparkSpec {
     }
   }
 
+  test("asof as a bare identifier passes through untouched") {
+    // column, alias position (not before JOIN), type name, ORDER BY —
+    // none of these are the join modifier, none may error or change
+    for (q <- Seq(
+      "SELECT asof FROM snapshots",
+      "SELECT s.asof, s.v FROM snapshots s ORDER BY asof",
+      "CREATE TABLE t (asof TIMESTAMP, v DOUBLE)",
+      "SELECT * FROM t WHERE asof > DATE '2024-01-01'"))
+      assert(AsOfSyntax.rewrite(q) == q, q)
+  }
+
+  test("a tolerance COLUMN outside the ON region is never consumed") {
+    val q = "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.t >= r.rt " +
+      "WHERE tolerance > 100"
+    val out = AsOfSyntax.rewrite(q)
+    assert(out.contains("WHERE tolerance > 100"), out)
+    assert(out.contains("__graft_asof() AND"), out)
+    // and no spurious "must be followed by an integer" on ORDER BY
+    val q2 = "SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.t >= r.rt " +
+      "ORDER BY tolerance"
+    assert(AsOfSyntax.rewrite(q2).contains("ORDER BY tolerance"))
+  }
+
+  test("composite keys with DIFFERENT column names and mixed widths") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 1, 100L), (2L, "a", 2, 100L))
+      .toDF("id", "kx", "ky", "t").createOrReplaceTempView("asx_l3")
+    // right key ky2 is BIGINT where left ky is INT: one side widens,
+    // and the names differ on both components
+    Seq(("a", 1L, 50L, 10.0), ("a", 2L, 60L, 20.0))
+      .toDF("ka", "kb", "rt", "v").createOrReplaceTempView("asx_r3")
+    val rows = spark.sql(
+      """SELECT l.id, r.v FROM asx_l3 l
+        |ASOF JOIN asx_r3 r
+        |ON l.kx = r.ka AND l.ky = r.kb AND l.t >= r.rt
+        |ORDER BY l.id""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+  }
+
   // ---- end-to-end through spark.sql ----------------------------------
 
   test("backward inner ASOF JOIN matches the Scala-API operator") {
