@@ -40,7 +40,17 @@ class PlanShapePinSpec extends SparkSpec {
     "e28_linear_attribution" -> 1, // (user,bin)-keyed join + final agg
     "t41_temperature_sample" -> 1, // ES keys row-local; TakeOrdered cut
     "d25_symspell_join" -> 2,    // variant equi-join + pair distinct
-    "w17_winsorize_cuts" -> 2)   // per-type window + broadcast recount
+    "w17_winsorize_cuts" -> 2,   // per-type window + broadcast recount
+    // round-15 operators
+    "e37_asof_broadcast" -> 1,   // ONLY the dim-agg shuffle; fact side
+                                 // reaches the join exchange-free
+    "e38_asof_broadcast_fwd" -> 1, // same, fully-loaded variant
+    "e34_asof_syntax" -> 2,      // parser route = the native exec's two
+                                 // exchanges (broadcast tier at tiny SF
+                                 // may drop them; 2 is the ceiling)
+    "e36_asof_time_sliced" -> 8, // slicing premium: rep/carry aggs +
+                                 // the composite-key exec's exchanges
+    "w19_asof_slice_plan" -> 2)  // key histogram + broadcast total
 
   private def exchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).size +
