@@ -1325,7 +1325,58 @@ object Events {
         s.sql(asofSyntaxLeftSql)
       },
       Some(asofSyntaxLeftSql))
+  ) ++ fwdSyntaxEntries
+
+  private lazy val fwdSyntaxEntries: Seq[Q] = Seq(
+    // ---- parser-level ASOF JOIN, FORWARD direction ------------------------
+    //      the flipped inequality (p.ts <= c.ts) — the decomposition rule
+    //      reads direction from which side the time inequality favors, so
+    //      the same shared-verbatim-text contract covers the forward path
+    //      (e27 gates the same semantics through the Scala API).
+    Q("e39_asof_syntax_fwd",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofSyntaxFwdSql)
+      },
+      Some(asofSyntaxFwdSql)),
+
+    // ---- parser-level TOLERANCE (the graft extension) ---------------------
+    //      `TOLERANCE n` after the ON clause rides into the exec's native
+    //      staleness bound — the one part of the dialect DuckDB does NOT
+    //      have, so the oracle is e30's semantic form (ASOF + post-filter
+    //      on the gap, expressible for INNER) rather than shared text.
+    Q("e40_asof_syntax_tol",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql("""
+          SELECT p.event_id, p.user_id, p.ts,
+            c.ts AS asof_ts, c.value AS asof_value
+          FROM (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase') p
+          ASOF JOIN (SELECT user_id, ts, value FROM events
+                     WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+            TOLERANCE 600000000""")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000"""))
   )
+
+  private lazy val asofSyntaxFwdSql = """
+    SELECT p.event_id, p.user_id, p.ts,
+      c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts <= c.ts"""
 
   /** one string, two engines — the e34 contract is textual, so the text
     * lives in one place */
