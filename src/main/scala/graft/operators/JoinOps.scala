@@ -163,7 +163,8 @@ object JoinOps {
                      rightVals: Seq[String],
                      leftOuter: Boolean = false,
                      forward: Boolean = false,
-                     tolerance: Option[Long] = None): DataFrame = {
+                     tolerance: Option[Long] = None,
+                     strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
@@ -182,7 +183,7 @@ object JoinOps {
     val plan = graft.plans.AsOfJoin(lPlan, rPlan,
       attr(lPlan.output, leftKey), attr(rPlan.output, rightKey),
       attr(lPlan.output, leftTime), attr(rPlan.output, rightTime),
-      leftOuter, forward, tolerance)
+      leftOuter, forward, tolerance, strict)
     // positional rename: output = left columns ++ right columns, which
     // may share names — rename right side to asof_<name>, then cut to
     // the requested payload

@@ -33,6 +33,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * null-pads under `leftOuter` — which a post-filter on the joined
   * result cannot express (it would turn outer pads into drops).
   *
+  * `strict` excludes exact time ties: backward matches require
+  * rightTime < leftTime (vs <=), forward rightTime > leftTime — the
+  * DuckDB `ASOF JOIN ... ON l.t > r.t` strict-comparator form (pandas
+  * merge_asof(allow_exact_matches=False)). One comparison flips in the
+  * merge consume loop / the broadcast exec's binary-search bound;
+  * unconsumed tie rows stay in the lookahead for later left rows, so
+  * tolerance, outer pads, and null semantics are untouched. On integer
+  * times, strict at t is definitionally non-strict at t-1 — the
+  * equality AsOfStrictSpec pins on a tie-rich fixture.
+  *
   * Why a physical operator when JoinOps.asOfJoinBackward already
   * composes it from stock pieces: the composition UNIONS both inputs
   * through one exchange and runs a window with a last(ignoreNulls)
@@ -81,7 +91,8 @@ case class AsOfJoin(
     leftTime: Expression, rightTime: Expression,
     leftOuter: Boolean = false,
     forward: Boolean = false,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    strict: Boolean = false) extends BinaryNode {
   // outer: the right side's attributes become nullable in the output —
   // downstream IsNotNull simplification would otherwise wrongly prune
   // the null-padded rows
@@ -108,15 +119,15 @@ class AsOfJoinStrategy(session: org.apache.spark.sql.SparkSession)
   // that pin the merge exec's behavior in isolation)
   def this() = this(null)
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, outer, fwd, tol) =>
+    case AsOfJoin(l, r, lk, rk, lt, rt, outer, fwd, tol, strict) =>
       val threshold =
         if (session == null) -1L
         else session.sessionState.conf.autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes <= threshold)
-        BroadcastAsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol, strict,
           planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol,
+        AsOfJoinExec(lk, rk, lt, rt, outer, fwd, tol, strict,
           planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -126,7 +137,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftOuter: Boolean, forward: Boolean,
-    tolerance: Option[Long],
+    tolerance: Option[Long], strict: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   private def isTime(e: Expression): Boolean =
@@ -188,6 +199,7 @@ case class AsOfJoinExec(
     val outAttrs = output
     val outer = leftOuter
     val fwd = forward
+    val noTies = strict
     // staleness cap folded to a primitive: Long.MaxValue = "no bound",
     // so the merge has ONE comparison either way instead of an Option
     // branch per row
@@ -246,14 +258,18 @@ case class AsOfJoinExec(
             if (kRaw != null && tRaw != null) {
               val k = kRaw
               val t = tRaw.asInstanceOf[Long]
-              // consume right rows up to (k, t] in sort order (time DESC
+              // consume right rows up to (k, t] in sort order — or (k, t)
+              // when strict: equal-time rows are NOT consumed at this
+              // left row (they stay in the lookahead for later, larger-t
+              // left rows), which is exactly the tie exclusion (time DESC
               // when forward — the comparison mirrors); the LAST one with
               // the same key becomes (or stays) the match
               var cmp = if (rHeadValid) keyOrdering.compare(rHeadKey, k)
                         else 0
               while (rHeadValid && (cmp < 0 ||
                   (cmp == 0 &&
-                    (if (fwd) rHeadTime >= t else rHeadTime <= t)))) {
+                    (if (fwd) { if (noTies) rHeadTime > t else rHeadTime >= t }
+                     else { if (noTies) rHeadTime < t else rHeadTime <= t })))) {
                 if (cmp == 0) {
                   matched = rHead.copy()
                   matchedKey = rHeadKey

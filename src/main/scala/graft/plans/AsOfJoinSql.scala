@@ -58,7 +58,8 @@ object AsOfJoinTvf {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightVals: Seq[String], leftOuter: Boolean,
-      forward: Boolean, tolerance: Option[Long] = None) extends BinaryNode {
+      forward: Boolean, tolerance: Option[Long] = None,
+      strict: Boolean = false) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = Nil
     override protected def withNewChildrenInternal(
@@ -73,7 +74,8 @@ object AsOfJoinTvf {
         s"$fn: argument ${i + 1} must be a string literal, got $other")
     }
 
-  private def build(fn: String, leftOuter: Boolean, forward: Boolean)(
+  private def build(fn: String, leftOuter: Boolean, forward: Boolean,
+      strict: Boolean = false)(
       args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 7,
       s"$fn(leftTable, rightTable, leftKey, rightKey, leftTime, " +
@@ -113,19 +115,27 @@ object AsOfJoinTvf {
       strArg(fn, args, 2), strArg(fn, args, 3),
       strArg(fn, args, 4), strArg(fn, args, 5),
       (valIdx until args.length).map(strArg(fn, args, _)),
-      leftOuter, forward, tol)
+      leftOuter, forward, tol, strict)
   }
 
-  /** registration tuples for `SparkSessionExtensions.injectTableFunction` */
+  /** registration tuples for `SparkSessionExtensions.injectTableFunction`;
+    * the `_strict` family excludes exact time ties (DuckDB's `>`/`<`
+    * comparators, pandas allow_exact_matches=False) — same arguments,
+    * same output contract */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] =
-    Seq(("asof_join", false, false), ("asof_join_left", true, false),
-      ("asof_join_forward", false, true),
-      ("asof_join_forward_left", true, true)).map {
-      case (name, outer, fwd) =>
+    Seq(("asof_join", false, false, false),
+      ("asof_join_left", true, false, false),
+      ("asof_join_forward", false, true, false),
+      ("asof_join_forward_left", true, true, false),
+      ("asof_join_strict", false, false, true),
+      ("asof_join_strict_left", true, false, true),
+      ("asof_join_strict_forward", false, true, true),
+      ("asof_join_strict_forward_left", true, true, true)).map {
+      case (name, outer, fwd, strict) =>
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[AsOfJoin].getName, name),
-          build(name, outer, fwd) _)
+          build(name, outer, fwd, strict) _)
     }
 }
 
@@ -135,7 +145,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
-          fwd, tol) if l.resolved && r.resolved =>
+          fwd, tol, strict) if l.resolved && r.resolved =>
         def attr(out: Seq[Attribute], n: String, side: String): Attribute =
           out.find(a => conf.resolver(a.name, n)).getOrElse(
             throw new IllegalArgumentException(
@@ -183,7 +193,7 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
             s"asof_join: time columns `$lt` (${ltE.dataType.sql}) and " +
               s"`$rt` (${rtE.dataType.sql}) must have the SAME type — " +
               "cast one side so the units are explicit")
-        val aoj = AsOfJoin(l, rp, lkE, rkE, ltE, rtE, outer, fwd, tol)
+        val aoj = AsOfJoin(l, rp, lkE, rkE, ltE, rtE, outer, fwd, tol, strict)
         // payload attrs come from aoj.output (NOT rp.output): outer mode
         // rewrites their nullability there
         val rightOut = aoj.output.drop(l.output.size)

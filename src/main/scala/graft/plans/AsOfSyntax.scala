@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType,
   *   ASOF JOIN clicks c                 -- inner; also ASOF LEFT JOIN
   *     ON p.user_id = c.user_id
   *    AND p.ts >= c.ts                  -- >= : backward; <= : forward
+  *                                      -- > / < : same, excluding ties
   *    TOLERANCE 600000000               -- optional staleness bound
   *                                      --   (graft extension, not DuckDB)
   * }}}
@@ -49,9 +50,10 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType,
   *     outer-side nullability) match the Join's exactly, so parent
   *     operators' resolved references survive the swap.
   *
-  * Bounds, stated rather than discovered: strict `>`/`<` inequalities
-  * are rejected at analysis (the exec implements the non-strict pandas/
-  * DuckDB default); `USING` and non-inner/left join types are rejected
+  * Bounds, stated rather than discovered: all four DuckDB comparators
+  * are accepted — `>=`/`<=` (the non-strict pandas/DuckDB default) and
+  * the strict `>`/`<` forms, which set the exec's tie-excluding
+  * `strict` flag; `USING` and non-inner/left join types are rejected
   * at parse; an `OR` in the condition fails decomposition with a named
   * error. A marker that somehow survives analysis is [[Unevaluable]], so
   * failure is loud, never a silently-wrong plain join.
@@ -65,7 +67,15 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType,
   * rule errors loudly unless the ON clause is genuinely as-of-shaped.
   * `TOLERANCE` is consumed only while an ASOF join's ON region is still
   * open — any same-depth clause keyword (WHERE/GROUP/ORDER/...) closes
-  * it, so a COLUMN named tolerance in later clauses is never eaten.
+  * it, so a COLUMN named tolerance in later clauses is never eaten, and
+  * a DOTTED `x.tolerance` inside the ON region is recognized as a
+  * column and passes through. The one residual reservation: a BARE
+  * (unqualified) `tolerance` compared inside a still-open ASOF ON
+  * region errs loudly ("must be followed by a nonnegative integer") —
+  * qualify the column to use it there. A plain JOIN at the same depth
+  * while an ASOF join still awaits its ON errs loudly rather than
+  * binding the next ON to the wrong join (the stacked nested-join
+  * form — parenthesize the nested join instead).
   */
 object AsOfSyntax {
 
@@ -92,9 +102,13 @@ object AsOfSyntax {
             s"or one integer tolerance literal, got $other")
       })
 
+  // USER_RAISED_EXCEPTION renders as the bare message: these are the
+  // user's own SQL mistakes (wrong join type, missing ON, a strict
+  // inequality), and INTERNAL_ERROR would wrap them in Spark's "this is
+  // a bug, please file a report" framing
   private[plans] def err(msg: String): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
-      "INTERNAL_ERROR", Map("message" -> s"ASOF JOIN: $msg"))
+      "USER_RAISED_EXCEPTION", Map("errorMessage" -> s"ASOF JOIN: $msg"))
 
   // ---------------------------------------------------------------------
   // token-level text rewrite
@@ -163,6 +177,15 @@ object AsOfSyntax {
     def awaitingOn: Boolean = markerPos < 0
   }
 
+  /** is the word starting at `start` the tail of a dotted reference
+    * (`r.tolerance`)? Scan back over whitespace: a `.` means it is a
+    * qualified COLUMN, never the TOLERANCE clause keyword */
+  private def isDottedRef(sql: String, start: Int): Boolean = {
+    var i = start - 1
+    while (i >= 0 && Character.isWhitespace(sql.charAt(i))) i -= 1
+    i >= 0 && sql.charAt(i) == '.'
+  }
+
   /** same-depth words that cannot appear inside an ON condition — seeing
     * one closes every ON-matched pending join at that depth, so a later
     * bare `tolerance` column in a WHERE/ORDER BY is never consumed */
@@ -226,12 +249,16 @@ object AsOfSyntax {
         pend.exists(p => p.depth == t.depth && p.awaitingOn && !p.closed)) {
         err("USING is not supported for ASOF JOIN — spell the key " +
           "equalities and the time inequality in an ON clause")
-      } else if (t.isWord("TOLERANCE") &&
+      } else if (t.isWord("TOLERANCE") && !isDottedRef(sql, t.start) &&
         pend.exists(p => p.depth == t.depth && !p.awaitingOn &&
           !p.closed && p.tol.isEmpty)) {
-        if (k + 1 >= toks.length || !toks(k + 1).text.forall(_.isDigit))
-          err("TOLERANCE must be followed by an integer literal " +
-            "(time-column units; micros for timestamps)")
+        // the literal must be an UNSIGNED digit run directly adjacent:
+        // `TOLERANCE -5` must not silently become tolerance 5 (the `-`
+        // is never tokenized, so only the whitespace check sees it)
+        if (k + 1 >= toks.length || !toks(k + 1).text.forall(_.isDigit) ||
+          !sql.substring(t.end, toks(k + 1).start).forall(_.isWhitespace))
+          err("TOLERANCE must be followed by a nonnegative integer " +
+            "literal (time-column units; micros for timestamps)")
         val p = pend.findLast(p => p.depth == t.depth && !p.awaitingOn &&
           !p.closed && p.tol.isEmpty).get
         p.tol = Some(toks(k + 1).text)
@@ -239,6 +266,16 @@ object AsOfSyntax {
         dels += ((t.start, toks(k + 1).end))          // drop both tokens
         k += 2
       } else {
+        // a plain JOIN at the same depth while an ASOF join still has no
+        // ON: binding the NEXT ON to the pending ASOF would plant the
+        // marker on the wrong join (the stacked `a ASOF JOIN b JOIN c
+        // ON .. ON ..` form) — err loudly instead; a genuinely nested
+        // join belongs in parentheses, where its depth differs
+        if (t.isWord("JOIN") &&
+          pend.exists(p => p.depth == t.depth && p.awaitingOn))
+          err("this ASOF JOIN has no ON clause before the next JOIN — " +
+            "every ASOF JOIN needs its own ON; parenthesize a nested " +
+            "join if you meant one")
         // a clause boundary ends the ON region of every matched pending
         // join at this depth — a `tolerance` COLUMN referenced later in
         // the statement must never be eaten as the staleness bound
@@ -322,35 +359,43 @@ object ResolveAsOfSyntax extends Rule[LogicalPlan] with PredicateHelper {
           else if (e.references.subsetOf(r.outputSet)) 1
           else -1
         val eqs = ArrayBuffer.empty[(Expression, Expression)]
-        var time: Option[(Expression, Expression, Boolean)] = None
+        var time: Option[(Expression, Expression, Boolean, Boolean)] = None
         var tol: Option[Long] = None
-        def setTime(lt: Expression, rt: Expression, fwd: Boolean): Unit = {
+        def setTime(lt: Expression, rt: Expression, fwd: Boolean,
+                    strict: Boolean): Unit = {
           if (time.isDefined) fail("exactly ONE time inequality is " +
             "expected in the ON condition, found a second one")
-          time = Some((lt, rt, fwd))
+          time = Some((lt, rt, fwd, strict))
         }
         splitConjunctivePredicates(cond).foreach {
           case m: AsOfMarker => tol = m.tolerance
           case EqualTo(a, b) if side(a) == 0 && side(b) == 1 => eqs += ((a, b))
           case EqualTo(a, b) if side(a) == 1 && side(b) == 0 => eqs += ((b, a))
           case GreaterThanOrEqual(a, b) if side(a) == 0 && side(b) == 1 =>
-            setTime(a, b, fwd = false)     // l.t >= r.t : latest past right
+            setTime(a, b, fwd = false, strict = false) // l.t >= r.t : latest past right
           case GreaterThanOrEqual(a, b) if side(a) == 1 && side(b) == 0 =>
-            setTime(b, a, fwd = true)      // r.t >= l.t : earliest future
+            setTime(b, a, fwd = true, strict = false)  // r.t >= l.t : earliest future
           case LessThanOrEqual(a, b) if side(a) == 0 && side(b) == 1 =>
-            setTime(a, b, fwd = true)
+            setTime(a, b, fwd = true, strict = false)
           case LessThanOrEqual(a, b) if side(a) == 1 && side(b) == 0 =>
-            setTime(b, a, fwd = false)
-          case _: GreaterThan | _: LessThan =>
-            fail("strict inequalities are not supported — the operator " +
-              "implements the non-strict (>=/<=) as-of semantics; " +
-              "adjust the bound by one time unit if you need strictness")
+            setTime(b, a, fwd = false, strict = false)
+          // strict comparators (DuckDB accepts them in ASOF): same
+          // direction reading, ties excluded by the exec
+          case GreaterThan(a, b) if side(a) == 0 && side(b) == 1 =>
+            setTime(a, b, fwd = false, strict = true)  // l.t > r.t : latest strictly-past
+          case GreaterThan(a, b) if side(a) == 1 && side(b) == 0 =>
+            setTime(b, a, fwd = true, strict = true)
+          case LessThan(a, b) if side(a) == 0 && side(b) == 1 =>
+            setTime(a, b, fwd = true, strict = true)   // l.t < r.t : earliest strictly-future
+          case LessThan(a, b) if side(a) == 1 && side(b) == 0 =>
+            setTime(b, a, fwd = false, strict = true)
           case other => fail("the ON condition must be a conjunction of " +
             "side-separable equalities and ONE time inequality; cannot " +
             s"place `${other.sql}`")
         }
-        val (ltE, rtE, fwd) = time.getOrElse(fail(
-          "no time inequality (l.t >= r.t or l.t <= r.t) in the ON clause"))
+        val (ltE, rtE, fwd, strict) = time.getOrElse(fail(
+          "no time inequality (l.t >= r.t, l.t <= r.t, or the strict " +
+            "forms) in the ON clause"))
         if (eqs.isEmpty) fail("at least one key equality is required " +
           "(the operator partitions by key; an unkeyed as-of would " +
           "serialize the whole input through one task)")
@@ -360,13 +405,21 @@ object ResolveAsOfSyntax extends Rule[LogicalPlan] with PredicateHelper {
         // field names from the attributes, and differently-NAMED but
         // same-typed key columns (l.k1 = r.kA) — or a widening Cast on
         // one side only — would then fail the struct type check on
-        // field names alone
+        // field names alone. The whole struct nulls out when ANY
+        // component is NULL (mirroring JoinOps.compositeKey): a bare
+        // CreateStruct is non-null even with a NULL field, and the
+        // exec's struct ordering would then match NULL = NULL key
+        // components where SQL equality (and DuckDB) would not
         def mkKey(parts: Seq[Expression]): Expression =
           if (parts.size == 1) widen(parts.head)
-          else CreateStruct(parts.zipWithIndex.map { case (p, i) =>
-            org.apache.spark.sql.catalyst.expressions.Alias(
-              widen(p), s"_${i + 1}")()
-          })
+          else {
+            import org.apache.spark.sql.catalyst.expressions.{Alias, If, IsNull, Or}
+            val struct = CreateStruct(parts.zipWithIndex.map { case (p, i) =>
+              Alias(widen(p), s"_${i + 1}")()
+            })
+            val anyNull = parts.map(IsNull(_): Expression).reduce(Or(_, _))
+            If(anyNull, Literal.create(null, struct.dataType), struct)
+          }
         val (lkE, rkE) = (mkKey(eqs.map(_._1).toSeq),
           mkKey(eqs.map(_._2).toSeq))
         if (!org.apache.spark.sql.types.DataType.equalsIgnoreNullability(
@@ -385,6 +438,6 @@ object ResolveAsOfSyntax extends Rule[LogicalPlan] with PredicateHelper {
         // same children, same output exprIds (outer widens right-side
         // nullability exactly as Join(LeftOuter) did), so parents'
         // resolved references survive the swap untouched
-        AsOfJoin(l, r, lkE, rkE, ltW, rtW, leftOuter, fwd, tol)
+        AsOfJoin(l, r, lkE, rkE, ltW, rtW, leftOuter, fwd, tol, strict)
     }
 }

@@ -41,7 +41,7 @@ case class BroadcastAsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
     leftOuter: Boolean, forward: Boolean,
-    tolerance: Option[Long],
+    tolerance: Option[Long], strict: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   private def isTime(e: Expression): Boolean =
@@ -97,6 +97,10 @@ case class BroadcastAsOfJoinExec(
     val outAttrs = output
     val outer = leftOuter
     val fwd = forward
+    // copied to a local BEFORE the mapPartitions closure, like every
+    // other field here — referencing the field inside would capture
+    // and serialize `this` (the whole SparkPlan)
+    val noTies = strict
     val tol = tolerance.getOrElse(Long.MaxValue)
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     val bindSchema =
@@ -142,14 +146,18 @@ case class BroadcastAsOfJoinExec(
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           rOut.length)
 
-      // backward: rightmost time <= t; forward: leftmost time >= t
+      // backward: rightmost time <= t (< t when strict); forward:
+      // leftmost time >= t (> t when strict) — strict flips only the
+      // binary-search bound, excluding exact ties
       def probe(h: History, t: Long): Int = {
         var lo = 0
         var hi = h.times.length - 1
         var found = -1
         while (lo <= hi) {
           val mid = (lo + hi) >>> 1
-          val ok = if (fwd) h.times(mid) >= t else h.times(mid) <= t
+          val ok =
+            if (fwd) { if (noTies) h.times(mid) > t else h.times(mid) >= t }
+            else { if (noTies) h.times(mid) < t else h.times(mid) <= t }
           if (ok) { found = mid; if (fwd) hi = mid - 1 else lo = mid + 1 }
           else { if (fwd) lo = mid + 1 else hi = mid - 1 }
         }

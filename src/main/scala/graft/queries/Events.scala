@@ -1366,8 +1366,31 @@ object Events {
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
-        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000"""))
+        WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 600000000""")),
+
+    // ---- parser-level STRICT comparator (round-16: the last dialect seam)
+    //      DuckDB's ASOF accepts `>` (exclude exact ties); the exec's
+    //      strict flag flips one comparison in the merge consume loop /
+    //      the broadcast binary-search bound. Shared verbatim text again —
+    //      both engines parse and execute the SAME string (AsOfStrictSpec
+    //      pins strict-at-t ≡ non-strict-at-(t-1) on a tie-rich fixture
+    //      across both physical tiers).
+    Q("e41_asof_syntax_strict",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofSyntaxStrictSql)
+      },
+      Some(asofSyntaxStrictSql))
   )
+
+  private lazy val asofSyntaxStrictSql = """
+    SELECT p.event_id, p.user_id, p.ts,
+      c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts > c.ts"""
 
   private lazy val asofSyntaxFwdSql = """
     SELECT p.event_id, p.user_id, p.ts,

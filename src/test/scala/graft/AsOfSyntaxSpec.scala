@@ -161,18 +161,40 @@ class AsOfSyntaxSpec extends SparkSpec {
       Seq((1L, 10.0), (2L, 20.0)))
   }
 
-  test("strict inequality and OR conditions fail with named errors") {
+  test("OR conditions and missing inequalities fail with named errors") {
     setup()
     val e1 = intercept[AnalysisException] {
       spark.sql("SELECT * FROM asx_l l ASOF JOIN asx_r r " +
-        "ON l.k = r.k AND l.t > r.rt").collect()
-    }
-    assert(e1.getMessage.contains("strict"))
-    val e2 = intercept[AnalysisException] {
-      spark.sql("SELECT * FROM asx_l l ASOF JOIN asx_r r " +
         "ON l.k = r.k OR l.t >= r.rt").collect()
     }
-    assert(e2.getMessage.contains("ASOF JOIN"))
+    assert(e1.getMessage.contains("ASOF JOIN"))
+    val e2 = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM asx_l l ASOF JOIN asx_r r " +
+        "ON l.k = r.k").collect()
+    }
+    assert(e2.getMessage.contains("time inequality"))
+  }
+
+  test("strict comparators decompose: > is backward-no-ties") {
+    setup()
+    // id=4 (k=c, t=500) matches rt=100 either way; with a right row AT
+    // the probe time the strict form must skip it — asx_r has (b,100)
+    // and asx_l has (b,90): non-strict forward t<=rt matches 100,
+    // strict forward t<rt also matches 100 (90<100); use the self-tie:
+    // strict backward from (a,250) skips nothing (no tie) -> same as
+    // non-strict, while (a,100)'s own t exists? asx_r has no rt=100 for
+    // a, so pin the decomposition flag itself plus AsOfStrictSpec's
+    // tie-rich equality
+    val df = spark.sql("SELECT l.id, r.v FROM asx_l l " +
+      "ASOF JOIN asx_r r ON l.k = r.k AND l.t > r.rt")
+    val nodes = df.queryExecution.optimizedPlan.collect {
+      case a: AsOfJoin => (a.forward, a.strict) }
+    assert(nodes == Seq((false, true)))
+    val fwdNodes = spark.sql("SELECT l.id, r.v FROM asx_l l " +
+      "ASOF JOIN asx_r r ON l.k = r.k AND l.t < r.rt")
+      .queryExecution.optimizedPlan.collect {
+        case a: AsOfJoin => (a.forward, a.strict) }
+    assert(fwdNodes == Seq((true, true)))
   }
 
   test("self-join through the syntax: analyzer dedup keeps sides apart") {
@@ -183,5 +205,70 @@ class AsOfSyntaxSpec extends SparkSpec {
         |ORDER BY a.id""".stripMargin).collect()
     // every row at least matches itself (t >= t, same key)
     assert(rows.length == 4)
+  }
+
+  // ---- round-16 advice closures ---------------------------------------
+
+  test("a NULL composite-key component never matches (SQL equality)") {
+    val s = spark
+    import s.implicits._
+    // both sides carry (k1='a', k2=NULL) rows: under SQL equality
+    // `l.k2 = r.k2` a NULL never equals a NULL, so id=2 must NOT match —
+    // an unguarded CreateStruct key would pair the NULL fields up
+    Seq((1L, "a", Some(1L), 100L), (2L, "a", None, 100L))
+      .toDF("id", "k1", "k2", "t").createOrReplaceTempView("asxn_l")
+    Seq(("a", Some(1L), 50L, 10.0), ("a", None, 50L, 99.0))
+      .toDF("k1", "k2", "rt", "v").createOrReplaceTempView("asxn_r")
+    val inner = spark.sql(
+      """SELECT l.id, r.v FROM asxn_l l
+        |ASOF JOIN asxn_r r
+        |ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.t >= r.rt
+        |ORDER BY l.id""".stripMargin).collect()
+    assert(inner.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0)))
+    // outer: the NULL-component row is retained, null-padded
+    val outer = spark.sql(
+      """SELECT l.id, r.v FROM asxn_l l
+        |ASOF LEFT JOIN asxn_r r
+        |ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.t >= r.rt
+        |ORDER BY l.id""".stripMargin).collect()
+    assert(outer.length == 2 && outer.find(_.getLong(0) == 2L).get.isNullAt(1))
+  }
+
+  test("a plain JOIN before the ASOF's ON errs instead of mis-binding") {
+    val e = intercept[AnalysisException] {
+      AsOfSyntax.rewrite(
+        "SELECT * FROM a ASOF JOIN b JOIN c ON b.x = c.x AND b.t >= c.t")
+    }
+    assert(e.getMessage.contains("no ON clause before the next JOIN"))
+    // but a plain join whose ON already closed the ASOF's region is fine
+    val ok = AsOfSyntax.rewrite(
+      "SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t " +
+        "JOIN c ON b.x = c.x")
+    assert(ok.contains("__graft_asof() AND") && ok.contains("JOIN c ON"))
+  }
+
+  test("TOLERANCE rejects signed and non-adjacent literals") {
+    val e = intercept[AnalysisException] {
+      AsOfSyntax.rewrite("SELECT * FROM l ASOF JOIN r " +
+        "ON l.k = r.k AND l.t >= r.rt TOLERANCE -5")
+    }
+    assert(e.getMessage.contains("nonnegative integer"))
+  }
+
+  test("a dotted x.tolerance inside the ON region is a column, not the clause") {
+    val q = "SELECT * FROM l ASOF JOIN r " +
+      "ON l.k = r.k AND l.t >= r.rt AND r.tolerance = 5"
+    val out = AsOfSyntax.rewrite(q)
+    assert(out.contains("r.tolerance = 5"), out)
+    assert(out.contains("__graft_asof() AND"), out)
+  }
+
+  test("syntax errors carry a user error class, not INTERNAL_ERROR") {
+    val e = intercept[AnalysisException] {
+      AsOfSyntax.rewrite("SELECT * FROM l ASOF RIGHT JOIN r ON l.k = r.k")
+    }
+    assert(e.getCondition == "USER_RAISED_EXCEPTION", e.getCondition)
+    assert(!e.getMessage.toLowerCase.contains("bug"), e.getMessage)
   }
 }
