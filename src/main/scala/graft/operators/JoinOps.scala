@@ -313,7 +313,8 @@ object JoinOps {
                          sliceWidth: Long,
                          leftOuter: Boolean = false,
                          forward: Boolean = false,
-                         tolerance: Option[Long] = None): DataFrame = {
+                         tolerance: Option[Long] = None,
+                         strict: Boolean = false): DataFrame = {
     require(sliceWidth > 0, s"sliceWidth must be > 0, got $sliceWidth")
     // reserved internal names — fail loud instead of silently shadowing
     Seq("__t", "__slice", "__kk").foreach(n =>
@@ -378,12 +379,111 @@ object JoinOps {
       .unionByName(carries.select((right.columns.map(col) ++
         Seq(col("__slice"), col("__kk"))).toIndexedSeq: _*))
 
+    // strict threads straight through: a carried row comes from a
+    // strictly-EARLIER slice, so its time is strictly below every left
+    // time in the destination slice either way — only the within-slice
+    // merge needs the tie exclusion, and the native exec applies it
     asOfJoinNative(lS, rAug, leftKey = "__kk", rightKey = "__kk",
         leftTime = leftTime, rightTime = rightTime,
         rightVals = rightVals, leftOuter = leftOuter,
-        forward = forward, tolerance = tolerance)
+        forward = forward, tolerance = tolerance, strict = strict)
       .select((left.columns.map(col) ++
         rightVals.map(v => col(s"asof_$v"))).toIndexedSeq: _*)
+  }
+
+  /** Auto-skew-routed as-of join — the last rung of the as-of planning
+    * ladder (round-16): the physical TIER is already cost-based
+    * ([[graft.plans.AsOfJoinStrategy]] picks broadcast vs shuffled
+    * merge from stats), but Spark's AQE cannot split the custom exec's
+    * skewed partitions (OptimizeSkewedJoin pattern-matches only the
+    * built-in join execs — pinned in AsOfSkewSpec), so a hot key
+    * serializes onto one task unless the caller reads the w19 slice
+    * plan and calls [[asOfJoinTimeSliced]] manually. This operator does
+    * that read-and-route automatically:
+    *
+    *  1. ONE aggregate over the left side builds the key histogram —
+    *     per-key row count plus time span (w19's histogram step; at
+    *     production scale swap in the ds04 heavy-hitter sketch, which
+    *     needs no exact pass);
+    *  2. keys above `targetRowsPerTask` (default: left total /
+    *     defaultParallelism — w14's hot bar) are HOT; w19's arithmetic
+    *     derives each hot key's slice count and width, and the MIN
+    *     width across hot keys becomes the global sliceWidth;
+    *  3. both inputs split on hot-key membership (an isin predicate —
+    *     the hot set is bounded by total/target ≈ parallelism keys, so
+    *     it folds into the scan as an In filter, no extra shuffle):
+    *     hot rows route through [[asOfJoinTimeSliced]] at the planned
+    *     width, cold rows through [[asOfJoinNative]] (which keeps the
+    *     cost-based broadcast/shuffled choice), results union.
+    *
+    * No hot keys → the plain native plan, zero routing overhead beyond
+    * the histogram pass. Driver state is the hot-key list — bounded by
+    * construction at ~parallelism entries, metadata-scale at any input
+    * size. Requires an ATOMIC key column (the histogram collect and the
+    * isin literal need a scalar); composite keys: pre-concat or call
+    * the sliced form directly. NULL left keys route cold, preserving
+    * the exec's null semantics (never match; outer still pads). */
+  def asOfJoinAuto(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   rightVals: Seq[String],
+                   leftOuter: Boolean = false,
+                   forward: Boolean = false,
+                   tolerance: Option[Long] = None,
+                   strict: Boolean = false,
+                   targetRowsPerTask: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    require(!left.schema(leftKey).dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType],
+      "asOfJoinAuto requires an atomic key column — composite keys: " +
+        "pre-concat, or size asOfJoinTimeSliced from the w19 plan directly")
+    def micros(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
+      else col(c).cast("long")
+    def native(l: DataFrame, r: DataFrame): DataFrame =
+      asOfJoinNative(l, r, leftKey, rightKey, leftTime, rightTime,
+        rightVals, leftOuter, forward, tolerance, strict)
+    // w19's histogram: per-key rows + time span, one keyed aggregate;
+    // the total joins back as a broadcast one-row frame so hot-key
+    // selection is ONE job and the histogram's exchange is reused
+    // between the two subtrees (ReuseExchange), not recomputed
+    val hist = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__n"),
+        min(micros(left, leftTime)).as("__mn"),
+        max(micros(left, leftTime)).as("__mx"))
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val targetCol =
+      if (targetRowsPerTask > 0) lit(targetRowsPerTask)
+      else greatest(expr(s"__total div $par"), lit(1L))
+    // hot keys: > target rows each, so at most total/target of them —
+    // the driver-side list is parallelism-sized, never key-cardinality-
+    // sized (w14's bound)
+    val hot = hist
+      .crossJoin(broadcast(hist.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("__total"))))
+      .filter(col("__n") > targetCol)
+      .select(col("__k"), col("__n"), col("__mn"), col("__mx"),
+        targetCol.as("__target")).collect()
+    if (hot.isEmpty) return native(left, right)
+    // w19's sizing: per hot key span / ceil(n/target); global = MIN so
+    // the hottest key's tasks hit ~target rows
+    val target = math.max(1L, hot.head.getLong(4))
+    val sliceWidth = hot.map { r =>
+      val n = r.getLong(1); val span = r.getLong(3) - r.getLong(2) + 1
+      val nSlices = math.max(1L, math.ceil(n.toDouble / target).toLong)
+      math.max(1L, math.ceil(span.toDouble / nSlices).toLong)
+    }.min
+    val hotKeys = hot.map(_.get(0)).toSeq
+    val lHot = left.filter(col(leftKey).isInCollection(hotKeys))
+    val lCold = left.filter(col(leftKey).isNull ||
+      !col(leftKey).isInCollection(hotKeys))
+    val rHot = right.filter(col(rightKey).isInCollection(hotKeys))
+    val rCold = right.filter(col(rightKey).isNull ||
+      !col(rightKey).isInCollection(hotKeys))
+    asOfJoinTimeSliced(lHot, rHot, leftKey, rightKey, leftTime, rightTime,
+        rightVals, sliceWidth, leftOuter, forward, tolerance, strict)
+      .unionByName(native(lCold, rCold))
   }
 
   /** Binned range join: pairs (l, r) with

@@ -1325,7 +1325,7 @@ object Events {
         s.sql(asofSyntaxLeftSql)
       },
       Some(asofSyntaxLeftSql))
-  ) ++ fwdSyntaxEntries
+  ) ++ fwdSyntaxEntries ++ autoSkewEntries
 
   private lazy val fwdSyntaxEntries: Seq[Q] = Seq(
     // ---- parser-level ASOF JOIN, FORWARD direction ------------------------
@@ -1391,6 +1391,43 @@ object Events {
     ASOF JOIN (SELECT user_id, ts, value FROM events
                WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts > c.ts"""
+
+  /** round-16 additions live in their own seq so the main registry stays
+    * appendable without touching earlier entries */
+  private[queries] lazy val autoSkewEntries: Seq[Q] = Seq(
+    // ---- AUTOMATIC skew routing for as-of ---------------------------------
+    //      e36 proved the mitigation (manual time-slicing, w19-sized);
+    //      this gate runs JoinOps.asOfJoinAuto, which derives the w19
+    //      plan itself (one histogram aggregate over the left side),
+    //      routes keys above targetRowsPerTask through the sliced form
+    //      at the planned width, and leaves cold keys on the cost-based
+    //      native path. The low target forces real routing on the sf
+    //      fixtures (AsOfSkewSpec pins plan shape — 2 as-of nodes, one
+    //      struct-keyed — and native equality on the Zipf fixture); the
+    //      oracle is e24/e36's plain DuckDB ASOF, because routing must
+    //      never change results.
+    Q("e42_asof_auto_skew",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.JoinOps.asOfJoinAuto(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("value")),
+          leftKey = "user_id", rightKey = "user_id",
+          leftTime = "ts", rightTime = "ts",
+          rightVals = Seq("ts", "value"),
+          targetRowsPerTask = 8L)
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+  )
 
   private lazy val asofSyntaxFwdSql = """
     SELECT p.event_id, p.user_id, p.ts,

@@ -149,6 +149,59 @@ class AsOfSkewSpec extends SparkSpec {
     assert(canon(sliced) == canon(native))
   }
 
+  // ---- round-16: automatic skew routing --------------------------------
+
+  private def asOfNodes(df: DataFrame): Seq[graft.plans.AsOfJoin] =
+    df.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoin => a }
+
+  test("auto routing picks the sliced plan for hot keys and equals native") {
+    val (l, r) = skewed(3000, seed = 23)
+    for (outer <- Seq(false, true); fwd <- Seq(false, true)) {
+      val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"), leftOuter = outer, forward = fwd)
+      val auto = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"), leftOuter = outer, forward = fwd)
+      // key 0 owns ~80% of 3000 rows >> total/parallelism, so the plan
+      // must carry TWO as-of joins: the sliced one (struct (k, slice)
+      // composite key) for the hot split plus the native cold path
+      val nodes = asOfNodes(auto)
+      assert(nodes.size == 2, s"outer=$outer fwd=$fwd:\n$nodes")
+      assert(nodes.count(_.leftKey.dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType]) == 1)
+      assert(canon(auto) == canon(native), s"outer=$outer fwd=$fwd")
+    }
+  }
+
+  test("auto routing with NO hot keys degenerates to the single native plan") {
+    val s = spark
+    import s.implicits._
+    // uniform: every key appears twice — nothing crosses total/par
+    val l = (1 to 200).map(i => (i.toLong, i.toLong % 100, i * 10L))
+      .toDF("id", "k", "t")
+    val r = (1 to 200).map(i => (i.toLong % 100, i * 7L + 1, i * 1.0))
+      .toDF("k", "rt", "v")
+    val auto = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"))
+    assert(asOfNodes(auto).size == 1)
+    assert(canon(auto) == canon(JoinOps.asOfJoinNative(l, r, "k", "k",
+      "t", "rt", rightVals = Seq("rt", "v"))))
+  }
+
+  test("auto routing honors targetRowsPerTask and strict composes") {
+    val (l, r) = skewed(1500, seed = 29)
+    // absurdly high target -> no hot keys even on the Zipf fixture
+    val cold = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("v"), targetRowsPerTask = 10000000L)
+    assert(asOfNodes(cold).size == 1)
+    // tiny target -> hot routing; strict threads through both branches
+    val auto = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("v"), strict = true, targetRowsPerTask = 50L)
+    assert(asOfNodes(auto).size == 2)
+    assert(canon(auto) == canon(JoinOps.asOfJoinNative(l, r, "k", "k",
+      "t", "rt", rightVals = Seq("v"), strict = true)))
+  }
+
   test("degenerate widths: one giant slice and one-row slices") {
     val (l, r) = skewed(500, seed = 3)
     val native = canon(JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
