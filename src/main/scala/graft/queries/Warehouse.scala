@@ -1019,6 +1019,67 @@ object Warehouse {
       setup = Some((s, d) => w18BuildVersions(s, d)))
   ) ++ Seq(
 
+    // ---- AS-OF-TIMESTAMP (time-travel) read over the versioned MV --------
+    //      the other half of the w18 surface users actually type:
+    //      `TIMESTAMP AS OF t` resolves t against the per-version commit
+    //      stamps (written by the same MERGE-loop writer; stamp = the
+    //      event-time boundary the version covers up to, so resolution
+    //      is deterministic and oracle-replayable) to the LATEST version
+    //      committed at-or-before t — here t sits at the 5/8 point of
+    //      the purchase time span, strictly between v1's and v2's
+    //      stamps, so it must resolve to v1 (v0 is already vacuumed:
+    //      resolution walks only RETAINED stamps and readTimestamp fails
+    //      loud for a t before the oldest one, spec-pinned). The output
+    //      joins the timestamp-resolved snapshot against the
+    //      version-resolved head (v3), and the oracle rebuilds BOTH from
+    //      the event log with the same cut arithmetic — resolution AND
+    //      snapshot content checked value-for-value in one gate.
+    Q("w20_time_travel_ts",
+      (s, d) => {
+        val stateDir = w18StateDir(d)
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(unix_micros(col("ts")).as("us"))
+        val mm = p.agg(min(col("us")), max(col("us"))).head()
+        val tq = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 5 / 8
+        val vT = graft.streaming.VersionedState
+          .readTimestamp(s, stateDir, tq)
+          .select(col("user_id"), col("n_purchases").as("nt"),
+            col("spend").as("spt"))
+        val head = graft.streaming.VersionedState
+          .readVersion(s, stateDir, 3L)
+          .select(col("user_id"), col("n_purchases").as("n3"),
+            col("spend").as("sp3"))
+        head.join(vT, Seq("user_id"), "left")
+          .select(col("user_id"),
+            coalesce(col("nt"), lit(0L)).as("n_purchases_at_ts"),
+            coalesce(col("spt"), lit(0).cast("decimal(38,2)"))
+              .cast("double").as("spend_at_ts"),
+            col("n3").as("n_purchases_head"),
+            col("sp3").cast("double").as("spend_head"),
+            (col("n3") - coalesce(col("nt"), lit(0L))).as("n_since_ts"))
+      },
+      Some("""
+        WITH p AS (SELECT user_id, value, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'purchase'),
+        mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM p),
+        c AS (SELECT mn + (mx - mn) * 2 // 4 AS c1 FROM mm),
+        vt AS (SELECT user_id, COUNT(*) AS nt,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS spt
+               FROM p WHERE us < (SELECT c1 FROM c) GROUP BY user_id),
+        v3 AS (SELECT user_id, COUNT(*) AS n3,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS sp3
+               FROM p GROUP BY user_id)
+        SELECT v3.user_id,
+          COALESCE(vt.nt, 0) AS n_purchases_at_ts,
+          CAST(COALESCE(vt.spt, 0) AS DOUBLE) AS spend_at_ts,
+          v3.n3 AS n_purchases_head,
+          CAST(v3.sp3 AS DOUBLE) AS spend_head,
+          v3.n3 - COALESCE(vt.nt, 0) AS n_since_ts
+        FROM v3 LEFT JOIN vt ON v3.user_id = vt.user_id"""),
+      setup = Some((s, d) => w18BuildVersions(s, d)))
+  ) ++ Seq(
+
     // ---- as-of slice planner (w14's sizing step for the TIME axis) -------
     //      the histogram->plan arithmetic that picks
     //      asOfJoinTimeSliced's sliceWidth: per hot key (count above the
@@ -1123,6 +1184,11 @@ object Warehouse {
         else inc
       merged.write.mode("overwrite").option("compression", "zstd")
         .parquet(stateDir.resolve(s"v$i").toString)
+      // commit stamp = the event-time boundary this version covers up to
+      // (exclusive; v3 covers everything -> mx+1): deterministic, so
+      // w20's DuckDB oracle replays AS-OF-TIMESTAMP resolution exactly
+      graft.streaming.VersionedState.stampCommit(stateDir, i.toLong,
+        if (i == 3) mx + 1 else mn + (mx - mn) * (i + 1) / 4)
       graft.streaming.VersionedState.vacuum(stateDir, i.toLong, keep = 3)
     }
   }

@@ -56,6 +56,61 @@ object VersionedState {
     spark.read.parquet(stateDir.resolve(s"v$version").toString)
   }
 
+  /** name of the per-version commit manifest [[stampCommit]] writes —
+    * starts with `_` so Spark's parquet reader ignores it as metadata */
+  private val CommitFile = "_graft_commit_ts"
+
+  /** Stamp version `version` with its commit timestamp (micros) — the
+    * manifest entry `AS OF TIMESTAMP` resolution reads. A real table
+    * format records wall-clock commit time in its log; this writer's
+    * callers stamp a DETERMINISTIC timestamp instead (w18/w20 use the
+    * event-time boundary the version covers up to), which keeps the
+    * DuckDB oracle able to replay resolution exactly. A tiny driver-side
+    * file write, same metadata-only contract as the rest of this API. */
+  def stampCommit(stateDir: Path, version: Long,
+                  commitTsMicros: Long): Unit = {
+    val vDir = stateDir.resolve(s"v$version")
+    require(Files.isDirectory(vDir),
+      s"cannot stamp v$version: directory does not exist (stamp AFTER " +
+        "the snapshot write)")
+    Files.writeString(vDir.resolve(CommitFile), commitTsMicros.toString)
+  }
+
+  /** (version, commitTsMicros) for every retained version that carries a
+    * commit stamp, version-ascending */
+  def commitTimestamps(stateDir: Path): Seq[(Long, Long)] =
+    versionsIn(stateDir).sortBy(_._1).flatMap { case (v, p) =>
+      val f = p.resolve(CommitFile)
+      if (Files.exists(f)) Some((v, Files.readString(f).trim.toLong))
+      else None
+    }
+
+  /** AS-OF-TIMESTAMP (time-travel) read: the latest version whose commit
+    * stamp is <= `tsMicros` — the resolution rule a lakehouse applies to
+    * `TIMESTAMP AS OF t` (the snapshot committed at-or-before t). Fails
+    * LOUD when the timestamp predates the oldest RETAINED stamp (the
+    * matching snapshot was vacuumed — serving the oldest survivor would
+    * silently show state newer than asked for) and when no retained
+    * version carries a stamp at all. */
+  def readTimestamp(spark: SparkSession, stateDir: Path,
+                    tsMicros: Long): DataFrame = {
+    val stamps = commitTimestamps(stateDir)
+    require(stamps.nonEmpty,
+      s"no commit-stamped versions under $stateDir — the writer must " +
+        "stampCommit each snapshot for timestamp-based time travel")
+    val hit = stamps.filter(_._2 <= tsMicros).map(_._1).maxOption
+    hit match {
+      case Some(v) => readVersion(spark, stateDir, v)
+      case None =>
+        val (ov, ots) = stamps.head
+        throw new IllegalArgumentException(
+          s"timestamp $tsMicros predates the oldest retained snapshot " +
+            s"(v$ov, committed $ots); the matching version was vacuumed " +
+            "or never existed — raise `keep` to retain a longer " +
+            "time-travel window")
+    }
+  }
+
   /** Delete every version <= current - keep; returns the ids removed.
     * Keeps the `keep` most recent versions ending at `current`, so the
     * version a reader resolved up to keep-1 batches ago is still on

@@ -77,4 +77,49 @@ class VersionedStateSpec extends SparkSpec {
       VersionedState.vacuum(dir, current = 1, keep = 1)
     }
   }
+
+  // ---- round-16: AS-OF-TIMESTAMP resolution ---------------------------
+
+  test("readTimestamp resolves to the latest stamp at-or-before t") {
+    val dir = mkState(0 to 3)
+    // stamps 100, 200, 300, 400
+    (0 to 3).foreach(v =>
+      VersionedState.stampCommit(dir, v.toLong, (v + 1) * 100L))
+    assert(VersionedState.commitTimestamps(dir) ==
+      Seq((0L, 100L), (1L, 200L), (2L, 300L), (3L, 400L)))
+    // strictly between stamps -> the earlier one; exact hit -> that one
+    def readN(ts: Long): Long =
+      VersionedState.readTimestamp(spark, dir, ts)
+        .select("n").head().getLong(0)
+    assert(readN(250L) == 1L)
+    assert(readN(300L) == 2L)
+    assert(readN(999L) == 3L)
+  }
+
+  test("readTimestamp fails LOUD before the oldest retained stamp and " +
+      "on unstamped state") {
+    val dir = mkState(0 to 3)
+    (0 to 3).foreach(v =>
+      VersionedState.stampCommit(dir, v.toLong, (v + 1) * 100L))
+    // vacuum v0/v1: t=150 matched v0, which is gone — resolution must
+    // refuse, not silently serve v2 (state newer than asked for)
+    VersionedState.vacuum(dir, current = 3, keep = 2)
+    val e = intercept[IllegalArgumentException](
+      VersionedState.readTimestamp(spark, dir, 150L))
+    assert(e.getMessage.contains("vacuumed") &&
+      e.getMessage.contains("keep"), e.getMessage)
+    assert(VersionedState.readTimestamp(spark, dir, 350L)
+      .select("n").head().getLong(0) == 2L)
+    val bare = mkState(0 to 1)
+    val e2 = intercept[IllegalArgumentException](
+      VersionedState.readTimestamp(spark, bare, 100L))
+    assert(e2.getMessage.contains("stampCommit"), e2.getMessage)
+  }
+
+  test("stampCommit refuses a version directory that does not exist") {
+    val dir = mkState(0 to 1)
+    intercept[IllegalArgumentException] {
+      VersionedState.stampCommit(dir, 9L, 100L)
+    }
+  }
 }
