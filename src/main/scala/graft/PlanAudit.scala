@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+
 /** Physical-plan audit: for every registered query, count the plan
   * features that matter at scale — exchanges (shuffles), join strategies,
   * top-k collapse, scan-level filter pushdown — and flag the structural
@@ -10,8 +12,52 @@ package graft
   * plus a summary; exits nonzero if a flagged anti-pattern appears, so it
   * can run as a gate. This is the automated form of the per-operator
   * `.explain("formatted")` review the build discipline requires.
+  *
+  * Counting disciplines (round-16 split): the GATE columns (cartesian /
+  * global-sort / single-partition) match over the full rendered plan
+  * string, unchanged since round 6 — an anti-pattern anywhere, including
+  * inside a repeated cached-plan rendering, must flag. The INFORMATIVE
+  * columns (shuffles/joins/scans/pushdown) walk the node tree with each
+  * distinct InMemoryRelation's build plan counted ONCE: the rendered
+  * string repeats the cached lineage at every reference (g11's audit
+  * line claimed 787 "shuffles" where the bench listener observed ~20
+  * runtime exchanges), so iterative/persisted plans overcounted exactly
+  * on the queries one most wants to audit. Repeated references are
+  * annotated (`cached=refs/distinct`) instead of re-counted.
   */
 object PlanAudit {
+
+  /** every node reachable at runtime, each distinct cached build plan
+    * visited ONCE: descends AdaptiveSparkPlanExec's current plan,
+    * subquery plans, and InMemoryTableScan relations (identity-deduped
+    * on the shared cacheBuilder, so N scans of one persisted frame
+    * count its lineage once — matching what executes). Returns the
+    * nodes plus (cache references, distinct cached plans). */
+  private[graft] def runtimeNodes(plan: SparkPlan)
+      : (Seq[SparkPlan], Int, Int) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val seenCached = new java.util.IdentityHashMap[AnyRef, AnyRef]()
+    val out = scala.collection.mutable.ArrayBuffer.empty[SparkPlan]
+    var refs = 0
+    def walk(p: SparkPlan): Unit = p.foreach { node =>
+      out += node
+      node.subqueries.foreach(walk)
+      node match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: InMemoryTableScanExec =>
+          refs += 1
+          val key = s.relation.cacheBuilder
+          if (!seenCached.containsKey(key)) {
+            seenCached.put(key, key)
+            walk(s.relation.cachedPlan)
+          }
+        case _ => ()
+      }
+    }
+    walk(plan)
+    (out.toSeq, refs, seenCached.size)
+  }
 
   /** `Exchange SinglePartition` lines that funnel anything other than a
     * partial aggregate (or a local limit) into one task: the plan shape
@@ -36,36 +82,46 @@ object PlanAudit {
     val spark = GraftSession.getOrCreate("graft-plan-audit")
     var flagged = List.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val physical = fn(spark, sfDir).queryExecution.executedPlan
+      val plan = physical.toString
       def n(feature: String): Int =
         feature.r.findAllMatchIn(plan).size
-      val exchanges = n("Exchange (hash|range)partitioning") +
-        n("Exchange SinglePartition")
-      val bhj = n("BroadcastHashJoin")
-      val smj = n("SortMergeJoin")
-      val topk = n("TakeOrderedAndProject")
+      // ---- GATE columns: full-string match, anti-patterns anywhere ----
       val cartesian = n("CartesianProduct")
-      val nlj = n("BroadcastNestedLoopJoin")
-      // a range-partitioning exchange is a global sort that did NOT
-      // collapse into TakeOrderedAndProject (top-k plans never contain
-      // one); no registered query should want a full ordered shuffle
       val globalSort = n("Exchange rangepartitioning")
       val singleParts = badSinglePartitions(plan)
+      // ---- INFORMATIVE columns: runtime-shape node walk ---------------
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+      import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, TakeOrderedAndProjectExec}
+      val (nodes, cacheRefs, cacheDistinct) = runtimeNodes(physical)
+      val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+      val smj = nodes.count(_.isInstanceOf[SortMergeJoinExec])
+      val topk = nodes.count(_.isInstanceOf[TakeOrderedAndProjectExec])
+      val nlj = nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
       // pushdown visibility: file scans, and how many of them reached
       // the reader with at least one pushed filter — the "filters reach
       // the parquet scan" rule made auditable (informative, not a gate:
       // full-table aggregates legitimately push nothing)
-      val scans = n("FileScan parquet")
-      val pushedScans = n("PushedFilters: \\[[^\\]]")
+      val parquetScans = nodes.collect {
+        case f: FileSourceScanExec
+            if f.relation.fileFormat.toString.toLowerCase.contains("parquet")
+          => f }
+      val scans = parquetScans.size
+      val pushedScans = parquetScans.count(
+        _.metadata.get("PushedFilters").exists(v => v != "[]"))
       // an operator that drops to the RDD API hides its shuffles behind a
       // `Scan ExistingRDD` leaf — the audit cannot see inside, so the
       // shuffle count is a LOWER bound, reported as such, never as 0
-      val rddOpaque = plan.contains("Scan ExistingRDD")
+      val rddOpaque = nodes.exists(_.isInstanceOf[RDDScanExec])
       val notes = new StringBuilder
       if (cartesian > 0) { notes ++= " CARTESIAN!"; flagged ::= name }
       if (globalSort > 0) { notes ++= " GLOBAL-SORT!"; flagged ::= name }
       if (singleParts > 0) { notes ++= " SINGLE-PARTITION!"; flagged ::= name }
       if (rddOpaque) notes ++= " rdd-opaque(shuffle count is a lower bound)"
+      // repeated cached-plan references: counted once above, shown here
+      if (cacheRefs > 0) notes ++= s" cached=$cacheRefs/$cacheDistinct"
       val shufflesShown = if (rddOpaque) s">=$exchanges" else f"$exchanges%2d"
       println(f"$name%-26s shuffles=$shufflesShown bhj=$bhj nlj=$nlj " +
         f"smj=$smj topk=$topk scans=$scans pushed=$pushedScans$notes")
