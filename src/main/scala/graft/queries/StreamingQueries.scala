@@ -1088,7 +1088,48 @@ object StreamingQueries {
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts"""),
-      setup = Some((s, d) => writeTimeSlices(s, d, "st25")))
+      setup = Some((s, d) => writeTimeSlices(s, d, "st25"))),
+
+    // ---- STRICT streaming as-of, both directions (round 16) --------------
+    //      e41's tie-excluding comparators in the live machines, keeping
+    //      batch and stream dialect-symmetric. Backward strict needs real
+    //      state machinery (the key's state carries the second-latest
+    //      distinct-time reference, because a fact TIED with the held
+    //      reference's time must match the strictly-earlier one the tie
+    //      overwrote); forward strict is one comparison flip — a
+    //      same-time reference no longer resolves a pending fact, which
+    //      keeps waiting for a strictly-later one. Oracles are the
+    //      strict-comparator DuckDB ASOF forms, same replay harness and
+    //      zero-late-arrival discipline as st17/st18.
+    Q("st26_stream_asof_strict",
+      (s, d) => runAsOfGate(s, d, "st26") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStream(input,
+          lateArrivals = Some(late), strict = true).toDF()
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts > c.ts"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st26"))),
+
+    Q("st27_stream_asof_fwd_strict",
+      (s, d) => runAsOfGate(s, d, "st27") { (input, late) =>
+        graft.streaming.EventStreams.asOfEnrichStreamForward(input,
+          lateArrivals = Some(late), strict = true).toDF()
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts,
+          c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts < c.ts"""),
+      setup = Some((s, d) => writeTimeSlices(s, d, "st27")))
   )
 
   /** shared harness for the streaming as-of gates: read the gate's

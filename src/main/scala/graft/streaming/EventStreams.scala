@@ -125,8 +125,14 @@ object EventStreams {
                           asof_value: Option[Double])
   /** backward enrichment state: the latest reference + the max event
     * time this key has PROCESSED — the high-water mark that makes
-    * out-of-order delivery detectable instead of silent */
-  case class AsOfEnrichState(ref: Option[AsOfState], maxSeen: Long)
+    * out-of-order delivery detectable instead of silent. `refBefore`
+    * (round-16) is the second-latest DISTINCT-TIME reference, carried
+    * for the STRICT machines: a fact tied with the current reference's
+    * time must match the latest strictly-earlier one, which the single
+    * `ref` no longer holds once the tie overwrote it. Defaults keep
+    * the non-strict machines' constructor unchanged. */
+  case class AsOfEnrichState(ref: Option[AsOfState], maxSeen: Long,
+                             refBefore: Option[AsOfState] = None)
   /** forward enrichment state: facts buffered until their next
     * reference arrives (bounded by ref-arrival rate) + the same
     * high-water mark */
@@ -173,14 +179,16 @@ object EventStreams {
   def asOfEnrichStream(events: Dataset[AsOfInput],
                        lateArrivals: Option[org.apache.spark.util
                          .LongAccumulator] = None,
-                       tolerance: Option[Long] = None): Dataset[AsOfOut] = {
+                       tolerance: Option[Long] = None,
+                       strict: Boolean = false): Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[AsOfEnrichState, AsOfOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[AsOfInput],
          state: GroupState[AsOfEnrichState]) =>
-          backwardBatch(userId, rows, state, lateArrivals, tolerance)
+          backwardBatch(userId, rows, state, lateArrivals, tolerance,
+              strict)
             .collect { case (e, Some(c)) =>
               AsOfOut(e.event_id, userId, e.ts, c.ts, c.value)
             }.iterator
@@ -199,7 +207,8 @@ object EventStreams {
   def asOfEnrichStreamOuter(events: Dataset[AsOfInput],
                             lateArrivals: Option[org.apache.spark.util
                               .LongAccumulator] = None,
-                            tolerance: Option[Long] = None)
+                            tolerance: Option[Long] = None,
+                            strict: Boolean = false)
       : Dataset[AsOfOutOuter] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -207,7 +216,8 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[AsOfInput],
          state: GroupState[AsOfEnrichState]) =>
-          backwardBatch(userId, rows, state, lateArrivals, tolerance)
+          backwardBatch(userId, rows, state, lateArrivals, tolerance,
+              strict)
             .map { case (e, m) =>
               AsOfOutOuter(e.event_id, userId, e.ts,
                 m.map(_.ts), m.map(_.value))
@@ -224,12 +234,22 @@ object EventStreams {
                             state: GroupState[AsOfEnrichState],
                             lateArrivals: Option[org.apache.spark.util
                               .LongAccumulator],
-                            tolerance: Option[Long])
+                            tolerance: Option[Long],
+                            strict: Boolean = false)
       : Seq[(AsOfInput, Option[AsOfState])] = {
     val tol = tolerance.getOrElse(Long.MaxValue)
     val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.is_purchase))
     val st0 = state.getOption.getOrElse(AsOfEnrichState(None, Long.MinValue))
     var ref = st0.ref
+    // strict needs the second-latest distinct-time reference too: a
+    // fact TIED with ref's time must match the latest strictly-earlier
+    // one (batch AsOfJoinExec's tie exclusion); refs ascend, so either
+    // ref is strictly earlier than the fact (use it) or tied (use
+    // refBefore). For a LATE fact refBefore is used only when strictly
+    // earlier — it is then exactly the batch answer or the fact misses,
+    // never a staler-than-batch value (same degrade-to-drop contract
+    // as the non-strict late path).
+    var refBefore = st0.refBefore
     var maxSeen = st0.maxSeen
     val out = Seq.newBuilder[(AsOfInput, Option[AsOfState])]
     sorted.foreach { e =>
@@ -238,13 +258,24 @@ object EventStreams {
       // cross-batch descent: delivery order violated time order
       if (m < maxSeen) lateArrivals.foreach(_.add(1L))
       if (!e.is_purchase) {
-        if (ref.forall(c => micros(c.ts) <= m))
+        if (ref.forall(c => micros(c.ts) <= m)) {
+          // a strictly-newer reference demotes the old one to
+          // refBefore; a same-time replacement keeps refBefore (the
+          // demoted ref shares the new one's time — not strictly
+          // earlier)
+          if (ref.exists(c => micros(c.ts) < m)) refBefore = ref
           ref = Some(AsOfState(e.ts, e.value))
-      } else out += ((e,
-        ref.filter(c => micros(c.ts) <= m && m - micros(c.ts) <= tol)))
+        }
+      } else {
+        val cand =
+          if (!strict) ref.filter(c => micros(c.ts) <= m)
+          else ref.filter(c => micros(c.ts) < m)
+            .orElse(refBefore.filter(c => micros(c.ts) < m))
+        out += ((e, cand.filter(c => m - micros(c.ts) <= tol)))
+      }
       if (m > maxSeen) maxSeen = m
     }
-    state.update(AsOfEnrichState(ref, maxSeen))
+    state.update(AsOfEnrichState(ref, maxSeen, refBefore))
     out.result()
   }
 
@@ -292,7 +323,8 @@ object EventStreams {
                               tolerance: Option[Long] = None,
                               watermarkDelay: Option[String] = None,
                               evictions: Option[org.apache.spark.util
-                                .LongAccumulator] = None)
+                                .LongAccumulator] = None,
+                              strict: Boolean = false)
       : Dataset[AsOfOut] = {
     import events.sparkSession.implicits._
     watermarkDelay match {
@@ -315,7 +347,7 @@ object EventStreams {
             (userId: Long, rows: Iterator[AsOfInput],
              state: GroupState[AsOfFwdState]) =>
               forwardStep(rows, state, lateArrivals, tol,
-                bounded = true, evictions)
+                bounded = true, evictions, strict)
                 .collect { case (f, Some(c)) =>
                   AsOfOut(f.event_id, userId, f.ts, c.ts, c.value)
                 }.iterator
@@ -327,7 +359,8 @@ object EventStreams {
             (userId: Long, rows: Iterator[AsOfInput],
              state: GroupState[AsOfFwdState]) =>
               forwardStep(rows, state, lateArrivals,
-                tolerance.getOrElse(Long.MaxValue), bounded = false, None)
+                tolerance.getOrElse(Long.MaxValue), bounded = false, None,
+                strict)
                 .collect { case (f, Some(c)) =>
                   AsOfOut(f.event_id, userId, f.ts, c.ts, c.value)
                 }.iterator
@@ -373,7 +406,8 @@ object EventStreams {
                                    tolerance: Long,
                                    watermarkDelay: String = "10 seconds",
                                    evictions: Option[org.apache.spark.util
-                                     .LongAccumulator] = None)
+                                     .LongAccumulator] = None,
+                                   strict: Boolean = false)
       : Dataset[AsOfOutOuter] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermarkDelay)
@@ -383,7 +417,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[AsOfInput],
          state: GroupState[AsOfFwdState]) =>
           forwardStep(rows, state, lateArrivals, tolerance,
-            bounded = true, evictions)
+            bounded = true, evictions, strict)
             .map { case (f, m) =>
               AsOfOutOuter(f.event_id, userId, f.ts,
                 m.map(_.ts), m.map(_.value))
@@ -413,7 +447,8 @@ object EventStreams {
                             .LongAccumulator],
                           tol: Long, bounded: Boolean,
                           evictions: Option[org.apache.spark.util
-                            .LongAccumulator])
+                            .LongAccumulator],
+                          strict: Boolean = false)
       : Seq[(AsOfInput, Option[AsOfState])] = {
     val st0 = state.getOption.getOrElse(AsOfFwdState(Nil, Long.MinValue))
     var pending = st0.pending
@@ -440,7 +475,11 @@ object EventStreams {
           // within tolerance -> match; staler -> final NO match (no
           // later ref can be closer) — either way the fact leaves
           // pending, resolved exactly once
-          val (resolved, still) = pending.partition(f => micros(f.ts) <= m)
+          // strict: a same-time reference is NOT this fact's match —
+          // the fact keeps waiting for a strictly-later one (the batch
+          // exec's tie exclusion, mirrored)
+          val (resolved, still) = pending.partition(f =>
+            if (strict) micros(f.ts) < m else micros(f.ts) <= m)
           resolved.foreach { f =>
             out += ((f, if (m - micros(f.ts) <= tol)
               Some(AsOfState(e.ts, e.value)) else None))

@@ -441,4 +441,69 @@ class EventStreamsSpec extends SparkSpec {
     assert(novel < arrivals,
       s"nothing suppressed: $novel of $arrivals arrivals emitted")
   }
+
+  test("strict backward streaming as-of: ties excluded, the demoted " +
+      "reference crosses batches in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStream(input.toDS(), strict = true)
+      .writeStream.format("memory").queryName("asof_strict_st")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_strict_st").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString, r.getDouble(4)))
+      .toSet
+    try {
+      // clicks at 10:03 and 10:05; a purchase TIED with 10:05 must match
+      // 10:03 (tie excluded), a later purchase matches 10:05 normally
+      input.addData(
+        AsOfInput(1L, 1L, ts("2024-01-01 10:03:00"), false, 3.5),
+        AsOfInput(2L, 1L, ts("2024-01-01 10:05:00"), false, 7.5),
+        AsOfInput(100L, 1L, ts("2024-01-01 10:05:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, "2024-01-01 10:03:00.0", 3.5)),
+        s"batch 1: ${rows()}")
+      // batch 2: the DEMOTED 10:03 reference survived the boundary — a
+      // new same-time-as-held-ref purchase still reaches it; a strictly
+      // later purchase takes the held 10:05
+      input.addData(
+        AsOfInput(101L, 1L, ts("2024-01-01 10:05:00"), true, 0.0),
+        AsOfInput(102L, 1L, ts("2024-01-01 10:06:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (100L, "2024-01-01 10:03:00.0", 3.5),
+        (101L, "2024-01-01 10:03:00.0", 3.5),
+        (102L, "2024-01-01 10:05:00.0", 7.5)), s"batch 2: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("strict forward streaming as-of: a same-time reference does not " +
+      "resolve; the fact waits for a strictly-later one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStreamForward(input.toDS(), strict = true)
+      .writeStream.format("memory").queryName("asof_strict_fwd_st")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_strict_fwd_st").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString, r.getDouble(4)))
+      .toSet
+    try {
+      // the tied click is consumed WITHOUT resolving the purchase (no
+      // strictly-earlier pending facts) — non-strict would emit here
+      input.addData(
+        AsOfInput(100L, 1L, ts("2024-01-01 10:05:00"), true, 0.0),
+        AsOfInput(1L, 1L, ts("2024-01-01 10:05:00"), false, 1.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty, s"tie resolved under strict: ${rows()}")
+      // the next, strictly-later click is the match
+      input.addData(
+        AsOfInput(2L, 1L, ts("2024-01-01 10:07:00"), false, 2.0))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, "2024-01-01 10:07:00.0", 2.0)),
+        s"after late click: ${rows()}")
+    } finally q.stop()
+  }
 }

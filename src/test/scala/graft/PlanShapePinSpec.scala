@@ -50,7 +50,17 @@ class PlanShapePinSpec extends SparkSpec {
                                  // may drop them; 2 is the ceiling)
     "e36_asof_time_sliced" -> 8, // slicing premium: rep/carry aggs +
                                  // the composite-key exec's exchanges
-    "w19_asof_slice_plan" -> 2)  // key histogram + broadcast total
+    "w19_asof_slice_plan" -> 2,  // key histogram + broadcast total
+    // round-16 operators
+    "e41_asof_syntax_strict" -> 2, // strict rides the same native exec:
+                                   // the two EnsureRequirements
+                                   // exchanges are the ceiling
+    "e42_asof_auto_skew" -> 8,   // histogram agg + the hot branch's
+                                 // slicing premium + the cold native
+                                 // path (5 observed at sf0.001; slack
+                                 // for a different hot-key split)
+    "w20_time_travel_ts" -> 1)   // two snapshot scans + one broadcast
+                                 // join; resolution is metadata-only
 
   private def exchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllMatchIn(plan).size +
