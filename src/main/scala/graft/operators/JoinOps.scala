@@ -446,8 +446,13 @@ object JoinOps {
     // w19's histogram: per-key rows + time span, one keyed aggregate;
     // the total joins back as a broadcast one-row frame so hot-key
     // selection is ONE job and the histogram's exchange is reused
-    // between the two subtrees (ReuseExchange), not recomputed
-    val hist = left.filter(col(leftKey).isNotNull)
+    // between the two subtrees (ReuseExchange), not recomputed.
+    // NULL-time rows are excluded here on purpose: they never match in
+    // the exec, so they cannot make a key hot — and a key whose times
+    // are ALL null would otherwise surface null mn/mx into the driver
+    // arithmetic below
+    val hist = left
+      .filter(col(leftKey).isNotNull && micros(left, leftTime).isNotNull)
       .groupBy(col(leftKey).as("__k"))
       .agg(count(lit(1)).as("__n"),
         min(micros(left, leftTime)).as("__mn"),

@@ -202,6 +202,33 @@ class AsOfSkewSpec extends SparkSpec {
       "t", "rt", rightVals = Seq("v"), strict = true)))
   }
 
+  test("auto routing survives a hot key whose times are all NULL") {
+    val s = spark
+    import s.implicits._
+    // key 0 has the most rows but every time is NULL: it can never
+    // match, so it must not enter the hot-key arithmetic (an unfiltered
+    // histogram would surface null mn/mx into the driver's getLong) —
+    // it routes cold and, under outer, pads
+    val l = ((1 to 80).map(i =>
+        (i.toLong, java.lang.Long.valueOf(0L),
+          null.asInstanceOf[java.lang.Long])) ++
+      (1 to 60).map(i =>
+        (100L + i, java.lang.Long.valueOf(1L),
+          java.lang.Long.valueOf(i * 10L))))
+      .toDF("id", "k", "t")
+    val r = (1 to 30).map(i => (1L, i * 17L + 1, i * 1.0))
+      .toDF("k", "rt", "v")
+    for (outer <- Seq(false, true)) {
+      val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("v"), leftOuter = outer)
+      val auto = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("v"), leftOuter = outer, targetRowsPerTask = 20L)
+      // key 1 (60 rows, real times) is the only hot key -> 2 nodes
+      assert(asOfNodes(auto).size == 2, s"outer=$outer")
+      assert(canon(auto) == canon(native), s"outer=$outer")
+    }
+  }
+
   test("degenerate widths: one giant slice and one-row slices") {
     val (l, r) = skewed(500, seed = 3)
     val native = canon(JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
