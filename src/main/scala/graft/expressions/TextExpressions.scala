@@ -60,3 +60,49 @@ object RollingHashExpr {
     acc
   }
 }
+
+/** Unicode NFC normalization — the curation-pipeline hygiene step that
+  * runs BEFORE any dedup/fingerprint stage: composed and decomposed
+  * spellings of the same text ("é" vs "e"+U+0301) hash differently, so
+  * an unnormalized corpus under-deduplicates exactly on the non-ASCII
+  * documents. Named `nfc_normalize` to mirror DuckDB's function of the
+  * same name, so the t49 gate runs the SAME SQL text verbatim on both
+  * engines (the ASOF-syntax dialect-parity discipline applied to a
+  * scalar). Spark itself has no normalization builtin; a UDF would
+  * break codegen — this is a native expression whose generated code
+  * calls [[NfcNormalizeExpr.compute]], with an `isNormalized` fast
+  * path so the (dominant) already-NFC case costs one scan and zero
+  * allocations. */
+case class NfcNormalizeExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcNormalizeExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.NfcNormalizeExpr.compute($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object NfcNormalizeExpr {
+  /** called from generated code — keep signature Java-friendly */
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str,
+      java.text.Normalizer.Form.NFC))
+  }
+}

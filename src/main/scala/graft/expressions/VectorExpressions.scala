@@ -371,6 +371,14 @@ object VectorExpressions {
             s"rolling_hash expects 1 argument, got ${args.length}")
           RollingHashExpr(args.head)
         }),
+      (FunctionIdentifier("nfc_normalize"),
+        new ExpressionInfo(classOf[NfcNormalizeExpr].getName,
+          "nfc_normalize"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1,
+            s"nfc_normalize expects 1 argument, got ${args.length}")
+          NfcNormalizeExpr(args.head)
+        }),
       (FunctionIdentifier("vec_dot_long"),
         new ExpressionInfo(classOf[DotProductLong].getName, "vec_dot_long"),
         (args: Seq[Expression]) => {

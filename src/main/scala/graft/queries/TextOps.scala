@@ -2459,6 +2459,38 @@ object TextOps {
           COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM near
         UNION ALL
         SELECT '6_token_budget', COUNT(*),
-          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sel"""))
+          COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) FROM sel""")),
+
+    // ---- Unicode NFC normalization (round 16) -----------------------------
+    //      the hygiene stage that belongs BEFORE every dedup/fingerprint
+    //      pass: composed vs decomposed spellings ("é" vs "e"+U+0301)
+    //      hash apart, so an unnormalized corpus under-deduplicates on
+    //      exactly the non-ASCII documents. The engine's `nfc_normalize`
+    //      is a native codegen'd expression (no UDF) named to mirror
+    //      DuckDB's builtin, so this gate runs the SAME SQL text
+    //      verbatim on both engines — the parser-ASOF dialect-parity
+    //      discipline applied to a scalar function. The suffix plants a
+    //      decomposed accent (e + U+0301) and the angstrom-sign
+    //      singleton (U+212B -> U+00C5) on every row, so normalization
+    //      provably fires: raw_len - norm_len = 1 everywhere and the
+    //      angstrom composition is hash-checked through norm_text.
+    Q("t49_nfc_normalize",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents")
+        s.sql(nfcSharedSql)
+      },
+      Some(nfcSharedSql))
   )
+
+  /** decomposed e-acute + ANGSTROM SIGN — both NFC-compose; embedded as
+    * raw characters (not chr()) because Spark's chr() is mod-256 ASCII
+    * while DuckDB's is a codepoint constructor */
+  private val nfcSuffix = " é Å"
+  private lazy val nfcSharedSql = s"""
+    SELECT doc_id,
+      nfc_normalize(text || '$nfcSuffix') AS norm_text,
+      CAST(length(text || '$nfcSuffix') AS BIGINT) AS raw_len,
+      CAST(length(nfc_normalize(text || '$nfcSuffix')) AS BIGINT)
+        AS norm_len
+    FROM documents"""
 }

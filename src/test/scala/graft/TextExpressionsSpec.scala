@@ -49,4 +49,39 @@ class TextExpressionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("string"))
   }
+
+  test("nfc_normalize composes decomposed text, is identity on NFC, " +
+      "null-safe, and stays codegen'd") {
+    val decomposedE = "é"          // -> U+00E9
+    val angstrom = "Å"              // -> U+00C5 (singleton)
+    val rows = Seq(
+      Some("plain ascii"),
+      Some(s"caf$decomposedE"),
+      Some(s"10 $angstrom wide"),
+      Some("already café"),
+      None)
+      .toDF("text")
+      .select(col("text"),
+        call_function("nfc_normalize", col("text")).as("n"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getString(1) == java.text.Normalizer.normalize(
+        r.getString(0), java.text.Normalizer.Form.NFC), r.toString)
+    }
+    assert(rows.exists(r => !r.isNullAt(0) &&
+      r.getString(0) != r.getString(1)), "nothing composed")
+    // inside whole-stage codegen, like every native expression here
+    // (over the parquet corpus — a local Seq collapses to
+    // LocalTableScan and shows no codegen span at all)
+    val plan = graft.io.Tables.documents(spark, sfTiny)
+      .select(call_function("nfc_normalize", col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("nfc_normalize"),
+      plan)
+    // the fast path returns the INPUT object for already-normalized
+    // strings — pinned at the compute level
+    val s = org.apache.spark.unsafe.types.UTF8String.fromString("abc")
+    assert(graft.expressions.NfcNormalizeExpr.compute(s) eq s)
+  }
 }
