@@ -202,6 +202,35 @@ class AsOfSkewSpec extends SparkSpec {
       "t", "rt", rightVals = Seq("v"), strict = true)))
   }
 
+  test("the auto histogram is computed once: hot selection reads the " +
+      "cache, not a second input scan") {
+    // pins asOfJoinAuto's one-scan claim AND documents why the
+    // broadcast-total composition was rejected: column pruning narrows
+    // the total's subtree to a count-only aggregate, the two exchanges
+    // stop being equal, and ReuseExchange never fires — so the operator
+    // persists the keys-sized histogram instead, and the second job
+    // must show an InMemoryTableScan where the input scan would be
+    import org.apache.spark.sql.functions.{coalesce, count, lit, max,
+      min, sum}
+    val (l, _) = skewed(2000, seed = 31)
+    val hist = l.filter(col("k").isNotNull)
+      .groupBy(col("k").as("__k"))
+      .agg(count(lit(1)).as("__n"),
+        min(col("t")).as("__mn"), max(col("t")).as("__mx"))
+      .persist()
+    try {
+      hist.agg(coalesce(sum(col("__n")), lit(0L))).first()
+      val sel = hist.filter(col("__n") > 10L)
+      sel.collect()
+      // InMemoryTableScan = the cache is the job's leaf (the nested
+      // InMemoryRelation text below it is the cached BUILD lineage
+      // rendering, not a live rescan — the PlanAudit dedup lesson)
+      val p = sel.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"),
+        s"hot selection rescanned the input instead of the cache:\n$p")
+    } finally hist.unpersist()
+  }
+
   test("auto routing survives a hot key whose times are all NULL") {
     val s = spark
     import s.implicits._
