@@ -443,14 +443,16 @@ object JoinOps {
     def native(l: DataFrame, r: DataFrame): DataFrame =
       asOfJoinNative(l, r, leftKey, rightKey, leftTime, rightTime,
         rightVals, leftOuter, forward, tolerance, strict)
-    // w19's histogram: per-key rows + time span, one keyed aggregate
-    // over the left, PERSISTED so the total and the hot-key selection
-    // read the keys-sized cache instead of rescanning the (possibly
-    // 100 TB) input — composing the total as a broadcast one-row join
-    // does NOT get exchange reuse here: column pruning narrows the
-    // total's subtree to a count-only aggregate, the two exchanges
-    // stop being equal, and Catalyst plans two full scans (measured,
-    // round 16; the cache-read shape is pinned in AsOfSkewSpec).
+    // w19's histogram: per-key rows + time span, ONE keyed aggregate
+    // over the (possibly 100 TB) left, scanned ONCE: the grand total
+    // joins back as a broadcast one-row frame, and the total's
+    // aggregate deliberately references __mn/__mx too (as __gmn/__gmx,
+    // selected into the collect and ignored) so column pruning cannot
+    // narrow its subtree — pruned, the two exchanges stop being equal
+    // and ReuseExchange never fires, which silently plans TWO full
+    // input scans (measured, round 16; a persisted histogram avoids
+    // the rescan too but pays a cache build that measured ~35% slower
+    // at sf0.1 — the reuse shape below is pinned in AsOfSkewSpec).
     // NULL-time rows are excluded on purpose: they never match in
     // the exec, so they cannot make a key hot — and a key whose times
     // are ALL null would otherwise surface null mn/mx into the driver
@@ -461,20 +463,22 @@ object JoinOps {
       .agg(count(lit(1)).as("__n"),
         min(micros(left, leftTime)).as("__mn"),
         max(micros(left, leftTime)).as("__mx"))
-      .persist()
-    val (hot, target) = try {
-      val total = hist.agg(coalesce(sum(col("__n")), lit(0L)))
-        .first().getLong(0)
-      val par = left.sparkSession.sparkContext.defaultParallelism
-      val t =
-        if (targetRowsPerTask > 0) targetRowsPerTask
-        else math.max(1L, total / par)
-      // hot keys: > target rows each, so at most total/target of them —
-      // the driver-side list is parallelism-sized, never key-
-      // cardinality-sized (w14's bound)
-      (hist.filter(col("__n") > t).collect(), t)
-    } finally hist.unpersist()
+    val totalDf = hist.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__total"),
+      min(col("__mn")).as("__gmn"), max(col("__mx")).as("__gmx"))
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val targetCol =
+      if (targetRowsPerTask > 0) lit(targetRowsPerTask)
+      else greatest(expr(s"__total div $par"), lit(1L))
+    // hot keys: > target rows each, so at most total/target of them —
+    // the driver-side list is parallelism-sized, never key-cardinality-
+    // sized (w14's bound)
+    val hot = hist.crossJoin(broadcast(totalDf))
+      .filter(col("__n") > targetCol)
+      .select(col("__k"), col("__n"), col("__mn"), col("__mx"),
+        targetCol.as("__target"), col("__gmn"), col("__gmx")).collect()
     if (hot.isEmpty) return native(left, right)
+    val target = math.max(1L, hot.head.getLong(4))
     // w19's sizing: per hot key span / ceil(n/target); global = MIN so
     // the hottest key's tasks hit ~target rows
     val sliceWidth = hot.map { r =>

@@ -202,33 +202,36 @@ class AsOfSkewSpec extends SparkSpec {
       "t", "rt", rightVals = Seq("v"), strict = true)))
   }
 
-  test("the auto histogram is computed once: hot selection reads the " +
-      "cache, not a second input scan") {
-    // pins asOfJoinAuto's one-scan claim AND documents why the
-    // broadcast-total composition was rejected: column pruning narrows
-    // the total's subtree to a count-only aggregate, the two exchanges
-    // stop being equal, and ReuseExchange never fires — so the operator
-    // persists the keys-sized histogram instead, and the second job
-    // must show an InMemoryTableScan where the input scan would be
-    import org.apache.spark.sql.functions.{coalesce, count, lit, max,
-      min, sum}
+  test("the auto histogram is scanned ONCE: the unpruned broadcast " +
+      "total reuses the histogram's exchange") {
+    // pins asOfJoinAuto's one-scan claim, exactly as the operator
+    // composes it: the total aggregate references __mn/__mx too, so
+    // column pruning cannot narrow its subtree — the two exchanges
+    // stay equal and ReuseExchange fires. Drop the __gmn/__gmx
+    // references and this test fails with two independent scans
+    // (measured round 16), which is the silent 2x-input-cost shape at
+    // 100 TB.
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count,
+      expr, greatest, lit, max, min, sum}
     val (l, _) = skewed(2000, seed = 31)
     val hist = l.filter(col("k").isNotNull)
       .groupBy(col("k").as("__k"))
       .agg(count(lit(1)).as("__n"),
         min(col("t")).as("__mn"), max(col("t")).as("__mx"))
-      .persist()
-    try {
-      hist.agg(coalesce(sum(col("__n")), lit(0L))).first()
-      val sel = hist.filter(col("__n") > 10L)
-      sel.collect()
-      // InMemoryTableScan = the cache is the job's leaf (the nested
-      // InMemoryRelation text below it is the cached BUILD lineage
-      // rendering, not a live rescan — the PlanAudit dedup lesson)
-      val p = sel.queryExecution.executedPlan.toString
-      assert(p.contains("InMemoryTableScan"),
-        s"hot selection rescanned the input instead of the cache:\n$p")
-    } finally hist.unpersist()
+    val totalDf = hist.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__total"),
+      min(col("__mn")).as("__gmn"), max(col("__mx")).as("__gmx"))
+    // select EXACTLY what the operator selects: both sides must need
+    // (count, min, max) for the subtrees to stay prune-identical
+    val sel = hist.crossJoin(broadcast(totalDf))
+      .filter(col("__n") > greatest(expr("__total div 32"), lit(1L)))
+      .select(col("__k"), col("__n"), col("__mn"), col("__mx"),
+        greatest(expr("__total div 32"), lit(1L)).as("__target"),
+        col("__gmn"), col("__gmx"))
+    sel.collect()
+    val p = sel.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("reused"),
+      s"no exchange reuse — the planner scanned the input twice:\n$p")
   }
 
   test("auto routing survives a hot key whose times are all NULL") {
