@@ -379,10 +379,12 @@ object JoinOps {
       .unionByName(carries.select((right.columns.map(col) ++
         Seq(col("__slice"), col("__kk"))).toIndexedSeq: _*))
 
-    // strict threads straight through: a carried row comes from a
-    // strictly-EARLIER slice, so its time is strictly below every left
-    // time in the destination slice either way — only the within-slice
-    // merge needs the tie exclusion, and the native exec applies it
+    // strict threads straight through: a carried row always comes from
+    // a DIFFERENT slice (strictly earlier backward, strictly later
+    // forward — the __rs </> __ls join branch), so its time can never
+    // tie with a left time in the destination slice — only the
+    // within-slice merge needs the tie exclusion, and the native exec
+    // applies it
     asOfJoinNative(lS, rAug, leftKey = "__kk", rightKey = "__kk",
         leftTime = leftTime, rightTime = rightTime,
         rightVals = rightVals, leftOuter = leftOuter,
@@ -392,37 +394,44 @@ object JoinOps {
   }
 
   /** Auto-skew-routed as-of join — the last rung of the as-of planning
-    * ladder (round-16): the physical TIER is already cost-based
-    * ([[graft.plans.AsOfJoinStrategy]] picks broadcast vs shuffled
-    * merge from stats), but Spark's AQE cannot split the custom exec's
-    * skewed partitions (OptimizeSkewedJoin pattern-matches only the
-    * built-in join execs — pinned in AsOfSkewSpec), so a hot key
-    * serializes onto one task unless the caller reads the w19 slice
-    * plan and calls [[asOfJoinTimeSliced]] manually. This operator does
-    * that read-and-route automatically:
+    * ladder (round-16, sketch-fed round-17): the physical TIER is
+    * already cost-based ([[graft.plans.AsOfJoinStrategy]] picks
+    * broadcast vs shuffled merge from stats), but Spark's AQE cannot
+    * split the custom exec's skewed partitions (OptimizeSkewedJoin
+    * pattern-matches only the built-in join execs — pinned in
+    * AsOfSkewSpec), so a hot key serializes onto one task unless the
+    * caller reads the w19 slice plan and calls [[asOfJoinTimeSliced]]
+    * manually. This operator does that read-and-route automatically:
     *
-    *  1. ONE aggregate over the left side builds the key histogram —
-    *     per-key row count plus time span (w19's histogram step; at
-    *     production scale swap in the ds04 heavy-hitter sketch, which
-    *     needs no exact pass);
+    *  1. [[asOfSkewPlan]] detects hot keys — by default a Misra-Gries
+    *     pass (ds04's `mg_topk_agg`): O(capacity) state per partition,
+    *     NO keyed shuffle, so skew detection never pays a
+    *     key-cardinality exchange over a 100 TB input — and derives
+    *     each hot key's slice width from an exact count+span lookup
+    *     over just the candidate keys (a pruned second pass); the MIN
+    *     width across hot keys becomes the global sliceWidth (w19's
+    *     arithmetic). `exactHistogram = true` keeps the round-16
+    *     exact-groupBy twin (one full keyed shuffle, ReuseExchange'd
+    *     total — the w19 gate shape, and the fallback when an explicit
+    *     `targetRowsPerTask` is finer than the sketch can certify);
     *  2. keys above `targetRowsPerTask` (default: left total /
-    *     defaultParallelism — w14's hot bar) are HOT; w19's arithmetic
-    *     derives each hot key's slice count and width, and the MIN
-    *     width across hot keys becomes the global sliceWidth;
+    *     defaultParallelism — w14's hot bar) are HOT, capped at the
+    *     top max(4*parallelism, 64) by count (the remainder routes
+    *     cold — still correct, just unsplit), so the driver-side list
+    *     and the isin literal stay metadata-scale even when a caller
+    *     passes a test-scale target that thousands of keys exceed;
     *  3. both inputs split on hot-key membership (an isin predicate —
-    *     the hot set is bounded by total/target ≈ parallelism keys, so
     *     it folds into the scan as an In filter, no extra shuffle):
     *     hot rows route through [[asOfJoinTimeSliced]] at the planned
     *     width, cold rows through [[asOfJoinNative]] (which keeps the
     *     cost-based broadcast/shuffled choice), results union.
     *
     * No hot keys → the plain native plan, zero routing overhead beyond
-    * the histogram pass. Driver state is the hot-key list — bounded by
-    * construction at ~parallelism entries, metadata-scale at any input
-    * size. Requires an ATOMIC key column (the histogram collect and the
-    * isin literal need a scalar); composite keys: pre-concat or call
-    * the sliced form directly. NULL left keys route cold, preserving
-    * the exec's null semantics (never match; outer still pads). */
+    * the detection pass. Requires an ATOMIC key column (the detection
+    * collect and the isin literal need a scalar); composite keys:
+    * pre-concat or call the sliced form directly. NULL left keys route
+    * cold, preserving the exec's null semantics (never match; outer
+    * still pads). */
   def asOfJoinAuto(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
@@ -431,71 +440,151 @@ object JoinOps {
                    forward: Boolean = false,
                    tolerance: Option[Long] = None,
                    strict: Boolean = false,
-                   targetRowsPerTask: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.types.TimestampType
+                   targetRowsPerTask: Long = 0L,
+                   exactHistogram: Boolean = false,
+                   sketchCapacity: Int = 4096): DataFrame = {
     require(!left.schema(leftKey).dataType
       .isInstanceOf[org.apache.spark.sql.types.StructType],
       "asOfJoinAuto requires an atomic key column — composite keys: " +
         "pre-concat, or size asOfJoinTimeSliced from the w19 plan directly")
-    def micros(df: DataFrame, c: String): Column =
-      if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
-      else col(c).cast("long")
     def native(l: DataFrame, r: DataFrame): DataFrame =
       asOfJoinNative(l, r, leftKey, rightKey, leftTime, rightTime,
         rightVals, leftOuter, forward, tolerance, strict)
-    // w19's histogram: per-key rows + time span, ONE keyed aggregate
-    // over the (possibly 100 TB) left, scanned ONCE: the grand total
-    // joins back as a broadcast one-row frame, and the total's
-    // aggregate deliberately references __mn/__mx too (as __gmn/__gmx,
-    // selected into the collect and ignored) so column pruning cannot
-    // narrow its subtree — pruned, the two exchanges stop being equal
-    // and ReuseExchange never fires, which silently plans TWO full
-    // input scans (measured, round 16; a persisted histogram avoids
-    // the rescan too but pays a cache build that measured ~35% slower
-    // at sf0.1 — the reuse shape below is pinned in AsOfSkewSpec).
-    // NULL-time rows are excluded on purpose: they never match in
+    asOfSkewPlan(left, leftKey, leftTime, targetRowsPerTask,
+        exactHistogram, sketchCapacity) match {
+      case None => native(left, right)
+      case Some((hotKeys, sliceWidth)) =>
+        val lHot = left.filter(col(leftKey).isInCollection(hotKeys))
+        val lCold = left.filter(col(leftKey).isNull ||
+          !col(leftKey).isInCollection(hotKeys))
+        val rHot = right.filter(col(rightKey).isInCollection(hotKeys))
+        val rCold = right.filter(col(rightKey).isNull ||
+          !col(rightKey).isInCollection(hotKeys))
+        asOfJoinTimeSliced(lHot, rHot, leftKey, rightKey, leftTime,
+            rightTime, rightVals, sliceWidth, leftOuter, forward,
+            tolerance, strict)
+          .unionByName(native(lCold, rCold))
+    }
+  }
+
+  /** Hot-key detection + slice sizing for [[asOfJoinAuto]]: returns the
+    * hot keys (capped, count-descending) and the global sliceWidth, or
+    * None when nothing crosses the target.
+    *
+    * Default (sketch) path — two passes, NO key-cardinality shuffle:
+    *
+    *  1. one Misra-Gries `mg_topk_agg` pass over `xxhash64(key)` (any
+    *     atomic key type sketches through its hash; a hash collision
+    *     can only ADD a candidate, which the exact pass 2 then rejects)
+    *     plus the grand total, partial-aggregated to O(capacity) per
+    *     partition — the only state that crosses the wire. MG's
+    *     deterministic bounds make the candidate set a SUPERSET of the
+    *     true hot set whenever target >= total/capacity: every key with
+    *     true count > total/capacity is present, and est >= true -
+    *     total/capacity, so filtering est > target - total/capacity
+    *     keeps every truly-hot key;
+    *  2. an exact count+span aggregate over ONLY candidate-key rows
+    *     (the isin on the hash folds into the scan; map-side combine
+    *     leaves <= |candidates| rows to shuffle) supplies the exact
+    *     counts the w19 width arithmetic needs — estimates never size
+    *     slices.
+    *
+    * The exact twin (`exactHistogram = true`, or the automatic fallback
+    * when an explicit target < total/capacity, where the sketch cannot
+    * certify presence) is the round-16 shape: one full keyed histogram
+    * whose grand total composes for ReuseExchange (pinned in
+    * AsOfSkewSpec — the total's aggregate deliberately references
+    * __mn/__mx so column pruning cannot break the exchange equality),
+    * now with the same top-K cap applied as TakeOrdered inside the
+    * query rather than an unbounded driver collect. Default targets
+    * never fall back: capacity is floored at parallelism, so
+    * total/parallelism >= total/capacity always certifies. */
+  private[graft] def asOfSkewPlan(left: DataFrame, leftKey: String,
+      leftTime: String, targetRowsPerTask: Long,
+      exactHistogram: Boolean = false,
+      sketchCapacity: Int = 4096): Option[(Seq[Any], Long)] = {
+    import org.apache.spark.sql.types.TimestampType
+    def micros(c: String): Column =
+      if (left.schema(c).dataType == TimestampType) unix_micros(col(c))
+      else col(c).cast("long")
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val maxHot = math.max(4 * par, 64)
+    // NULL key/time rows are excluded on purpose: they never match in
     // the exec, so they cannot make a key hot — and a key whose times
     // are ALL null would otherwise surface null mn/mx into the driver
     // arithmetic below
-    val hist = left
-      .filter(col(leftKey).isNotNull && micros(left, leftTime).isNotNull)
-      .groupBy(col(leftKey).as("__k"))
-      .agg(count(lit(1)).as("__n"),
-        min(micros(left, leftTime)).as("__mn"),
-        max(micros(left, leftTime)).as("__mx"))
-    val totalDf = hist.agg(
-      coalesce(sum(col("__n")), lit(0L)).as("__total"),
-      min(col("__mn")).as("__gmn"), max(col("__mx")).as("__gmx"))
-    val par = left.sparkSession.sparkContext.defaultParallelism
-    val targetCol =
-      if (targetRowsPerTask > 0) lit(targetRowsPerTask)
-      else greatest(expr(s"__total div $par"), lit(1L))
-    // hot keys: > target rows each, so at most total/target of them —
-    // the driver-side list is parallelism-sized, never key-cardinality-
-    // sized (w14's bound)
-    val hot = hist.crossJoin(broadcast(totalDf))
-      .filter(col("__n") > targetCol)
-      .select(col("__k"), col("__n"), col("__mn"), col("__mx"),
-        targetCol.as("__target"), col("__gmn"), col("__gmx")).collect()
-    if (hot.isEmpty) return native(left, right)
-    val target = math.max(1L, hot.head.getLong(4))
+    val filtered = left.filter(
+      col(leftKey).isNotNull && micros(leftTime).isNotNull)
     // w19's sizing: per hot key span / ceil(n/target); global = MIN so
     // the hottest key's tasks hit ~target rows
-    val sliceWidth = hot.map { r =>
-      val n = r.getLong(1); val span = r.getLong(3) - r.getLong(2) + 1
-      val nSlices = math.max(1L, math.ceil(n.toDouble / target).toLong)
-      math.max(1L, math.ceil(span.toDouble / nSlices).toLong)
-    }.min
-    val hotKeys = hot.map(_.get(0)).toSeq
-    val lHot = left.filter(col(leftKey).isInCollection(hotKeys))
-    val lCold = left.filter(col(leftKey).isNull ||
-      !col(leftKey).isInCollection(hotKeys))
-    val rHot = right.filter(col(rightKey).isInCollection(hotKeys))
-    val rCold = right.filter(col(rightKey).isNull ||
-      !col(rightKey).isInCollection(hotKeys))
-    asOfJoinTimeSliced(lHot, rHot, leftKey, rightKey, leftTime, rightTime,
-        rightVals, sliceWidth, leftOuter, forward, tolerance, strict)
-      .unionByName(native(lCold, rCold))
+    def width(rows: Array[org.apache.spark.sql.Row], target: Long): Long =
+      rows.map { r =>
+        val n = r.getLong(1); val span = r.getLong(3) - r.getLong(2) + 1
+        val nSlices = math.max(1L, math.ceil(n.toDouble / target).toLong)
+        math.max(1L, math.ceil(span.toDouble / nSlices).toLong)
+      }.min
+
+    def exactPlan(): Option[(Seq[Any], Long)] = {
+      // the grand total joins back as a broadcast one-row frame, and
+      // the total's aggregate deliberately references __mn/__mx too
+      // (as __gmn/__gmx, selected into the collect and ignored) so
+      // column pruning cannot narrow its subtree — pruned, the two
+      // exchanges stop being equal and ReuseExchange never fires,
+      // which silently plans TWO full input scans (measured, round
+      // 16; the reuse shape is pinned in AsOfSkewSpec)
+      val hist = filtered
+        .groupBy(col(leftKey).as("__k"))
+        .agg(count(lit(1)).as("__n"),
+          min(micros(leftTime)).as("__mn"),
+          max(micros(leftTime)).as("__mx"))
+      val totalDf = hist.agg(
+        coalesce(sum(col("__n")), lit(0L)).as("__total"),
+        min(col("__mn")).as("__gmn"), max(col("__mx")).as("__gmx"))
+      val targetCol =
+        if (targetRowsPerTask > 0) lit(targetRowsPerTask)
+        else greatest(expr(s"__total div $par"), lit(1L))
+      // top-K by count INSIDE the query (TakeOrdered, not a global
+      // sort): with a caller-supplied small target the unbounded
+      // collect was key-cardinality-sized (advice r16); the cap keeps
+      // it metadata-scale, and keys past the cap just route cold
+      val hot = hist.crossJoin(broadcast(totalDf))
+        .filter(col("__n") > targetCol)
+        .select(col("__k"), col("__n"), col("__mn"), col("__mx"),
+          targetCol.as("__target"), col("__gmn"), col("__gmx"))
+        .orderBy(col("__n").desc).limit(maxHot).collect()
+      if (hot.isEmpty) None
+      else {
+        val target = math.max(1L, hot.head.getLong(4))
+        Some((hot.map(_.get(0)).toSeq, width(hot, target)))
+      }
+    }
+
+    if (exactHistogram) return exactPlan()
+    val cap = math.max(sketchCapacity, par)
+    val sk = filtered.select(xxhash64(col(leftKey)).as("__h"))
+      .agg(expr(s"mg_topk_agg(__h, $cap)").as("__mg"),
+        count(lit(1)).as("__total")).head()
+    val total = sk.getLong(1)
+    if (total == 0L) return None
+    val target =
+      if (targetRowsPerTask > 0) targetRowsPerTask
+      else math.max(total / par, 1L)
+    val err = total / cap // MG bound: true(x) - est(x) <= total/cap
+    if (target < err) return exactPlan() // only reachable with explicit target
+    val cand = sk.getMap[Long, Long](0).toSeq
+      .filter(_._2 > target - err)
+      .sortBy(-_._2).take(4 * maxHot).map(_._1)
+    if (cand.isEmpty) return None
+    val spans = filtered
+      .filter(xxhash64(col(leftKey)).isInCollection(cand))
+      .groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__n"),
+        min(micros(leftTime)).as("__mn"),
+        max(micros(leftTime)).as("__mx"))
+      .filter(col("__n") > lit(target))
+      .orderBy(col("__n").desc).limit(maxHot).collect()
+    if (spans.isEmpty) None
+    else Some((spans.map(_.get(0)).toSeq, width(spans, target)))
   }
 
   /** Binned range join: pairs (l, r) with

@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer TRAINING — the SentencePiece-shaped
+  * alternative to BPE (Kudo 2018, "Subword Regularization: Improving
+  * Neural Network Translation Models with Multiple Subword
+  * Candidates"): instead of greedily growing merges, seed a LARGE
+  * candidate vocabulary, then alternate
+  *
+  *  - E-step: Viterbi-segment every word under the current piece
+  *    scores (a per-word dynamic program over positions — row-local,
+  *    expressed entirely in codegen'd higher-order functions:
+  *    `aggregate` builds the cost/backpointer arrays, a second
+  *    `aggregate` walks the backpointers out to the chosen pieces);
+  *  - M-step: re-count piece usage over the segmented corpus (ONE
+  *    keyed shuffle, the round's only exchange);
+  *  - prune: keep the single-character floor (so every word stays
+  *    segmentable) plus the top `keep` multi-character pieces by
+  *    usage, `keep` shrinking 3/4 per round — Kudo's shrinking
+  *    schedule with a deterministic (count DESC, piece ASC) tie-break.
+  *
+  * Distribution discipline is BPE's ([[BpeOps]]): train over the
+  * VOCABULARY (distinct words with occurrence weights, one eager
+  * localCheckpoint), never the raw corpus; the per-round model that
+  * reaches the driver is piece->count — alphabet + `keep` entries,
+  * KB-sized at any corpus scale — and rides back into the plan as one
+  * map literal, so the E-step is an embarrassingly parallel map with
+  * zero joins.
+  *
+  * DETERMINISM (the reason the objective is integer-valued): Viterbi
+  * here minimizes the pair (piece count, -sum of piece usage counts),
+  * encoded as `count * 2^40 - usage` in one BIGINT — maximum
+  * likelihood under a length-penalized frequency surrogate rather
+  * than float -log p. The float objective is a one-line cost swap,
+  * but cross-engine `ln` ulp drift would make near-tie argmins
+  * engine-dependent and the value-for-value DuckDB replay
+  * ([[oracleSql]]) impossible to pin; the integer objective makes
+  * every round of the EM chain bit-replayable. Ties between
+  * same-cost segmentations break toward the LONGER last piece in
+  * both engines (the CASE scans j = 4..1).
+  *
+  * Reference semantics to match: the t22/t25 train/encode discipline
+  * (reference `nyc_taxi_etl.py` has no tokenizer; this is part of the
+  * LLM-curation surface the engine adds).
+  */
+object UnigramOps {
+
+  /** lexicographic (pieces, -usage) encoded in one bigint: a piece
+    * costs Big minus its usage count, so fewer pieces always beats
+    * higher usage, and usage breaks ties among equal-length
+    * segmentations. Counts are corpus-bounded (<< 2^40), path sums
+    * are <= MaxWordLen * Big (<< 2^63). */
+  val Big: Long = 1L << 40
+
+  /** cost of an unavailable transition — never chosen while the
+    * single-char floor keeps every position reachable */
+  val Huge: Long = 1L << 50
+
+  val MaxPieceLen = 4
+  val MaxWordLen = 16
+
+  /** distinct words with occurrence weights — BPE's tokenization
+    * exactly ([[BpeOps.vocab]]), plus the MaxWordLen training cap
+    * (standard trainer practice; rare over-long words add DP depth,
+    * not vocabulary signal) */
+  def words(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** weighted single-character counts — the never-pruned vocab floor */
+  private[graft] def charCounts(w: DataFrame): DataFrame =
+    w.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+
+  /** weighted counts of every substring of length 2..MaxPieceLen
+    * (overlapping occurrences count — both engines enumerate start
+    * positions identically) — the seed candidate pool */
+  private[graft] def multiSeedCounts(w: DataFrame): DataFrame =
+    w.select(explode(expr(s"""
+        flatten(transform(sequence(2, $MaxPieceLen), l ->
+          filter(transform(sequence(1, length(word)),
+                           s -> substring(word, s, l)),
+                 p -> length(p) = l)))""")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+
+  /** transition cost for a piece of length `j` ending at position `i`
+    * inside the dp lambda: dp[i-j] + (Big - usage), or Huge when the
+    * substring is not in the vocab map (try_element_at: missing keys
+    * are null, not an ANSI error) */
+  private def costSql(j: Int): String =
+    s"""(case when i >= $j and try_element_at(__vm,
+            substring(word, i - $j + 1, $j)) is not null
+          then element_at(acc.c, i - $j + 1)
+            + (${Big}L - try_element_at(__vm, substring(word, i - $j + 1, $j)))
+          else ${Huge}L end)"""
+
+  /** Viterbi forward pass: one `aggregate` over positions 1..len
+    * building dp costs `c` (c[k] = best cost of the first k-1 chars)
+    * and backpointers `j` (chosen piece length per position); ties
+    * prefer the longer piece (the CASE scans 4..2 first) */
+  private[graft] lazy val dpSql: String = {
+    val costs = (1 to MaxPieceLen).map(costSql)
+    val m = s"least(${costs.mkString(",\n            ")})"
+    val choice = (MaxPieceLen to 2 by -1)
+      .map(j => s"when ${costs(j - 1)} = $m then ${j}L").mkString("\n          ")
+    s"""aggregate(sequence(1, length(word)),
+        named_struct('c', array(cast(0 as bigint)),
+                     'j', array(cast(1 as bigint))),
+        (acc, i) -> named_struct(
+          'c', concat(acc.c, array($m)),
+          'j', concat(acc.j, array(case $choice else 1L end))))"""
+  }
+
+  /** backtrack: walk the backpointers from position len down to 0,
+    * emitting the chosen pieces (at most len steps, so one aggregate
+    * over the same sequence suffices; finished states pass through) */
+  private[graft] lazy val btSql: String =
+    s"""aggregate(sequence(1, length(word)),
+        named_struct('p', cast(length(word) as bigint),
+                     'o', cast(array() as array<string>)),
+        (acc, x) -> if(acc.p <= 0, acc, named_struct(
+          'p', acc.p - element_at(__dp.j, cast(acc.p + 1 as int)),
+          'o', concat(acc.o, array(substring(word,
+            cast(acc.p - element_at(__dp.j, cast(acc.p + 1 as int)) + 1 as int),
+            cast(element_at(__dp.j, cast(acc.p + 1 as int)) as int)))))),
+        acc -> acc.o)"""
+
+  /** E-step + M-step count: Viterbi-segment every word under `vocab`
+    * and return weighted piece-usage counts. The vocab rides in as a
+    * map literal (model-sized); the groupBy is the round's only
+    * shuffle. */
+  def segmentCounts(w: DataFrame, vocab: Seq[(String, Long)]): DataFrame =
+    w.withColumn("__vm", typedLit(vocab.toMap))
+      .withColumn("__dp", expr(dpSql))
+      .select(explode(expr(btSql)).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+
+  /** Train `rounds` EM rounds from a `seedMulti`-piece candidate pool;
+    * returns the final vocab (piece, cnt) — every single character
+    * with its last-round usage, plus the surviving top multi-char
+    * pieces. Replayed value-for-value by [[oracleSql]] with the same
+    * rounds/seed. */
+  def train(docs: DataFrame, rounds: Int, seedMulti: Int = 64): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // distinct words materialize ONCE (eager localCheckpoint — the
+    // BpeOps lineage discipline); every later pass reads the
+    // vocab-sized checkpoint, never the corpus
+    val w = words(docs).localCheckpoint()
+    val chars = charCounts(w).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val seed = multiSeedCounts(w)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Seq[(String, Long)] = (chars ++ seed).toSeq
+    var keep = seedMulti
+    var counts: DataFrame = null
+    for (r <- 1 to rounds) {
+      keep = keep * 3 / 4
+      counts = segmentCounts(w, vocab)
+      if (r < rounds) {
+        // mid-chain model to the driver: alphabet + keep entries
+        val cm = counts.collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+        vocab = chars.map { case (p, _) => (p, cm.getOrElse(p, 0L)) } ++
+          cm.iterator.filter(_._1.length > 1).toSeq
+            .sortBy { case (p, c) => (-c, p) }.take(keep)
+      }
+    }
+    // final round's prune stays distributed: the gate output is a
+    // frame, not a driver model
+    val s = docs.sparkSession
+    import s.implicits._
+    val charDf = chars.map(_._1).toSeq.toDF("piece")
+    val finalChars = charDf.join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val finalMulti = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(keep)
+    finalChars.unionByName(finalMulti)
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB replay
+  // ---------------------------------------------------------------------
+
+  private def cc(j: Int, vp: String): String =
+    s"""CASE WHEN p$j.piece IS NOT NULL
+          THEN d.c[d.i - $j + 1] + ($Big - p$j.cnt)
+          ELSE CAST($Huge AS BIGINT) END"""
+
+  /** the full EM chain as one WITH RECURSIVE block: per round, a
+    * recursive dp CTE (one level per character position, the same
+    * LEAST/CASE arithmetic as [[dpSql]]), a recursive backtrack CTE,
+    * the usage-count aggregate, and the prune — value-for-value the
+    * Spark chain */
+  def oracleSql(rounds: Int, seedMulti: Int = 64,
+                table: String = "documents"): String = {
+    val head = s"""
+      WITH RECURSIVE w AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                AS word FROM $table)
+        WHERE LENGTH(word) BETWEEN 1 AND $MaxWordLen GROUP BY 1),
+      ch AS MATERIALIZED (
+        SELECT substring(word, s, 1) AS piece,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM w CROSS JOIN LATERAL unnest(range(1, length(word) + 1)) t(s)
+        GROUP BY 1),
+      ms AS (
+        SELECT substring(word, s, l) AS piece,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM w
+        CROSS JOIN LATERAL unnest(range(2, ${MaxPieceLen + 1})) tl(l)
+        CROSS JOIN LATERAL unnest(range(1, length(word) - l + 2)) ts(s)
+        GROUP BY 1),
+      v0 AS MATERIALIZED (
+        SELECT piece, cnt FROM ch
+        UNION ALL
+        SELECT piece, cnt FROM (SELECT piece, cnt FROM ms
+                                ORDER BY cnt DESC, piece ASC
+                                LIMIT $seedMulti))"""
+    var keep = seedMulti
+    val stages = (1 to rounds).map { r =>
+      keep = keep * 3 / 4
+      val costs = (1 to MaxPieceLen).map(j => cc(j, s"v${r - 1}"))
+      val m = s"LEAST(${costs.mkString(",\n            ")})"
+      val choice = (MaxPieceLen to 2 by -1)
+        .map(j => s"WHEN ${costs(j - 1)} = $m THEN ${j}").mkString("\n          ")
+      val joins = (1 to MaxPieceLen).map(j =>
+        s"""LEFT JOIN v${r - 1} p$j ON d.i >= $j
+              AND p$j.piece = substring(d.word, d.i - $j + 1, $j)""")
+        .mkString("\n          ")
+      s"""
+      dp$r AS (
+        SELECT word, freq, CAST(1 AS BIGINT) AS i,
+               [CAST(0 AS BIGINT)] AS c, [CAST(1 AS BIGINT)] AS j
+        FROM w
+        UNION ALL
+        SELECT d.word, d.freq, d.i + 1,
+          list_append(d.c, $m),
+          list_append(d.j, CAST(CASE $choice ELSE 1 END AS BIGINT))
+        FROM dp$r d
+          $joins
+        WHERE d.i <= length(d.word)),
+      bt$r AS (
+        SELECT word, freq, CAST(length(word) AS BIGINT) AS pos, j
+        FROM dp$r WHERE i = length(word) + 1
+        UNION ALL
+        SELECT word, freq, pos - j[pos + 1], j
+        FROM bt$r WHERE pos > 0),
+      cnt$r AS MATERIALIZED (
+        SELECT substring(word, pos - j[pos + 1] + 1, j[pos + 1]) AS piece,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM bt$r WHERE pos > 0 GROUP BY 1),
+      v$r AS MATERIALIZED (
+        SELECT ch.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        FROM ch LEFT JOIN cnt$r c ON ch.piece = c.piece
+        UNION ALL
+        SELECT piece, cnt FROM (SELECT piece, cnt FROM cnt$r
+                                WHERE length(piece) > 1
+                                ORDER BY cnt DESC, piece ASC
+                                LIMIT $keep))"""
+    }.mkString(",", ",", "")
+    s"$head$stages\n      SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v$rounds"
+  }
+}

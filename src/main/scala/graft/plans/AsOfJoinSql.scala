@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.StringType
   *   SELECT * FROM asof_join_left(...)            -- LEFT OUTER variant
   *   SELECT * FROM asof_join_forward(...)         -- earliest ts >= left
   *   SELECT * FROM asof_join_forward_left(...)    -- both combined
+  *   SELECT * FROM asof_join_auto(...)            -- hot-key skew routing
+  *     -- (optional 2nd integer after the tolerance = targetRowsPerTask)
   *   -- INLINE SUBQUERIES instead of temp views, and an optional
   *   -- tolerance (integer literal, time-column units) before the
   *   -- payload list:
@@ -52,14 +54,19 @@ import org.apache.spark.sql.types.StringType
   * the right side that keeps a self-join's exprIds distinct. */
 object AsOfJoinTvf {
 
-  /** placeholder emitted by the TVF builder; never survives analysis */
+  /** placeholder emitted by the TVF builder; never survives analysis.
+    * `auto = true` marks the `asof_join_auto` family: the resolver then
+    * routes through `JoinOps.asOfJoinAuto` (hot keys time-sliced, cold
+    * keys native) instead of planning one [[AsOfJoin]];
+    * `autoTarget > 0` is its explicit targetRowsPerTask. */
   case class UnresolvedAsOfJoin(
       left: LogicalPlan, right: LogicalPlan,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightVals: Seq[String], leftOuter: Boolean,
       forward: Boolean, tolerance: Option[Long] = None,
-      strict: Boolean = false) extends BinaryNode {
+      strict: Boolean = false, auto: Boolean = false,
+      autoTarget: Long = 0L) extends BinaryNode {
     override lazy val resolved: Boolean = false
     override def output: Seq[Attribute] = Nil
     override protected def withNewChildrenInternal(
@@ -75,7 +82,7 @@ object AsOfJoinTvf {
     }
 
   private def build(fn: String, leftOuter: Boolean, forward: Boolean,
-      strict: Boolean = false)(
+      strict: Boolean = false, auto: Boolean = false)(
       args: Seq[Expression]): LogicalPlan = {
     require(args.length >= 7,
       s"$fn(leftTable, rightTable, leftKey, rightKey, leftTime, " +
@@ -101,41 +108,65 @@ object AsOfJoinTvf {
     // typeName strings: LongType.typeName is "long" (its simpleString is
     // "bigint"), so a name list silently rejected any tolerance above
     // Int.MaxValue micros (~35.8 minutes).
-    val (tol, valIdx) = args(6) match {
-      case Literal(v, org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.IntegerType |
-          org.apache.spark.sql.types.ShortType |
-          org.apache.spark.sql.types.ByteType) if v != null =>
-        (Some(v.toString.toLong), 7)
-      case _ => (None, 6)
+    def intLit(i: Int): Option[Long] =
+      if (i >= args.length) None
+      else args(i) match {
+        case Literal(v, org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType) if v != null =>
+          Some(v.toString.toLong)
+        case _ => None
+      }
+    val (tol, valIdx0) = intLit(6) match {
+      case Some(t) => (Some(t), 7)
+      case None => (None, 6)
     }
+    // the auto family takes a SECOND optional integer =
+    // targetRowsPerTask (only meaningful after a tolerance; pass
+    // 9223372036854775807 — Long.MaxValue, the exec's "unbounded" —
+    // as the tolerance to set a target without a real tolerance bound)
+    val (autoTarget, valIdx) =
+      if (auto && valIdx0 == 7) intLit(7) match {
+        case Some(t) => (t, 8)
+        case None => (0L, valIdx0)
+      } else (0L, valIdx0)
     require(args.length > valIdx,
       s"$fn: at least one right payload column is required")
+    // a tolerance of Long.MaxValue means "no bound" — normalize to None
+    // so the planned node is identical to the unbounded form
+    val tolN = tol.filter(_ != Long.MaxValue)
     UnresolvedAsOfJoin(rel(strArg(fn, args, 0)), rel(strArg(fn, args, 1)),
       strArg(fn, args, 2), strArg(fn, args, 3),
       strArg(fn, args, 4), strArg(fn, args, 5),
       (valIdx until args.length).map(strArg(fn, args, _)),
-      leftOuter, forward, tol, strict)
+      leftOuter, forward, tolN, strict, auto, autoTarget)
   }
 
   /** registration tuples for `SparkSessionExtensions.injectTableFunction`;
     * the `_strict` family excludes exact time ties (DuckDB's `>`/`<`
     * comparators, pandas allow_exact_matches=False) — same arguments,
-    * same output contract */
+    * same output contract. The `_auto` family adds hot-key skew routing
+    * (`JoinOps.asOfJoinAuto`): same arguments plus an optional SECOND
+    * integer literal = targetRowsPerTask after the tolerance; identical
+    * results by construction, different physical plan under skew. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] =
-    Seq(("asof_join", false, false, false),
-      ("asof_join_left", true, false, false),
-      ("asof_join_forward", false, true, false),
-      ("asof_join_forward_left", true, true, false),
-      ("asof_join_strict", false, false, true),
-      ("asof_join_strict_left", true, false, true),
-      ("asof_join_strict_forward", false, true, true),
-      ("asof_join_strict_forward_left", true, true, true)).map {
-      case (name, outer, fwd, strict) =>
+    Seq(("asof_join", false, false, false, false),
+      ("asof_join_left", true, false, false, false),
+      ("asof_join_forward", false, true, false, false),
+      ("asof_join_forward_left", true, true, false, false),
+      ("asof_join_strict", false, false, true, false),
+      ("asof_join_strict_left", true, false, true, false),
+      ("asof_join_strict_forward", false, true, true, false),
+      ("asof_join_strict_forward_left", true, true, true, false),
+      ("asof_join_auto", false, false, false, true),
+      ("asof_join_auto_left", true, false, false, true),
+      ("asof_join_auto_strict", false, false, true, true)).map {
+      case (name, outer, fwd, strict, auto) =>
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[AsOfJoin].getName, name),
-          build(name, outer, fwd, strict) _)
+          build(name, outer, fwd, strict, auto) _)
     }
 }
 
@@ -144,8 +175,29 @@ object AsOfJoinTvf {
 object ResolveAsOfJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // the _auto family delegates to the Scala router once both
+      // relations resolve: hot-key detection needs RUNTIME statistics,
+      // so this rewrite EXECUTES the detection jobs (the Misra-Gries
+      // sketch pass, or the exact histogram fallback) on the driver
+      // during analysis — the same moment AQE would gather stats, just
+      // one layer up. The placeholder is rewritten exactly once (it
+      // never re-enters the fixed point), so the detection cost is paid
+      // once per query, and the resulting plan is the identical
+      // sliced-union/native plan a Scala asOfJoinAuto caller gets.
       case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
-          fwd, tol, strict) if l.resolved && r.resolved =>
+          fwd, tol, strict, true, autoTarget)
+          if l.resolved && r.resolved =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val routed = graft.operators.JoinOps.asOfJoinAuto(
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark, l),
+          org.apache.spark.sql.GraftPlanBridge.ofRows(spark, r),
+          leftKey = lk, rightKey = rk, leftTime = lt, rightTime = rt,
+          rightVals = rv, leftOuter = outer, forward = fwd,
+          tolerance = tol, strict = strict,
+          targetRowsPerTask = autoTarget)
+        routed.queryExecution.analyzed
+      case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
+          fwd, tol, strict, false, _) if l.resolved && r.resolved =>
         def attr(out: Seq[Attribute], n: String, side: String): Attribute =
           out.find(a => conf.resolver(a.name, n)).getOrElse(
             throw new IllegalArgumentException(

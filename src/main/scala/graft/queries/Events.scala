@@ -1398,7 +1398,10 @@ object Events {
     // ---- AUTOMATIC skew routing for as-of ---------------------------------
     //      e36 proved the mitigation (manual time-slicing, w19-sized);
     //      this gate runs JoinOps.asOfJoinAuto, which derives the w19
-    //      plan itself (one histogram aggregate over the left side),
+    //      plan itself (round-17: a Misra-Gries sketch pass by default —
+    //      no key-cardinality shuffle — with the exact histogram as the
+    //      automatic fallback when the explicit target is finer than
+    //      the sketch certifies, as this gate's target=8 is at sf0.1),
     //      routes keys above targetRowsPerTask through the sliced form
     //      at the planned width, and leaves cold keys on the cost-based
     //      native path. The low target forces real routing on the sf
@@ -1426,8 +1429,53 @@ object Events {
               WHERE event_type = 'purchase') p
         ASOF JOIN (SELECT user_id, ts, value FROM events
                    WHERE event_type = 'click') c
-          ON p.user_id = c.user_id AND p.ts >= c.ts"""))
+          ON p.user_id = c.user_id AND p.ts >= c.ts""")),
+
+    // ---- auto-skew as-of through PURE SQL (round-17) ----------------------
+    //      the asof_join_auto TVF: a spark.sql user inherits hot-key
+    //      splitting with no Scala in sight. The fixture key collapses
+    //      75% of users onto k=0 (a CASE both engines evaluate
+    //      identically), so the DEFAULT target (total/parallelism)
+    //      finds a genuinely hot key and the analysis-time router
+    //      plans the sliced+native union — the Misra-Gries sketch
+    //      path end-to-end, sf-independent. The right side pre-
+    //      aggregates to one row per (k, ts) because collapsing keys
+    //      manufactures cross-user time ties, and duplicate (key, rt)
+    //      pairs would make the as-of tie-break unspecified in BOTH
+    //      engines; MAX(value) restores a deterministic oracle.
+    //      AsOfSkewSpec asserts the sliced (struct-keyed) node appears
+    //      in this SQL text's plan for the hot key.
+    Q("e43_asof_auto_sql",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofAutoTvfSql)
+      },
+      Some("""
+        SELECT p.event_id, p.k, p.ts, c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id,
+                (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END) AS k,
+                ts
+              FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT
+                     (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END)
+                       AS k,
+                     ts, MAX(value) AS value
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY 1, 2) c
+          ON p.k = c.k AND p.ts >= c.ts"""))
   )
+
+  /** one string, two plan shapes: the e43 gate runs it for results, the
+    * AsOfSkewSpec plan pin runs it for shape */
+  private[graft] lazy val asofAutoTvfSql = """
+    SELECT * FROM asof_join_auto(
+      'SELECT event_id,
+         (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END) AS k, ts
+       FROM events WHERE event_type = ''purchase''',
+      'SELECT (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END) AS k,
+         ts, MAX(value) AS value
+       FROM events WHERE event_type = ''click'' GROUP BY 1, 2',
+      'k', 'k', 'ts', 'ts', 'ts', 'value')"""
 
   private lazy val asofSyntaxFwdSql = """
     SELECT p.event_id, p.user_id, p.ts,

@@ -2479,7 +2479,26 @@ object TextOps {
         Tables.documents(s, d).createOrReplaceTempView("documents")
         s.sql(nfcSharedSql)
       },
-      Some(nfcSharedSql))
+      Some(nfcSharedSql)),
+
+    // ---- unigram-LM tokenizer training (round 17) -------------------------
+    //      the SentencePiece-shaped alternative to BPE (Kudo 2018):
+    //      seed a substring candidate pool, then 3 EM rounds of
+    //      Viterbi-segment (row-local DP in codegen'd HOFs — no UDF) ->
+    //      usage re-count (one keyed shuffle) -> 3/4-shrink prune with
+    //      a never-pruned single-char floor. Integer surrogate
+    //      objective (min pieces, usage-count tie-break) so the DuckDB
+    //      oracle replays the WHOLE chain value-for-value: per round a
+    //      recursive dp CTE (one level per char position, same
+    //      LEAST/CASE arithmetic), a recursive backtrack, the count
+    //      aggregate, and the prune — t22's replay discipline applied
+    //      to an EM loop instead of a merge chain. See UnigramOps for
+    //      the 100 TB shape (vocab-not-corpus, KB-sized model
+    //      broadcasts, zero joins in the E-step).
+    Q("t50_unigram_lm_vocab",
+      (s, d) => graft.operators.UnigramOps.train(
+        Tables.documents(s, d), rounds = 3),
+      Some(graft.operators.UnigramOps.oracleSql(3)))
   )
 
   /** decomposed e-acute + ANGSTROM SIGN — both NFC-compose; embedded as

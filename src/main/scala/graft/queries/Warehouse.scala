@@ -1025,9 +1025,9 @@ object Warehouse {
     //      stamps (written by the same MERGE-loop writer; stamp = the
     //      event-time boundary the version covers up to, so resolution
     //      is deterministic and oracle-replayable) to the LATEST version
-    //      committed at-or-before t — here t sits at the 5/8 point of
-    //      the purchase time span, strictly between v1's and v2's
-    //      stamps, so it must resolve to v1 (v0 is already vacuumed:
+    //      committed at-or-before t — here t is the midpoint of v1's
+    //      and v2's RETAINED stamps, strictly between them by
+    //      construction, so it must resolve to v1 (v0 is already vacuumed:
     //      resolution walks only RETAINED stamps and readTimestamp fails
     //      loud for a t before the oldest one, spec-pinned). The output
     //      joins the timestamp-resolved snapshot against the
@@ -1037,11 +1037,21 @@ object Warehouse {
     Q("w20_time_travel_ts",
       (s, d) => {
         val stateDir = w18StateDir(d)
-        val p = Tables.events(s, d)
-          .filter(col("event_type") === "purchase")
-          .select(unix_micros(col("ts")).as("us"))
-        val mm = p.agg(min(col("us")), max(col("us"))).head()
-        val tq = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 5 / 8
+        // tq derives from the RETAINED stamps themselves — the midpoint
+        // of v1's and v2's commit stamps — so it sits strictly between
+        // them by construction on any fixture; the old
+        // mn + (mx-mn)*5/8 span arithmetic could floor onto v2's stamp
+        // when the purchase span is under 8 time units, resolving v2
+        // while the oracle hardcodes v1's cut (advice r16). A
+        // degenerate fixture where the stamps tie fails LOUD with a
+        // named error instead of a confusing hash mismatch.
+        val stamps = graft.streaming.VersionedState
+          .commitTimestamps(stateDir).toMap
+        val tq = (stamps(1L) + stamps(2L)) / 2
+        require(stamps(1L) <= tq && tq < stamps(2L),
+          s"w20 fixture degenerate: v1/v2 commit stamps " +
+            s"${stamps(1L)}/${stamps(2L)} leave no timestamp that " +
+            "resolves to v1")
         val vT = graft.streaming.VersionedState
           .readTimestamp(s, stateDir, tq)
           .select(col("user_id"), col("n_purchases").as("nt"),

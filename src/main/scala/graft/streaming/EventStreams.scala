@@ -245,10 +245,16 @@ object EventStreams {
     // fact TIED with ref's time must match the latest strictly-earlier
     // one (batch AsOfJoinExec's tie exclusion); refs ascend, so either
     // ref is strictly earlier than the fact (use it) or tied (use
-    // refBefore). For a LATE fact refBefore is used only when strictly
-    // earlier — it is then exactly the batch answer or the fact misses,
-    // never a staler-than-batch value (same degrade-to-drop contract
-    // as the non-strict late path).
+    // refBefore). A LATE reference strictly between refBefore and ref
+    // upgrades refBefore (below) — without the upgrade a subsequent
+    // tied fact would silently match the OLDER refBefore, a
+    // staler-than-batch value (advice r16). For a LATE fact refBefore
+    // is used only when strictly earlier — exactly the batch answer
+    // among references that ARRIVED before it, or the fact misses
+    // (degrade-to-drop, same contract as the non-strict late path;
+    // references arriving after a fact emitted can never retract it —
+    // Append mode's inherent late-data bound, counted by
+    // `lateArrivals`).
     var refBefore = st0.refBefore
     var maxSeen = st0.maxSeen
     val out = Seq.newBuilder[(AsOfInput, Option[AsOfState])]
@@ -265,6 +271,15 @@ object EventStreams {
           // earlier)
           if (ref.exists(c => micros(c.ts) < m)) refBefore = ref
           ref = Some(AsOfState(e.ts, e.value))
+        } else if (refBefore.forall(c => micros(c.ts) <= m)) {
+          // LATE reference (this branch: strictly older than the held
+          // ref) strictly between refBefore and ref is still the best
+          // strictly-earlier candidate — upgrade refBefore so a later
+          // fact TIED with ref's time matches IT (the batch answer),
+          // not the staler value it displaced (advice r16). Tied with
+          // refBefore's own time, the later arrival wins — the same
+          // convention as ref's same-time replacement above.
+          refBefore = Some(AsOfState(e.ts, e.value))
         }
       } else {
         val cand =

@@ -261,6 +261,108 @@ class AsOfSkewSpec extends SparkSpec {
     }
   }
 
+  // ---- round-17: sketch-fed detection, caps, SQL reachability ----------
+
+  test("sketch and exact histogram find the SAME hot set and width") {
+    val (l, _) = skewed(3000, seed = 37)
+    val exact = JoinOps.asOfSkewPlan(l, "k", "t",
+      targetRowsPerTask = 50L, exactHistogram = true)
+    val sketch = JoinOps.asOfSkewPlan(l, "k", "t", targetRowsPerTask = 50L)
+    assert(exact.isDefined && sketch.isDefined, s"$exact / $sketch")
+    assert(exact.get._1.toSet == sketch.get._1.toSet,
+      s"hot sets diverge: exact=${exact.get._1} sketch=${sketch.get._1}")
+    assert(exact.get._2 == sketch.get._2,
+      s"widths diverge: exact=${exact.get._2} sketch=${sketch.get._2}")
+  }
+
+  test("explicit target finer than the sketch can certify falls back " +
+      "to the exact histogram") {
+    val (l, _) = skewed(3000, seed = 41)
+    // capacity floors at parallelism (4 here): err = 3000/4 >> 8, so
+    // the sketch cannot prove every key above 8 rows is present —
+    // the plan must come from the exact twin
+    val fb = JoinOps.asOfSkewPlan(l, "k", "t",
+      targetRowsPerTask = 8L, sketchCapacity = 2)
+    val exact = JoinOps.asOfSkewPlan(l, "k", "t",
+      targetRowsPerTask = 8L, exactHistogram = true)
+    assert(fb.isDefined && exact.isDefined)
+    assert(fb.get._1.toSet == exact.get._1.toSet)
+    assert(fb.get._2 == exact.get._2)
+  }
+
+  test("hot set is capped at top-K by count; routing stays correct") {
+    val s = spark
+    import s.implicits._
+    // 400 keys x ~5 rows each, target=1: EVERY key crosses the bar —
+    // the round-16 shape where the driver list and the isin literal
+    // grew key-cardinality-sized (advice r16); the cap bounds both,
+    // and the un-capped remainder routes cold, which must not change
+    // results
+    val l = (1 to 2000).map(i =>
+      (i.toLong, (i % 400).toLong, (i * 13 % 10000).toLong))
+      .toDF("id", "k", "t")
+    val r = (1 to 1200).map(i =>
+      ((i % 400).toLong, i * 17L + 1, i * 1.0)).toDF("k", "rt", "v")
+    val maxHot = math.max(
+      4 * spark.sparkContext.defaultParallelism, 64)
+    for (exact <- Seq(false, true)) {
+      val plan = JoinOps.asOfSkewPlan(l, "k", "t",
+        targetRowsPerTask = 1L, exactHistogram = exact)
+      assert(plan.isDefined, s"exact=$exact")
+      assert(plan.get._1.size <= maxHot,
+        s"exact=$exact: hot set ${plan.get._1.size} > cap $maxHot")
+    }
+    val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"))
+    val auto = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+      rightVals = Seq("rt", "v"), targetRowsPerTask = 1L)
+    assert(canon(auto) == canon(native))
+  }
+
+  test("auto == native across strict x tolerance x outer x forward " +
+      "with hot routing live") {
+    val (l, r) = skewed(1500, seed = 43)
+    for (outer <- Seq(false, true); fwd <- Seq(false, true);
+         strict <- Seq(false, true); tol <- Seq(None, Some(5000L))) {
+      val native = JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"), leftOuter = outer, forward = fwd,
+        tolerance = tol, strict = strict)
+      val auto = JoinOps.asOfJoinAuto(l, r, "k", "k", "t", "rt",
+        rightVals = Seq("rt", "v"), leftOuter = outer, forward = fwd,
+        tolerance = tol, strict = strict, targetRowsPerTask = 50L)
+      assert(asOfNodes(auto).size == 2,
+        s"outer=$outer fwd=$fwd strict=$strict tol=$tol: routing dead")
+      assert(canon(auto) == canon(native),
+        s"outer=$outer fwd=$fwd strict=$strict tol=$tol")
+    }
+  }
+
+  test("asof_join_auto TVF: the hot key gets the sliced plan through " +
+      "pure SQL, results equal the plain TVF") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    // same shape as the e43 gate's fixture: 40 users, 3/4 of them
+    // collapse onto k=0 inside the TVF's inline CASE
+    val ev = (1 to 2000).map { i =>
+      (i.toLong, 1L + rnd.nextInt(40),
+        new java.sql.Timestamp(1700000000000L + i * 1000L),
+        if (i % 3 == 0) "purchase" else "click", rnd.nextDouble())
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.createOrReplaceTempView("events")
+    try {
+      val auto = spark.sql(graft.queries.Events.asofAutoTvfSql)
+      val nodes = asOfNodes(auto)
+      assert(nodes.size == 2, s"SQL auto routing did not split:\n$nodes")
+      assert(nodes.count(_.leftKey.dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType]) == 1,
+        s"no sliced (struct-keyed) node:\n$nodes")
+      val plain = spark.sql(graft.queries.Events.asofAutoTvfSql
+        .replace("asof_join_auto", "asof_join"))
+      assert(canon(auto) == canon(plain))
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("degenerate widths: one giant slice and one-row slices") {
     val (l, r) = skewed(500, seed = 3)
     val native = canon(JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",

@@ -478,6 +478,46 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("strict backward streaming as-of: a LATE reference strictly " +
+      "between refBefore and ref upgrades refBefore (advice r16)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.AsOfInput
+    val input = MemoryStream[AsOfInput]
+    val q = EventStreams.asOfEnrichStream(input.toDS(), strict = true)
+      .writeStream.format("memory").queryName("asof_strict_late_ref")
+      .outputMode("append").start()
+    def rows() = spark.table("asof_strict_late_ref").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).toString, r.getDouble(4)))
+      .toSet
+    try {
+      // batch 1: refs at 10:01 and 10:05 -> ref = 10:05, refBefore = 10:01
+      input.addData(
+        AsOfInput(1L, 1L, ts("2024-01-01 10:01:00"), false, 1.0),
+        AsOfInput(2L, 1L, ts("2024-01-01 10:05:00"), false, 5.0))
+      q.processAllAvailable()
+      // batch 2: a LATE 10:03 reference (below the 10:05 high-water
+      // mark) is strictly between refBefore and ref — it must upgrade
+      // refBefore, so the tied 10:05 fact matches 10:03 (the batch
+      // ASOF answer), not the staler 10:01 the old state held
+      input.addData(
+        AsOfInput(3L, 1L, ts("2024-01-01 10:03:00"), false, 3.0),
+        AsOfInput(100L, 1L, ts("2024-01-01 10:05:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set((100L, "2024-01-01 10:03:00.0", 3.0)),
+        s"late ref not upgraded into refBefore: ${rows()}")
+      // a late ref OLDER than refBefore must NOT regress it
+      input.addData(
+        AsOfInput(4L, 1L, ts("2024-01-01 10:02:00"), false, 2.0),
+        AsOfInput(101L, 1L, ts("2024-01-01 10:05:00"), true, 0.0))
+      q.processAllAvailable()
+      assert(rows() == Set(
+        (100L, "2024-01-01 10:03:00.0", 3.0),
+        (101L, "2024-01-01 10:03:00.0", 3.0)),
+        s"older late ref regressed refBefore: ${rows()}")
+    } finally q.stop()
+  }
+
   test("strict forward streaming as-of: a same-time reference does not " +
       "resolve; the fact waits for a strictly-later one") {
     import spark.implicits._
