@@ -320,6 +320,17 @@ object GraphOps {
       // action, so its wall IS the round's wall (lazy checkpoints
       // materialize inside it; there is no separate checkpoint pass)
       onRound: (Int, Double) => Unit = null): (DataFrame, Int) = {
+    // largeStar emits a MULTISET on purpose (round-17): its output is
+    // at most one row per (a, b) adjacency pair with b > a — never
+    // more than |e| rows — and smallStar is duplicate-insensitive
+    // end-to-end (groupBy-min, an equi-join that emits one row per
+    // probe row, and a final distinct), so the intermediate
+    // (u, v)-distinct bought nothing but a full extra exchange +
+    // dedup per round. Dropping it cuts the per-round exchange count
+    // 4 -> 3 (adj-on-a and down-on-a are each ReuseExchange'd across
+    // their two consumers; the only remaining shuffle is smallStar's
+    // closing distinct). Note u > v holds for every emitted row
+    // (b > a >= m), so no row can be a self-loop either.
     def largeStar(e: DataFrame): DataFrame = {
       val adj = e.select(col("u").as("a"), col("v").as("b"))
         .union(e.select(col("v").as("a"), col("u").as("b")))
@@ -327,7 +338,6 @@ object GraphOps {
         .select(col("a"), least(col("a"), col("mb")).as("m"))
       adj.join(m, "a").filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       val down = e.select(greatest(col("u"), col("v")).as("a"),
