@@ -184,6 +184,23 @@ object UnigramOps {
     finalChars.unionByName(finalMulti)
   }
 
+  /** ENCODE with the trained vocab — t25's apply half for the unigram
+    * model: train (driver-side KB model), then Viterbi-segment the
+    * whole corpus with the final piece scores and count the merged
+    * units (length >= 2 — single chars are by definition unmerged,
+    * same reporting contract as the BPE encode gate). The encode pass
+    * is the same row-local HOF dynamic program as training's E-step:
+    * embarrassingly parallel, model broadcast as one map literal,
+    * zero joins — the 100 TB corpus-encode shape. */
+  def encodeCounts(docs: DataFrame, rounds: Int,
+                   seedMulti: Int = 64): DataFrame = {
+    val vocab = train(docs, rounds, seedMulti).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    segmentCounts(words(docs), vocab)
+      .filter(length(col("piece")) > 1)
+      .select(col("piece"), col("cnt"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB replay
   // ---------------------------------------------------------------------
@@ -200,7 +217,30 @@ object UnigramOps {
     * Spark chain */
   def oracleSql(rounds: Int, seedMulti: Int = 64,
                 table: String = "documents"): String = {
-    val head = s"""
+    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(seedMulti, r)))
+      .mkString(",", ",", "")
+    s"${oracleHead(table, seedMulti)}$stages\n" +
+      s"      SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v$rounds"
+  }
+
+  /** ENCODE replay ([[encodeCounts]]'s oracle): the training chain
+    * verbatim, then ONE more dp/backtrack/count pass against the final
+    * vocab — no prune — reporting the merged units (length >= 2) */
+  def encodeOracleSql(rounds: Int, seedMulti: Int = 64,
+                      table: String = "documents"): String = {
+    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(seedMulti, r)))
+    val enc = emStageSql(rounds + 1, keep = -1)
+    s"""${oracleHead(table, seedMulti)}${(stages :+ enc).mkString(",", ",", "")}
+      SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM cnt${rounds + 1}
+      WHERE length(piece) > 1"""
+  }
+
+  /** the multi-piece budget after `r` 3/4-shrink prunes (integer
+    * arithmetic — both engines replay the same schedule) */
+  private def pruneTo(seedMulti: Int, r: Int): Int =
+    (1 to r).foldLeft(seedMulti)((k, _) => k * 3 / 4)
+
+  private def oracleHead(table: String, seedMulti: Int): String = s"""
       WITH RECURSIVE w AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
@@ -224,18 +264,28 @@ object UnigramOps {
         SELECT piece, cnt FROM (SELECT piece, cnt FROM ms
                                 ORDER BY cnt DESC, piece ASC
                                 LIMIT $seedMulti))"""
-    var keep = seedMulti
-    val stages = (1 to rounds).map { r =>
-      keep = keep * 3 / 4
-      val costs = (1 to MaxPieceLen).map(j => cc(j, s"v${r - 1}"))
-      val m = s"LEAST(${costs.mkString(",\n            ")})"
-      val choice = (MaxPieceLen to 2 by -1)
-        .map(j => s"WHEN ${costs(j - 1)} = $m THEN ${j}").mkString("\n          ")
-      val joins = (1 to MaxPieceLen).map(j =>
-        s"""LEFT JOIN v${r - 1} p$j ON d.i >= $j
-              AND p$j.piece = substring(d.word, d.i - $j + 1, $j)""")
-        .mkString("\n          ")
-      s"""
+
+  /** one EM stage (dp + backtrack + usage counts, and the prune when
+    * `keep >= 0`) against the previous stage's vocab v(r-1) */
+  private def emStageSql(r: Int, keep: Int): String = {
+    val costs = (1 to MaxPieceLen).map(j => cc(j, s"v${r - 1}"))
+    val m = s"LEAST(${costs.mkString(",\n            ")})"
+    val choice = (MaxPieceLen to 2 by -1)
+      .map(j => s"WHEN ${costs(j - 1)} = $m THEN ${j}").mkString("\n          ")
+    val joins = (1 to MaxPieceLen).map(j =>
+      s"""LEFT JOIN v${r - 1} p$j ON d.i >= $j
+            AND p$j.piece = substring(d.word, d.i - $j + 1, $j)""")
+      .mkString("\n          ")
+    val prune = if (keep < 0) "" else s""",
+      v$r AS MATERIALIZED (
+        SELECT ch.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        FROM ch LEFT JOIN cnt$r c ON ch.piece = c.piece
+        UNION ALL
+        SELECT piece, cnt FROM (SELECT piece, cnt FROM cnt$r
+                                WHERE length(piece) > 1
+                                ORDER BY cnt DESC, piece ASC
+                                LIMIT $keep))"""
+    s"""
       dp$r AS (
         SELECT word, freq, CAST(1 AS BIGINT) AS i,
                [CAST(0 AS BIGINT)] AS c, [CAST(1 AS BIGINT)] AS j
@@ -256,16 +306,6 @@ object UnigramOps {
       cnt$r AS MATERIALIZED (
         SELECT substring(word, pos - j[pos + 1] + 1, j[pos + 1]) AS piece,
                CAST(SUM(freq) AS BIGINT) AS cnt
-        FROM bt$r WHERE pos > 0 GROUP BY 1),
-      v$r AS MATERIALIZED (
-        SELECT ch.piece, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
-        FROM ch LEFT JOIN cnt$r c ON ch.piece = c.piece
-        UNION ALL
-        SELECT piece, cnt FROM (SELECT piece, cnt FROM cnt$r
-                                WHERE length(piece) > 1
-                                ORDER BY cnt DESC, piece ASC
-                                LIMIT $keep))"""
-    }.mkString(",", ",", "")
-    s"$head$stages\n      SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v$rounds"
+        FROM bt$r WHERE pos > 0 GROUP BY 1)$prune"""
   }
 }

@@ -2498,7 +2498,19 @@ object TextOps {
     Q("t50_unigram_lm_vocab",
       (s, d) => graft.operators.UnigramOps.train(
         Tables.documents(s, d), rounds = 3),
-      Some(graft.operators.UnigramOps.oracleSql(3)))
+      Some(graft.operators.UnigramOps.oracleSql(3))),
+
+    // ---- unigram-LM corpus ENCODE (t25's apply half for t50) --------------
+    //      train the 3-round unigram vocab (KB-sized driver model),
+    //      then Viterbi-segment the whole corpus with it and count the
+    //      merged units (length >= 2, the t25 reporting contract). The
+    //      oracle replays the training chain verbatim plus one more
+    //      dp/backtrack/count stage — train and encode must agree
+    //      end-to-end, the same two-gate discipline as t22/t25.
+    Q("t51_unigram_encode",
+      (s, d) => graft.operators.UnigramOps.encodeCounts(
+        Tables.documents(s, d), rounds = 3),
+      Some(graft.operators.UnigramOps.encodeOracleSql(3)))
   )
 
   /** decomposed e-acute + ANGSTROM SIGN — both NFC-compose; embedded as

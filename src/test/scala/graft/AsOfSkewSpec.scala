@@ -363,6 +363,38 @@ class AsOfSkewSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("events")
   }
 
+  test("asof_join_auto TVF optional integers: [tolerance[, target]], " +
+      "and Long.MaxValue tolerance means unbounded") {
+    val s = spark
+    import s.implicits._
+    val ev = (1 to 600).map { i =>
+      (i.toLong, (i % 5).toLong + 1L,
+        new java.sql.Timestamp(1700000000000L + i * 60000L),
+        if (i % 3 == 0) "purchase" else "click", i * 1.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    ev.createOrReplaceTempView("events")
+    try {
+      def run(fn: String, extra: String) = canon(spark.sql(s"""
+        SELECT * FROM $fn(
+          'SELECT event_id, user_id, ts FROM events
+           WHERE event_type = ''purchase''',
+          'SELECT user_id, ts, value FROM events
+           WHERE event_type = ''click''',
+          'user_id', 'user_id', 'ts', 'ts'$extra, 'ts', 'value')"""))
+      // tolerance literal behaves exactly like the plain TVF's
+      assert(run("asof_join_auto", ", 600000000") ==
+        run("asof_join", ", 600000000"))
+      // second integer = targetRowsPerTask: a tiny target must not
+      // change results (routing invariance), only the plan
+      assert(run("asof_join_auto", ", 600000000, 8") ==
+        run("asof_join", ", 600000000"))
+      // Long.MaxValue tolerance normalizes to unbounded — lets a SQL
+      // caller set a target with no real tolerance bound
+      assert(run("asof_join_auto", ", 9223372036854775807, 8") ==
+        run("asof_join", ""))
+    } finally spark.catalog.dropTempView("events")
+  }
+
   test("degenerate widths: one giant slice and one-row slices") {
     val (l, r) = skewed(500, seed = 3)
     val native = canon(JoinOps.asOfJoinNative(l, r, "k", "k", "t", "rt",

@@ -67,6 +67,16 @@ class UnigramOpsSpec extends SparkSpec {
     assert(out == Map("a" -> 0L, "b" -> 0L, "c" -> 1L, "ab" -> 3L))
   }
 
+  test("encodeCounts applies the trained vocab and reports merged units") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("ab ab ab c").toDF("text")
+    // trained round-1 vocab = {a:0, b:0, c:1, ab:3}; encoding segments
+    // 'ab' as [ab] and 'c' as [c]; only length>=2 units are reported
+    assert(countsMap(UnigramOps.encodeCounts(docs, rounds = 1)) ==
+      Map("ab" -> 3L))
+  }
+
   test("pruning keeps the char floor and at most the keep-schedule " +
       "of multi pieces") {
     val s = spark
