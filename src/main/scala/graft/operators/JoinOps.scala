@@ -547,11 +547,13 @@ object JoinOps {
       // sort): with a caller-supplied small target the unbounded
       // collect was key-cardinality-sized (advice r16); the cap keeps
       // it metadata-scale, and keys past the cap just route cold
+      // secondary sort on the key: count ties at the cap boundary must
+      // pick the same hot set on every run/engine (review r17)
       val hot = hist.crossJoin(broadcast(totalDf))
         .filter(col("__n") > targetCol)
         .select(col("__k"), col("__n"), col("__mn"), col("__mx"),
           targetCol.as("__target"), col("__gmn"), col("__gmx"))
-        .orderBy(col("__n").desc).limit(maxHot).collect()
+        .orderBy(col("__n").desc, col("__k").asc).limit(maxHot).collect()
       if (hot.isEmpty) None
       else {
         val target = math.max(1L, hot.head.getLong(4))
@@ -573,7 +575,7 @@ object JoinOps {
     if (target < err) return exactPlan() // only reachable with explicit target
     val cand = sk.getMap[Long, Long](0).toSeq
       .filter(_._2 > target - err)
-      .sortBy(-_._2).take(4 * maxHot).map(_._1)
+      .sortBy { case (h, c) => (-c, h) }.take(4 * maxHot).map(_._1)
     if (cand.isEmpty) return None
     val spans = filtered
       .filter(xxhash64(col(leftKey)).isInCollection(cand))
@@ -582,7 +584,7 @@ object JoinOps {
         min(micros(leftTime)).as("__mn"),
         max(micros(leftTime)).as("__mx"))
       .filter(col("__n") > lit(target))
-      .orderBy(col("__n").desc).limit(maxHot).collect()
+      .orderBy(col("__n").desc, col("__k").asc).limit(maxHot).collect()
     if (spans.isEmpty) None
     else Some((spans.map(_.get(0)).toSeq, width(spans, target)))
   }

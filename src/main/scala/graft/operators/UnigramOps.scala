@@ -135,23 +135,37 @@ object UnigramOps {
     * and return weighted piece-usage counts. The vocab rides in as a
     * map literal (model-sized); the groupBy is the round's only
     * shuffle. */
-  def segmentCounts(w: DataFrame, vocab: Seq[(String, Long)]): DataFrame =
+  def segmentCounts(w: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+    // the integer objective inverts silently if any usage count reaches
+    // Big (cost = Big - usage goes negative and the DP starts PREFERRING
+    // more pieces) — fail loud at the model boundary instead. The
+    // margin is MaxWordLen because a word sums at most MaxWordLen piece
+    // costs; at a corpus where a piece's weighted usage approaches
+    // 2^40 / 16, raise Big (both engines replay whatever constant is
+    // compiled in — the oracle generator uses the same val)
+    require(vocab.forall(_._2 < Big / MaxWordLen),
+      s"unigram piece count >= ${Big / MaxWordLen} would invert the " +
+        "integer Viterbi objective — raise UnigramOps.Big for this corpus")
     w.withColumn("__vm", typedLit(vocab.toMap))
       .withColumn("__dp", expr(dpSql))
       .select(explode(expr(btSql)).as("piece"), col("freq"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+  }
 
   /** Train `rounds` EM rounds from a `seedMulti`-piece candidate pool;
     * returns the final vocab (piece, cnt) — every single character
     * with its last-round usage, plus the surviving top multi-char
     * pieces. Replayed value-for-value by [[oracleSql]] with the same
     * rounds/seed. */
-  def train(docs: DataFrame, rounds: Int, seedMulti: Int = 64): DataFrame = {
+  def train(docs: DataFrame, rounds: Int, seedMulti: Int = 64): DataFrame =
+    trainOn(words(docs).localCheckpoint(), rounds, seedMulti)
+
+  /** training core over an already-materialized word frame — split out
+    * so [[encodeCounts]] reuses the checkpointed vocabulary instead of
+    * paying a second raw-corpus scan + word aggregation */
+  private def trainOn(w: DataFrame, rounds: Int,
+                      seedMulti: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // distinct words materialize ONCE (eager localCheckpoint — the
-    // BpeOps lineage discipline); every later pass reads the
-    // vocab-sized checkpoint, never the corpus
-    val w = words(docs).localCheckpoint()
     val chars = charCounts(w).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val seed = multiSeedCounts(w)
@@ -174,7 +188,7 @@ object UnigramOps {
     }
     // final round's prune stays distributed: the gate output is a
     // frame, not a driver model
-    val s = docs.sparkSession
+    val s = w.sparkSession
     import s.implicits._
     val charDf = chars.map(_._1).toSeq.toDF("piece")
     val finalChars = charDf.join(counts, Seq("piece"), "left")
@@ -194,9 +208,12 @@ object UnigramOps {
     * zero joins — the 100 TB corpus-encode shape. */
   def encodeCounts(docs: DataFrame, rounds: Int,
                    seedMulti: Int = 64): DataFrame = {
-    val vocab = train(docs, rounds, seedMulti).collect()
+    // ONE corpus scan: the checkpointed word frame feeds training AND
+    // the encode pass (words-not-corpus on both sides)
+    val w = words(docs).localCheckpoint()
+    val vocab = trainOn(w, rounds, seedMulti).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    segmentCounts(words(docs), vocab)
+    segmentCounts(w, vocab)
       .filter(length(col("piece")) > 1)
       .select(col("piece"), col("cnt"))
   }
@@ -205,7 +222,9 @@ object UnigramOps {
   // DuckDB replay
   // ---------------------------------------------------------------------
 
-  private def cc(j: Int, vp: String): String =
+  // the cost reads join alias p$j (bound to the round's vocab CTE at
+  // the LEFT JOIN in emStageSql) — no vocab name appears here
+  private def cc(j: Int): String =
     s"""CASE WHEN p$j.piece IS NOT NULL
           THEN d.c[d.i - $j + 1] + ($Big - p$j.cnt)
           ELSE CAST($Huge AS BIGINT) END"""
@@ -268,7 +287,7 @@ object UnigramOps {
   /** one EM stage (dp + backtrack + usage counts, and the prune when
     * `keep >= 0`) against the previous stage's vocab v(r-1) */
   private def emStageSql(r: Int, keep: Int): String = {
-    val costs = (1 to MaxPieceLen).map(j => cc(j, s"v${r - 1}"))
+    val costs = (1 to MaxPieceLen).map(cc)
     val m = s"LEAST(${costs.mkString(",\n            ")})"
     val choice = (MaxPieceLen to 2 by -1)
       .map(j => s"WHEN ${costs(j - 1)} = $m THEN ${j}").mkString("\n          ")

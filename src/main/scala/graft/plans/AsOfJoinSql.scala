@@ -184,18 +184,46 @@ object ResolveAsOfJoin extends Rule[LogicalPlan] {
       // never re-enters the fixed point), so the detection cost is paid
       // once per query, and the resulting plan is the identical
       // sliced-union/native plan a Scala asOfJoinAuto caller gets.
+      // KNOWN COST of the analysis-time choice: plan-only operations —
+      // EXPLAIN, df.explain, re-analysis of a view wrapping the TVF —
+      // also pay the detection scans. Deciding at physical planning
+      // would avoid that but cannot express this rewrite (the sliced
+      // plan is a different LOGICAL composition: filters, a slice-key
+      // union, TWO as-of nodes), so the TVF trades explain-purity for
+      // routing the actual executions; a caller who only wants the
+      // plan shape should EXPLAIN the non-auto sibling.
       case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
           fwd, tol, strict, true, autoTarget)
           if l.resolved && r.resolved =>
         val spark = org.apache.spark.sql.SparkSession.active
+        // resolve argument names against the children with the session
+        // resolver FIRST: JoinOps.asOfJoinAuto's schema(name) lookups
+        // are case-sensitive, and the auto TVF must accept exactly the
+        // spellings its non-auto siblings accept (review r17)
+        def actual(out: Seq[Attribute], n: String, side: String): String =
+          out.find(a => conf.resolver(a.name, n)).map(_.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"asof_join_auto: column `$n` not found in the $side " +
+                s"table (${out.map(_.name).mkString(", ")})"))
+        val actualVals = rv.map(actual(r.output, _, "right"))
         val routed = graft.operators.JoinOps.asOfJoinAuto(
           org.apache.spark.sql.GraftPlanBridge.ofRows(spark, l),
           org.apache.spark.sql.GraftPlanBridge.ofRows(spark, r),
-          leftKey = lk, rightKey = rk, leftTime = lt, rightTime = rt,
-          rightVals = rv, leftOuter = outer, forward = fwd,
+          leftKey = actual(l.output, lk, "left"),
+          rightKey = actual(r.output, rk, "right"),
+          leftTime = actual(l.output, lt, "left"),
+          rightTime = actual(r.output, rt, "right"),
+          rightVals = actualVals,
+          leftOuter = outer, forward = fwd,
           tolerance = tol, strict = strict,
           targetRowsPerTask = autoTarget)
-        routed.queryExecution.analyzed
+        // the non-auto TVF aliases payloads asof_<AS TYPED>; match it
+        val renamed = rv.zip(actualVals).foldLeft(routed) {
+          case (df, (typed, act)) =>
+            if (typed == act) df
+            else df.withColumnRenamed(s"asof_$act", s"asof_$typed")
+        }
+        renamed.queryExecution.analyzed
       case AsOfJoinTvf.UnresolvedAsOfJoin(l, r, lk, rk, lt, rt, rv, outer,
           fwd, tol, strict, false, _) if l.resolved && r.resolved =>
         def attr(out: Seq[Attribute], n: String, side: String): Attribute =

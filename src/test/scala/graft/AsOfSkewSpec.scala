@@ -392,6 +392,19 @@ class AsOfSkewSpec extends SparkSpec {
       // caller set a target with no real tolerance bound
       assert(run("asof_join_auto", ", 9223372036854775807, 8") ==
         run("asof_join", ""))
+      // case-insensitive column arguments, exactly like the non-auto
+      // siblings (the router resolves names with the session resolver
+      // before the Scala API's case-sensitive schema lookups)
+      val upper = canon(spark.sql("""
+        SELECT * FROM asof_join_auto(
+          'SELECT event_id, user_id, ts FROM events
+           WHERE event_type = ''purchase''',
+          'SELECT user_id, ts, value FROM events
+           WHERE event_type = ''click''',
+          'USER_ID', 'User_Id', 'TS', 'Ts', 'TS', 'VALUE')"""))
+      // payload aliases follow the TYPED spelling, like asof_join's
+      assert(upper.nonEmpty)
+      assert(run("asof_join", "") == upper)
     } finally spark.catalog.dropTempView("events")
   }
 

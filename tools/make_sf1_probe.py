@@ -30,7 +30,10 @@ con = duckdb.connect()
 docs = con.execute(
     f"SELECT doc_id, text, lang, source FROM '{SRC}/documents.parquet' "
     "ORDER BY doc_id").fetchall()
-n_docs = len(docs)
+# offset by max(id)+1, NOT row count: sparse/non-zero-based ids would
+# otherwise collide across copies (two (copy, doc) pairs mapping to one
+# doc_id silently skews every dedup probe)
+doc_off = max(d[0] for d in docs) + 1
 rows = []
 for k in range(COPIES):
     for doc_id, text, lang, source in docs:
@@ -48,7 +51,7 @@ for k in range(COPIES):
             words = [w + str(k) if rnd.random() < 0.3 else w
                      for w in words]
             t = " ".join(words)
-        rows.append((doc_id + k * n_docs, t, lang, source, len(t)))
+        rows.append((doc_id + k * doc_off, t, lang, source, len(t)))
 con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
             "source VARCHAR, n_chars BIGINT)")
 con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", rows)
@@ -58,7 +61,7 @@ con.execute(f"COPY d TO '{OUT}/documents.parquet' (FORMAT PARQUET, "
 emb = con.execute(
     f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' "
     "ORDER BY vec_id").fetchall()
-n_emb = len(emb)
+vec_off = max(e[0] for e in emb) + 1
 erows = []
 for k in range(COPIES):
     for vec_id, vec, label in emb:
@@ -67,7 +70,7 @@ for k in range(COPIES):
         else:
             rnd = random.Random(1000003 * k + vec_id)
             v = [x * (1.0 + 0.3 * (rnd.random() - 0.5)) for x in vec]
-        erows.append((vec_id + k * n_emb, v, label))
+        erows.append((vec_id + k * vec_off, v, label))
 con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], "
             "label INTEGER)")
 con.executemany("INSERT INTO e VALUES (?, ?, ?)", erows)
