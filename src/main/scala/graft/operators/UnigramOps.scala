@@ -163,7 +163,7 @@ object UnigramOps {
   /** training core over an already-materialized word frame — split out
     * so [[encodeCounts]] reuses the checkpointed vocabulary instead of
     * paying a second raw-corpus scan + word aggregation */
-  private def trainOn(w: DataFrame, rounds: Int,
+  private[graft] def trainOn(w: DataFrame, rounds: Int,
                       seedMulti: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val chars = charCounts(w).collect()
@@ -218,6 +218,23 @@ object UnigramOps {
       .select(col("piece"), col("cnt"))
   }
 
+  /** Viterbi segmentation LENGTH per distinct word under `vocab` —
+    * the piece count the fertility metric weights by corpus frequency.
+    * Same row-local DP as [[segmentCounts]], reporting sizes instead
+    * of exploding pieces (no shuffle at all: one map over the word
+    * frame). */
+  def segmentationLengths(w: DataFrame,
+                          vocab: Seq[(String, Long)]): DataFrame = {
+    require(vocab.forall(_._2 < Big / MaxWordLen),
+      s"unigram piece count >= ${Big / MaxWordLen} would invert the " +
+        "integer Viterbi objective — raise UnigramOps.Big for this corpus")
+    w.withColumn("__vm", typedLit(vocab.toMap))
+      .withColumn("__dp", expr(dpSql))
+      .select(col("word"),
+        size(expr(btSql)).cast("long").as("n_pieces"))
+      .drop("__vm", "__dp")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB replay
   // ---------------------------------------------------------------------
@@ -252,6 +269,40 @@ object UnigramOps {
     s"""${oracleHead(table, seedMulti)}${(stages :+ enc).mkString(",", ",", "")}
       SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM cnt${rounds + 1}
       WHERE length(piece) > 1"""
+  }
+
+  /** FERTILITY replay: the training chain, one segmentation pass with
+    * the final vocab (pieces-per-word from the backtrack row counts),
+    * and a per-language rollup weighted by (lang, word) corpus
+    * frequency — tokens-per-word and chars-per-token, the two numbers
+    * a tokenizer evaluation reads per language. The DOUBLE columns are
+    * single divisions of identical bigint sums on both engines
+    * (IEEE-exact, the t01 discipline). */
+  def fertilityOracleSql(rounds: Int, seedMulti: Int = 64,
+                         table: String = "documents"): String = {
+    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(seedMulti, r)))
+    val enc = emStageSql(rounds + 1, keep = -1)
+    s"""${oracleHead(table, seedMulti)}${(stages :+ enc).mkString(",", ",", "")},
+      wl AS MATERIALIZED (
+        SELECT lang, word, COUNT(*) AS freq
+        FROM (SELECT lang,
+                unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                  AS word FROM $table)
+        WHERE LENGTH(word) BETWEEN 1 AND $MaxWordLen GROUP BY 1, 2),
+      ppw AS (
+        SELECT word, COUNT(*) AS n_pieces
+        FROM bt${rounds + 1} WHERE pos > 0 GROUP BY 1)
+      SELECT wl.lang,
+        CAST(SUM(wl.freq) AS BIGINT) AS n_words,
+        CAST(SUM(wl.freq * ppw.n_pieces) AS BIGINT) AS n_tokens,
+        CAST(SUM(wl.freq * length(wl.word)) AS BIGINT) AS n_chars,
+        CAST(CAST(SUM(wl.freq * ppw.n_pieces) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(SUM(wl.freq) AS BIGINT) AS DOUBLE) AS fertility,
+        CAST(CAST(SUM(wl.freq * length(wl.word)) AS BIGINT) AS DOUBLE)
+          / CAST(CAST(SUM(wl.freq * ppw.n_pieces) AS BIGINT) AS DOUBLE)
+          AS chars_per_token
+      FROM wl JOIN ppw ON wl.word = ppw.word
+      GROUP BY 1"""
   }
 
   /** the multi-piece budget after `r` 3/4-shrink prunes (integer

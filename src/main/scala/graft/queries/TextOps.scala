@@ -2510,7 +2510,42 @@ object TextOps {
     Q("t51_unigram_encode",
       (s, d) => graft.operators.UnigramOps.encodeCounts(
         Tables.documents(s, d), rounds = 3),
-      Some(graft.operators.UnigramOps.encodeOracleSql(3)))
+      Some(graft.operators.UnigramOps.encodeOracleSql(3))),
+
+    // ---- tokenizer fertility per language (t50's evaluation) --------------
+    //      the two numbers a tokenizer selection reads per language:
+    //      fertility (tokens per word) and chars per token, under the
+    //      t50-trained unigram model. Pieces-per-word comes from ONE
+    //      shuffle-free segmentation map over the distinct-word frame
+    //      (the model is a broadcast map literal); the per-language
+    //      rollup weights by (lang, word) corpus frequency. The DOUBLE
+    //      ratios are single divisions of identical bigint sums on
+    //      both engines — IEEE-exact, the t01 discipline. Oracle
+    //      replays training + one segmentation stage + the rollup.
+    Q("t52_tokenizer_fertility",
+      (s, d) => {
+        val ops = graft.operators.UnigramOps
+        val docs = Tables.documents(s, d)
+        val w = ops.words(docs).localCheckpoint()
+        val vocab = ops.trainOn(w, rounds = 3, seedMulti = 64).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val wl = docs.select(col("lang"),
+            explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+          .filter(length(col("word")).between(1, ops.MaxWordLen))
+          .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        wl.join(ops.segmentationLengths(w, vocab), Seq("word"))
+          .groupBy("lang")
+          .agg(sum(col("freq")).as("n_words"),
+            sum(col("freq") * col("n_pieces")).as("n_tokens"),
+            sum(col("freq") * length(col("word"))).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            col("n_chars"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"))
+      },
+      Some(graft.operators.UnigramOps.fertilityOracleSql(3)))
   )
 
   /** decomposed e-acute + ANGSTROM SIGN — both NFC-compose; embedded as

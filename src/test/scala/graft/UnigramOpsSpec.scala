@@ -77,6 +77,15 @@ class UnigramOpsSpec extends SparkSpec {
       Map("ab" -> 3L))
   }
 
+  test("segmentationLengths reports Viterbi piece counts per word") {
+    val w = wordsDf("ab" -> 3L, "aab" -> 1L, "c" -> 2L)
+    val vocab = Seq("a" -> 10L, "b" -> 1L, "c" -> 2L, "ab" -> 5L)
+    val m = UnigramOps.segmentationLengths(w, vocab).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'ab' -> [ab] (1), 'aab' -> [a, ab] (2), 'c' -> [c] (1)
+    assert(m == Map("ab" -> 1L, "aab" -> 2L, "c" -> 1L))
+  }
+
   test("pruning keeps the char floor and at most the keep-schedule " +
       "of multi pieces") {
     val s = spark
