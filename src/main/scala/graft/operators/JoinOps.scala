@@ -489,6 +489,17 @@ object JoinOps {
     *     counts the w19 width arithmetic needs — estimates never size
     *     slices.
     *
+    * CAP CAVEAT (mirroring the exact path's "keys past the cap just
+    * route cold"): the candidate list is truncated at 4*maxHot by MG
+    * ESTIMATED count, and estimate order need not match true-count
+    * order — so when more candidates pass the est filter than the
+    * truncation keeps, a truly-hot key can fall to a near-hot false
+    * candidate and route cold, unsplit. Results stay correct either
+    * way (routing is result-invariant); the superset guarantee — and
+    * the sketch==exact hot-set equality AsOfSkewSpec pins — holds
+    * below the truncation, which needs > 4*max(4*par, 64) concurrent
+    * candidates to breach.
+    *
     * The exact twin (`exactHistogram = true`, or the automatic fallback
     * when an explicit target < total/capacity, where the sketch cannot
     * certify presence) is the round-16 shape: one full keyed histogram

@@ -20,8 +20,18 @@ import org.apache.spark.sql.types.StringType
   *   SELECT * FROM asof_join_left(...)            -- LEFT OUTER variant
   *   SELECT * FROM asof_join_forward(...)         -- earliest ts >= left
   *   SELECT * FROM asof_join_forward_left(...)    -- both combined
-  *   SELECT * FROM asof_join_auto(...)            -- hot-key skew routing
-  *     -- (optional 2nd integer after the tolerance = targetRowsPerTask)
+  *   SELECT * FROM asof_join_strict...(...)       -- ties excluded (>/<);
+  *     -- _strict, _strict_left, _strict_forward, _strict_forward_left
+  *   SELECT * FROM asof_join_auto...(...)         -- hot-key skew routing;
+  *     -- the SAME eight direction/shape suffixes as above
+  *     -- (optional 2nd integer after the tolerance = targetRowsPerTask,
+  *     --  or the NAMED form 'target=50000' in the option region — no
+  *     --  tolerance sentinel needed)
+  *     -- COST NOTE for pure-SQL users: the _auto family detects hot
+  *     -- keys AT ANALYSIS TIME, so even plan-only operations over SQL
+  *     -- containing it — EXPLAIN, df.schema, re-analyzing a wrapping
+  *     -- view — execute the detection scans against the inputs.
+  *     -- EXPLAIN the non-auto sibling to inspect shape for free.
   *   -- INLINE SUBQUERIES instead of temp views, and an optional
   *   -- tolerance (integer literal, time-column units) before the
   *   -- payload list:
@@ -122,19 +132,42 @@ object AsOfJoinTvf {
       case Some(t) => (Some(t), 7)
       case None => (None, 6)
     }
-    // the auto family takes a SECOND optional integer =
-    // targetRowsPerTask (only meaningful after a tolerance; pass
-    // 9223372036854775807 — Long.MaxValue, the exec's "unbounded" —
-    // as the tolerance to set a target without a real tolerance bound)
-    val (autoTarget, valIdx) =
-      if (auto && valIdx0 == 7) intLit(7) match {
+    // the auto family takes a targetRowsPerTask in the option region:
+    // either a SECOND integer after the tolerance, or the NAMED string
+    // form 'target=N' (with or without a tolerance before it) — so a
+    // caller who wants a target with no tolerance bound writes
+    // 'target=50000' instead of the 9223372036854775807 sentinel
+    // (still accepted: see the normalization below)
+    def namedTarget(i: Int): Option[Long] =
+      if (i >= args.length) None
+      else args(i) match {
+        case Literal(v, StringType)
+            if v != null && v.toString.matches("(?i)target=\\d+") =>
+          val t = Some(v.toString.substring(7).toLong)
+          if (!auto) throw new IllegalArgumentException(
+            s"$fn: 'target=N' (targetRowsPerTask) is only meaningful " +
+              "for the asof_join_auto family")
+          t
+        case _ => None
+      }
+    val (autoTarget, valIdx) = namedTarget(valIdx0) match {
+      case Some(t) => (t, valIdx0 + 1)
+      case None if auto && valIdx0 == 7 => intLit(7) match {
         case Some(t) => (t, 8)
         case None => (0L, valIdx0)
-      } else (0L, valIdx0)
+      }
+      case None => (0L, valIdx0)
+    }
     require(args.length > valIdx,
       s"$fn: at least one right payload column is required")
     // a tolerance of Long.MaxValue means "no bound" — normalize to None
-    // so the planned node is identical to the unbounded form
+    // so the planned node is identical to the unbounded form. Applied to
+    // EVERY family on purpose: the exec's own None is defined as
+    // MaxValue internally (AsOfJoinPlan.scala `tolerance.getOrElse(
+    // Long.MaxValue)`, with the staleness difference computed on the
+    // match side, never `time - MaxValue`), so Some(MaxValue) and None
+    // are one plan by construction — pinned for the non-auto family in
+    // AsOfSkewSpec's optional-integers test.
     val tolN = tol.filter(_ != Long.MaxValue)
     UnresolvedAsOfJoin(rel(strArg(fn, args, 0)), rel(strArg(fn, args, 1)),
       strArg(fn, args, 2), strArg(fn, args, 3),
@@ -147,9 +180,11 @@ object AsOfJoinTvf {
     * the `_strict` family excludes exact time ties (DuckDB's `>`/`<`
     * comparators, pandas allow_exact_matches=False) — same arguments,
     * same output contract. The `_auto` family adds hot-key skew routing
-    * (`JoinOps.asOfJoinAuto`): same arguments plus an optional SECOND
-    * integer literal = targetRowsPerTask after the tolerance; identical
-    * results by construction, different physical plan under skew. */
+    * (`JoinOps.asOfJoinAuto`) across the SAME eight direction/shape
+    * combinations: same arguments plus an optional targetRowsPerTask
+    * (second integer after the tolerance, or the named 'target=N'
+    * string); identical results by construction, different physical
+    * plan under skew. */
   def functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan)] =
     Seq(("asof_join", false, false, false, false),
@@ -162,7 +197,12 @@ object AsOfJoinTvf {
       ("asof_join_strict_forward_left", true, true, true, false),
       ("asof_join_auto", false, false, false, true),
       ("asof_join_auto_left", true, false, false, true),
-      ("asof_join_auto_strict", false, false, true, true)).map {
+      ("asof_join_auto_forward", false, true, false, true),
+      ("asof_join_auto_forward_left", true, true, false, true),
+      ("asof_join_auto_strict", false, false, true, true),
+      ("asof_join_auto_strict_left", true, false, true, true),
+      ("asof_join_auto_strict_forward", false, true, true, true),
+      ("asof_join_auto_strict_forward_left", true, true, true, true)).map {
       case (name, outer, fwd, strict, auto) =>
         (FunctionIdentifier(name),
           new ExpressionInfo(classOf[AsOfJoin].getName, name),

@@ -25,6 +25,15 @@ import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType,
   *                                      --   (graft extension, not DuckDB)
   * }}}
   *
+  * Skew: with `SET spark.graft.asof.auto=true` (and optionally
+  * `spark.graft.asof.auto.target=N` rows per task) the SAME text routes
+  * through `JoinOps.asOfJoinAuto` — hot keys detected by the
+  * Misra-Gries sketch pass and time-sliced, cold keys on the native
+  * plan, identical results by construction. The detection runs at
+  * ANALYSIS time (the asof_join_auto TVF's documented trade), so
+  * EXPLAIN over the text executes the detection scans while the conf is
+  * on; composite (multi-equality) keys keep the plain native node.
+  *
   * Mechanism (three small pieces, each doing what it is best at):
   *
   *  1. [[GraftSqlParser]] (via `injectParser`) pre-rewrites the TEXT at
@@ -435,9 +444,67 @@ object ResolveAsOfSyntax extends Rule[LogicalPlan] with PredicateHelper {
           fail(s"time columns must both be bigint or both timestamp, got " +
             s"${ltW.dataType.sql} / ${rtW.dataType.sql} — cast one side " +
             "so the units are explicit")
-        // same children, same output exprIds (outer widens right-side
-        // nullability exactly as Join(LeftOuter) did), so parents'
-        // resolved references survive the swap untouched
-        AsOfJoin(l, r, lkE, rkE, ltW, rtW, leftOuter, fwd, tol, strict)
+        // spark.graft.asof.auto=true routes the SAME syntax through
+        // JoinOps.asOfJoinAuto (hot keys time-sliced, cold keys native
+        // — e42/e43's machinery), closing the r17 gap where a user
+        // writing the ASOF JOIN text with one hot key got the unsplit
+        // native plan and a serialized task. Conf-gated because the
+        // routing detects hot keys AT ANALYSIS TIME (the same trade the
+        // asof_join_auto TVF documents): EXPLAIN over the text executes
+        // the detection scans. Composite (struct) keys keep the native
+        // node — asOfJoinAuto requires an atomic key for the isin
+        // routing literal.
+        val autoOn = conf.getConfString("spark.graft.asof.auto",
+          "false").toBoolean
+        if (autoOn && !lkE.dataType.isInstanceOf[StructType])
+          routeAuto(j, l, r, lkE, rkE, ltW, rtW, leftOuter, fwd, tol,
+            strict,
+            conf.getConfString("spark.graft.asof.auto.target", "0").toLong)
+        else
+          // same children, same output exprIds (outer widens right-side
+          // nullability exactly as Join(LeftOuter) did), so parents'
+          // resolved references survive the swap untouched
+          AsOfJoin(l, r, lkE, rkE, ltW, rtW, leftOuter, fwd, tol, strict)
     }
+
+  /** the conf-gated skew route: hand the two sides to
+    * `JoinOps.asOfJoinAuto` and re-alias its output back onto the
+    * original Join's exprIds so parents' resolved references survive.
+    * Both sides are renamed POSITIONALLY first (`__l0..`, `__r0..`) —
+    * the Scala router addresses columns by name, and a resolved Join's
+    * sides may carry duplicate or colliding names the rename makes
+    * unambiguous. Routed output is `__l* ++ __lk ++ __lt ++ asof___r*`
+    * ([[graft.operators.JoinOps.asOfJoinNative]]'s contract), mapped
+    * back to `l.output ++ r.output` order. */
+  private def routeAuto(j: Join, l: LogicalPlan, r: LogicalPlan,
+      lk: Expression, rk: Expression, lt: Expression, rt: Expression,
+      outer: Boolean, fwd: Boolean, tol: Option[Long], strict: Boolean,
+      target: Long): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val spark = org.apache.spark.sql.SparkSession.active
+    val lp = Project(l.output.zipWithIndex.map { case (a, i) =>
+      Alias(a, s"__l$i")() } ++
+      Seq(Alias(lk, "__lk")(), Alias(lt, "__lt")()), l)
+    val rp = Project(r.output.zipWithIndex.map { case (a, i) =>
+      Alias(a, s"__r$i")() } ++
+      Seq(Alias(rk, "__rk")(), Alias(rt, "__rt")()), r)
+    val routed = graft.operators.JoinOps.asOfJoinAuto(
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, lp),
+      org.apache.spark.sql.GraftPlanBridge.ofRows(spark, rp),
+      leftKey = "__lk", rightKey = "__rk",
+      leftTime = "__lt", rightTime = "__rt",
+      rightVals = r.output.indices.map(i => s"__r$i"),
+      leftOuter = outer, forward = fwd, tolerance = tol, strict = strict,
+      targetRowsPerTask = target)
+    val analyzed = routed.queryExecution.analyzed
+    val byName = analyzed.output.map(a => a.name -> a).toMap
+    Project(j.output.zipWithIndex.map { case (orig, i) =>
+      val src = if (i < l.output.size) byName(s"__l$i")
+        else byName(s"asof___r${i - l.output.size}")
+      Alias(src, orig.name)(exprId = orig.exprId,
+        qualifier = orig.qualifier,
+        explicitMetadata = Some(orig.metadata))
+    }, analyzed)
+  }
 }

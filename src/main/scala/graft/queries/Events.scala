@@ -1462,8 +1462,74 @@ object Events {
                      ts, MAX(value) AS value
                    FROM events WHERE event_type = 'click'
                    GROUP BY 1, 2) c
-          ON p.k = c.k AND p.ts >= c.ts"""))
+          ON p.k = c.k AND p.ts >= c.ts""")),
+
+    // ---- FORWARD auto-skew as-of through PURE SQL (round-18) -----------
+    //      asof_join_auto_forward — the auto TVF matrix completed to all
+    //      eight direction/shape combos (r17 carried 3). Same collapsed-
+    //      key fixture as e43 (75% of users onto k=0, so the DEFAULT
+    //      target routes for real at any SF), direction flipped: each
+    //      purchase takes the user's EARLIEST click at-or-after it, and
+    //      the oracle is e27's reversed-inequality DuckDB ASOF
+    //      (p.ts <= c.ts) over the collapsed key. AsOfSkewSpec's matrix
+    //      test pins every new auto name against its non-auto sibling
+    //      with routing live.
+    Q("e44_asof_auto_fwd_sql",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        s.sql(asofAutoTvfSql.replace("asof_join_auto",
+          "asof_join_auto_forward"))
+      },
+      Some("""
+        SELECT p.event_id, p.k, p.ts, c.ts AS asof_ts, c.value AS asof_value
+        FROM (SELECT event_id,
+                (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END) AS k,
+                ts
+              FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT
+                     (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END)
+                       AS k,
+                     ts, MAX(value) AS value
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY 1, 2) c
+          ON p.k = c.k AND p.ts <= c.ts""")),
+
+    // ---- parser ASOF JOIN syntax under auto-skew routing (round-18) ----
+    //      spark.graft.asof.auto=true: the e34 SYNTAX (not the TVF) with
+    //      e43's collapsed hot key now plans the sliced+native union —
+    //      closing the r17 gap where the same text serialized the hot
+    //      key onto one task. The conf is set only around the s.sql call
+    //      (analysis is eager, and routing happens at analysis), then
+    //      restored, so no other gate inherits the analysis-time
+    //      detection scans. Oracle: the IDENTICAL text on DuckDB (its
+    //      native ASOF JOIN) — routing must never change results.
+    Q("e45_asof_syntax_auto",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events")
+        val prev = s.conf.getOption("spark.graft.asof.auto")
+        s.conf.set("spark.graft.asof.auto", "true")
+        try s.sql(asofSyntaxCollapsedSql)
+        finally prev.fold(s.conf.unset("spark.graft.asof.auto"))(
+          s.conf.set("spark.graft.asof.auto", _))
+      },
+      Some(asofSyntaxCollapsedSql))
   )
+
+  /** e45's text — valid verbatim on BOTH engines (Spark via the graft
+    * parser extension, DuckDB natively), like e34's; the collapsed key
+    * manufactures one hot key so conf-gated auto routing fires */
+  private[graft] lazy val asofSyntaxCollapsedSql = """
+    SELECT p.event_id, p.k, p.ts, c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT event_id,
+            (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END) AS k,
+            ts
+          FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT
+                 (CASE WHEN user_id % 4 > 0 THEN 0 ELSE user_id END) AS k,
+                 ts, MAX(value) AS value
+               FROM events WHERE event_type = 'click'
+               GROUP BY 1, 2) c
+      ON p.k = c.k AND p.ts >= c.ts"""
 
   /** one string, two plan shapes: the e43 gate runs it for results, the
     * AsOfSkewSpec plan pin runs it for shape */

@@ -1047,6 +1047,10 @@ object Warehouse {
         // named error instead of a confusing hash mismatch.
         val stamps = graft.streaming.VersionedState
           .commitTimestamps(stateDir).toMap
+        require(stamps.contains(1L) && stamps.contains(2L),
+          s"w20 fixture expects retained versions 1 and 2, got " +
+            s"${stamps.keys.toSeq.sorted.mkString("{", ", ", "}")} — a " +
+            "retention/vacuum change in w18StateDir invalidates this gate")
         val tq = (stamps(1L) + stamps(2L)) / 2
         require(stamps(1L) <= tq && tq < stamps(2L),
           s"w20 fixture degenerate: v1/v2 commit stamps " +

@@ -392,6 +392,24 @@ class AsOfSkewSpec extends SparkSpec {
       // caller set a target with no real tolerance bound
       assert(run("asof_join_auto", ", 9223372036854775807, 8") ==
         run("asof_join", ""))
+      // the NAMED form supersedes the sentinel: 'target=N' sets the
+      // target with no tolerance at all
+      assert(run("asof_join_auto", ", 'target=8'") == run("asof_join", ""))
+      // ... and composes after a real tolerance
+      assert(run("asof_join_auto", ", 600000000, 'target=8'") ==
+        run("asof_join", ", 600000000"))
+      // 'target=N' on a NON-auto family is a loud error, not a payload
+      // column lookup failure
+      val e = intercept[Exception] { run("asof_join", ", 'target=8'") }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+      assert(msgs(e).contains("asof_join_auto family"), msgs(e))
+      // the MaxValue normalization applies to EVERY family (advice r17):
+      // the exec's None is defined as MaxValue internally, so the
+      // non-auto TVF with a MaxValue tolerance must equal the unbounded
+      // form plan-for-plan and row-for-row
+      assert(run("asof_join", ", 9223372036854775807") ==
+        run("asof_join", ""))
       // case-insensitive column arguments, exactly like the non-auto
       // siblings (the router resolves names with the session resolver
       // before the Scala API's case-sensitive schema lookups)
@@ -406,6 +424,36 @@ class AsOfSkewSpec extends SparkSpec {
       assert(upper.nonEmpty)
       assert(run("asof_join", "") == upper)
     } finally spark.catalog.dropTempView("events")
+  }
+
+  test("the full auto TVF matrix (8 names) equals each non-auto " +
+      "sibling with routing live") {
+    // round-18: _forward, _forward_left, _strict_left, _strict_forward,
+    // _strict_forward_left joined the r17 trio — every direction/shape
+    // combination the Scala router supports is now SQL-reachable. Each
+    // auto name must (a) actually route on the Zipf fixture (the
+    // struct-keyed sliced node appears) and (b) equal its non-auto
+    // sibling row-for-row.
+    val (l, r) = skewed(1200, seed = 53)
+    l.createOrReplaceTempView("skm_l")
+    r.createOrReplaceTempView("skm_r")
+    try {
+      for (sfx <- Seq("", "_left", "_forward", "_forward_left", "_strict",
+          "_strict_left", "_strict_forward", "_strict_forward_left")) {
+        def sql(fn: String, opt: String) = spark.sql(s"""
+          SELECT * FROM $fn('skm_l', 'skm_r',
+            'k', 'k', 't', 'rt'$opt, 'rt', 'v')""")
+        val auto = sql(s"asof_join_auto$sfx", ", 'target=50'")
+        val nodes = asOfNodes(auto)
+        assert(nodes.size == 2, s"$sfx: routing dead\n$nodes")
+        assert(nodes.count(_.leftKey.dataType
+          .isInstanceOf[org.apache.spark.sql.types.StructType]) == 1, sfx)
+        assert(canon(auto) == canon(sql(s"asof_join$sfx", "")), sfx)
+      }
+    } finally {
+      spark.catalog.dropTempView("skm_l")
+      spark.catalog.dropTempView("skm_r")
+    }
   }
 
   test("degenerate widths: one giant slice and one-row slices") {

@@ -271,4 +271,94 @@ class AsOfSyntaxSpec extends SparkSpec {
     assert(e.getCondition == "USER_RAISED_EXCEPTION", e.getCondition)
     assert(!e.getMessage.toLowerCase.contains("bug"), e.getMessage)
   }
+
+  // ---- round-18: conf-gated auto-skew routing of the syntax ----------
+
+  private def withAutoConf[T](target: Option[Long])(body: => T): T = {
+    val c = spark.conf
+    val keys = Seq("spark.graft.asof.auto", "spark.graft.asof.auto.target")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.graft.asof.auto", "true")
+      target.foreach(t => c.set("spark.graft.asof.auto.target", t.toString))
+      body
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def nodes(df: org.apache.spark.sql.DataFrame): Seq[AsOfJoin] =
+    df.queryExecution.optimizedPlan.collect { case a: AsOfJoin => a }
+
+  test("spark.graft.asof.auto routes the SYNTAX through hot-key " +
+      "slicing and results are invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    (1 to 2000).map { i =>
+      val k = if (rnd.nextDouble() < 0.8) 0L else 1L + rnd.nextInt(20)
+      (i.toLong, k, rnd.nextInt(100000).toLong)
+    }.toDF("id", "k", "t").createOrReplaceTempView("skx_l")
+    // rt globally unique so both plans' tie-break is specified
+    (1 to 2000).map { i =>
+      val k = if (rnd.nextDouble() < 0.8) 0L else 1L + rnd.nextInt(20)
+      (k, i.toLong * 66 + 1, rnd.nextDouble())
+    }.toDF("k", "rt", "v").createOrReplaceTempView("skx_r")
+    try {
+      // SELECT *: the re-aliasing must carry EVERY column of both
+      // sides (left payload, keys, times, right payload) back onto the
+      // Join's original exprIds in order
+      val text = """SELECT * FROM skx_l l
+        ASOF JOIN skx_r r ON l.k = r.k AND l.t >= r.rt"""
+      val plain = spark.sql(text)
+      assert(nodes(plain).size == 1)
+      val routed = withAutoConf(Some(50L))(spark.sql(text))
+      val ns = nodes(routed)
+      assert(ns.size == 2, s"conf routing did not split:\n$ns")
+      assert(ns.count(_.leftKey.dataType
+        .isInstanceOf[org.apache.spark.sql.types.StructType]) == 1)
+      assert(canon(routed) == canon(plain))
+      // conf restored -> the same text plans the single native node
+      assert(nodes(spark.sql(text)).size == 1,
+        "spark.graft.asof.auto leaked past the withAutoConf block")
+      // outer + tolerance + strict thread through the routed form:
+      // parent projections over the routed output must resolve, and
+      // results must equal the unrouted plan
+      val shaped = """SELECT l.id, r.v FROM skx_l l
+        ASOF LEFT JOIN skx_r r ON l.k = r.k AND l.t > r.rt
+        TOLERANCE 5000"""
+      assert(canon(withAutoConf(Some(50L))(spark.sql(shaped))) ==
+        canon(spark.sql(shaped)))
+    } finally {
+      spark.catalog.dropTempView("skx_l")
+      spark.catalog.dropTempView("skx_r")
+    }
+  }
+
+  test("conf-on composite keys keep the native node (atomic-key " +
+      "contract) and still answer correctly") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a", 1, 100L), (2L, "a", 2, 100L))
+      .toDF("id", "k1", "k2", "t").createOrReplaceTempView("skc_l")
+    Seq(("a", 1, 50L, 10.0), ("a", 2, 60L, 20.0))
+      .toDF("k1", "k2", "rt", "v").createOrReplaceTempView("skc_r")
+    try {
+      val text = """SELECT l.id, r.v FROM skc_l l
+        ASOF JOIN skc_r r
+        ON l.k1 = r.k1 AND l.k2 = r.k2 AND l.t >= r.rt
+        ORDER BY l.id"""
+      val routed = withAutoConf(None)(spark.sql(text))
+      // struct key -> asOfJoinAuto's atomic-key contract says native
+      assert(nodes(routed).size == 1)
+      assert(routed.collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq ==
+        Seq((1L, 10.0), (2L, 20.0)))
+    } finally {
+      spark.catalog.dropTempView("skc_l")
+      spark.catalog.dropTempView("skc_r")
+    }
+  }
 }
