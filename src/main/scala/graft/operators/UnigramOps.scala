@@ -58,7 +58,18 @@ object UnigramOps {
     * single-char floor keeps every position reachable */
   val Huge: Long = 1L << 50
 
+  /** default piece-length cap — gates t50/t51/t52 train at 4 (their
+    * oracles replay this constant); production configs pass
+    * `maxPieceLen` up to [[MaxTrainPieceLen]] explicitly (t54 gates 8
+    * with the per-length seed pool) */
   val MaxPieceLen = 4
+
+  /** hard ceiling on `maxPieceLen`: pieces cannot exceed the trained
+    * word length, and the DP cost expression grows one branch per
+    * length, so the cap keeps generated SQL (Spark HOF and DuckDB
+    * replay alike) bounded */
+  val MaxTrainPieceLen = 12
+
   val MaxWordLen = 16
 
   /** distinct words with occurrence weights — BPE's tokenization
@@ -78,12 +89,13 @@ object UnigramOps {
         .as("piece"), col("freq"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
 
-  /** weighted counts of every substring of length 2..MaxPieceLen
+  /** weighted counts of every substring of length 2..maxPieceLen
     * (overlapping occurrences count — both engines enumerate start
     * positions identically) — the seed candidate pool */
-  private[graft] def multiSeedCounts(w: DataFrame): DataFrame =
+  private[graft] def multiSeedCounts(
+      w: DataFrame, maxPieceLen: Int = MaxPieceLen): DataFrame =
     w.select(explode(expr(s"""
-        flatten(transform(sequence(2, $MaxPieceLen), l ->
+        flatten(transform(sequence(2, $maxPieceLen), l ->
           filter(transform(sequence(1, length(word)),
                            s -> substring(word, s, l)),
                  p -> length(p) = l)))""")).as("piece"), col("freq"))
@@ -103,11 +115,11 @@ object UnigramOps {
   /** Viterbi forward pass: one `aggregate` over positions 1..len
     * building dp costs `c` (c[k] = best cost of the first k-1 chars)
     * and backpointers `j` (chosen piece length per position); ties
-    * prefer the longer piece (the CASE scans 4..2 first) */
-  private[graft] lazy val dpSql: String = {
-    val costs = (1 to MaxPieceLen).map(costSql)
+    * prefer the longer piece (the CASE scans maxPieceLen..2 first) */
+  private[graft] def dpSqlFor(maxPieceLen: Int): String = {
+    val costs = (1 to maxPieceLen).map(costSql)
     val m = s"least(${costs.mkString(",\n            ")})"
-    val choice = (MaxPieceLen to 2 by -1)
+    val choice = (maxPieceLen to 2 by -1)
       .map(j => s"when ${costs(j - 1)} = $m then ${j}L").mkString("\n          ")
     s"""aggregate(sequence(1, length(word)),
         named_struct('c', array(cast(0 as bigint)),
@@ -116,6 +128,8 @@ object UnigramOps {
           'c', concat(acc.c, array($m)),
           'j', concat(acc.j, array(case $choice else 1L end))))"""
   }
+
+  private[graft] lazy val dpSql: String = dpSqlFor(MaxPieceLen)
 
   /** backtrack: walk the backpointers from position len down to 0,
     * emitting the chosen pieces (at most len steps, so one aggregate
@@ -135,7 +149,8 @@ object UnigramOps {
     * and return weighted piece-usage counts. The vocab rides in as a
     * map literal (model-sized); the groupBy is the round's only
     * shuffle. */
-  def segmentCounts(w: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+  def segmentCounts(w: DataFrame, vocab: Seq[(String, Long)],
+                    maxPieceLen: Int = MaxPieceLen): DataFrame = {
     // the integer objective inverts silently if any usage count reaches
     // Big (cost = Big - usage goes negative and the DP starts PREFERRING
     // more pieces) — fail loud at the model boundary instead. The
@@ -147,36 +162,82 @@ object UnigramOps {
       s"unigram piece count >= ${Big / MaxWordLen} would invert the " +
         "integer Viterbi objective — raise UnigramOps.Big for this corpus")
     w.withColumn("__vm", typedLit(vocab.toMap))
-      .withColumn("__dp", expr(dpSql))
+      .withColumn("__dp", expr(dpSqlFor(maxPieceLen)))
       .select(explode(expr(btSql)).as("piece"), col("freq"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
   }
 
-  /** Train `rounds` EM rounds from a `seedMulti`-piece candidate pool;
-    * returns the final vocab (piece, cnt) — every single character
-    * with its last-round usage, plus the surviving top multi-char
-    * pieces. Replayed value-for-value by [[oracleSql]] with the same
-    * rounds/seed. */
-  def train(docs: DataFrame, rounds: Int, seedMulti: Int = 64): DataFrame =
-    trainOn(words(docs).localCheckpoint(), rounds, seedMulti)
+  private def validatePieceLen(maxPieceLen: Int): Unit =
+    require(maxPieceLen >= 2 && maxPieceLen <= MaxTrainPieceLen,
+      s"maxPieceLen must be in [2, $MaxTrainPieceLen], got $maxPieceLen")
+
+  /** PER-LENGTH seed pool — the production-shape discipline for deep
+    * piece lengths (the [[BpeOps.trainBatched]] idea applied to
+    * seeding): one global top-N over substrings of length 2..8+ lets
+    * the shortest (most frequent) lengths crowd out every longer
+    * candidate, so a useful cap would have to grow with the length
+    * range; taking the top `perLen` PER length keeps every length
+    * represented with a driver transfer bounded at
+    * perLen*(maxPieceLen-1) rows regardless of corpus or length range.
+    * Physically: the substring counts materialize once
+    * (localCheckpoint — they are re-read maxPieceLen-1 times), then
+    * one TakeOrderedAndProject per length (never a global sort, never
+    * a single-partition window over 7 length groups — the t39
+    * histogram-split discipline). */
+  private[graft] def seedPoolPerLen(w: DataFrame, perLen: Int,
+      maxPieceLen: Int): Array[(String, Long)] = {
+    require(perLen >= 1, s"seedPerLen must be >= 1, got $perLen")
+    val sc = multiSeedCounts(w, maxPieceLen).localCheckpoint()
+    try {
+      (2 to maxPieceLen).flatMap { l =>
+        sc.filter(length(col("piece")) === l)
+          .orderBy(col("cnt").desc, col("piece").asc).limit(perLen)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }.toArray
+    } finally sc.unpersist(false)
+  }
+
+  /** Train `rounds` EM rounds from the candidate pool; returns the
+    * final vocab (piece, cnt) — every single character with its
+    * last-round usage, plus the surviving top multi-char pieces.
+    * Replayed value-for-value by [[oracleSql]] with the same
+    * rounds/seed/maxPieceLen/seedPerLen.
+    *
+    * `seedPerLen = 0` (default): the global top-`seedMulti` pool —
+    * t50's exact chain. `seedPerLen > 0`: the per-length pool
+    * ([[seedPoolPerLen]]); `seedMulti` is then ignored and the shrink
+    * schedule starts from perLen*(maxPieceLen-1). */
+  def train(docs: DataFrame, rounds: Int, seedMulti: Int = 64,
+            maxPieceLen: Int = MaxPieceLen, seedPerLen: Int = 0): DataFrame =
+    trainOn(words(docs).localCheckpoint(), rounds, seedMulti,
+      maxPieceLen, seedPerLen)
 
   /** training core over an already-materialized word frame — split out
     * so [[encodeCounts]] reuses the checkpointed vocabulary instead of
     * paying a second raw-corpus scan + word aggregation */
   private[graft] def trainOn(w: DataFrame, rounds: Int,
-                      seedMulti: Int): DataFrame = {
+                      seedMulti: Int,
+                      maxPieceLen: Int = MaxPieceLen,
+                      seedPerLen: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    validatePieceLen(maxPieceLen)
+    require(seedPerLen >= 0,
+      s"seedPerLen must be >= 0 (0 = global top-seedMulti pool), " +
+        s"got $seedPerLen")
     val chars = charCounts(w).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val seed = multiSeedCounts(w)
-      .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val seed =
+      if (seedPerLen > 0) seedPoolPerLen(w, seedPerLen, maxPieceLen)
+      else multiSeedCounts(w, maxPieceLen)
+        .orderBy(col("cnt").desc, col("piece").asc).limit(seedMulti)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab: Seq[(String, Long)] = (chars ++ seed).toSeq
-    var keep = seedMulti
+    var keep =
+      if (seedPerLen > 0) seedPerLen * (maxPieceLen - 1) else seedMulti
     var counts: DataFrame = null
     for (r <- 1 to rounds) {
       keep = keep * 3 / 4
-      counts = segmentCounts(w, vocab)
+      counts = segmentCounts(w, vocab, maxPieceLen)
       if (r < rounds) {
         // mid-chain model to the driver: alphabet + keep entries
         val cm = counts.collect()
@@ -207,13 +268,16 @@ object UnigramOps {
     * embarrassingly parallel, model broadcast as one map literal,
     * zero joins — the 100 TB corpus-encode shape. */
   def encodeCounts(docs: DataFrame, rounds: Int,
-                   seedMulti: Int = 64): DataFrame = {
+                   seedMulti: Int = 64,
+                   maxPieceLen: Int = MaxPieceLen,
+                   seedPerLen: Int = 0): DataFrame = {
     // ONE corpus scan: the checkpointed word frame feeds training AND
     // the encode pass (words-not-corpus on both sides)
     val w = words(docs).localCheckpoint()
-    val vocab = trainOn(w, rounds, seedMulti).collect()
+    val vocab = trainOn(w, rounds, seedMulti, maxPieceLen, seedPerLen)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    segmentCounts(w, vocab)
+    segmentCounts(w, vocab, maxPieceLen)
       .filter(length(col("piece")) > 1)
       .select(col("piece"), col("cnt"))
   }
@@ -224,12 +288,13 @@ object UnigramOps {
     * of exploding pieces (no shuffle at all: one map over the word
     * frame). */
   def segmentationLengths(w: DataFrame,
-                          vocab: Seq[(String, Long)]): DataFrame = {
+                          vocab: Seq[(String, Long)],
+                          maxPieceLen: Int = MaxPieceLen): DataFrame = {
     require(vocab.forall(_._2 < Big / MaxWordLen),
       s"unigram piece count >= ${Big / MaxWordLen} would invert the " +
         "integer Viterbi objective — raise UnigramOps.Big for this corpus")
     w.withColumn("__vm", typedLit(vocab.toMap))
-      .withColumn("__dp", expr(dpSql))
+      .withColumn("__dp", expr(dpSqlFor(maxPieceLen)))
       .select(col("word"),
         size(expr(btSql)).cast("long").as("n_pieces"))
       .drop("__vm", "__dp")
@@ -252,10 +317,14 @@ object UnigramOps {
     * the usage-count aggregate, and the prune — value-for-value the
     * Spark chain */
   def oracleSql(rounds: Int, seedMulti: Int = 64,
-                table: String = "documents"): String = {
-    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(seedMulti, r)))
+                table: String = "documents",
+                maxPieceLen: Int = MaxPieceLen,
+                seedPerLen: Int = 0): String = {
+    val pool = initialPool(seedMulti, maxPieceLen, seedPerLen)
+    val stages = (1 to rounds)
+      .map(r => emStageSql(r, pruneTo(pool, r), maxPieceLen))
       .mkString(",", ",", "")
-    s"${oracleHead(table, seedMulti)}$stages\n" +
+    s"${oracleHead(table, seedMulti, maxPieceLen, seedPerLen)}$stages\n" +
       s"      SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM v$rounds"
   }
 
@@ -263,10 +332,15 @@ object UnigramOps {
     * verbatim, then ONE more dp/backtrack/count pass against the final
     * vocab — no prune — reporting the merged units (length >= 2) */
   def encodeOracleSql(rounds: Int, seedMulti: Int = 64,
-                      table: String = "documents"): String = {
-    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(seedMulti, r)))
-    val enc = emStageSql(rounds + 1, keep = -1)
-    s"""${oracleHead(table, seedMulti)}${(stages :+ enc).mkString(",", ",", "")}
+                      table: String = "documents",
+                      maxPieceLen: Int = MaxPieceLen,
+                      seedPerLen: Int = 0): String = {
+    val pool = initialPool(seedMulti, maxPieceLen, seedPerLen)
+    val stages = (1 to rounds)
+      .map(r => emStageSql(r, pruneTo(pool, r), maxPieceLen))
+    val enc = emStageSql(rounds + 1, keep = -1, maxPieceLen)
+    s"""${oracleHead(table, seedMulti, maxPieceLen, seedPerLen)}${
+      (stages :+ enc).mkString(",", ",", "")}
       SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM cnt${rounds + 1}
       WHERE length(piece) > 1"""
   }
@@ -279,10 +353,15 @@ object UnigramOps {
     * single divisions of identical bigint sums on both engines
     * (IEEE-exact, the t01 discipline). */
   def fertilityOracleSql(rounds: Int, seedMulti: Int = 64,
-                         table: String = "documents"): String = {
-    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(seedMulti, r)))
-    val enc = emStageSql(rounds + 1, keep = -1)
-    s"""${oracleHead(table, seedMulti)}${(stages :+ enc).mkString(",", ",", "")},
+                         table: String = "documents",
+                         maxPieceLen: Int = MaxPieceLen,
+                         seedPerLen: Int = 0): String = {
+    val pool = initialPool(seedMulti, maxPieceLen, seedPerLen)
+    val stages = (1 to rounds)
+      .map(r => emStageSql(r, pruneTo(pool, r), maxPieceLen))
+    val enc = emStageSql(rounds + 1, keep = -1, maxPieceLen)
+    s"""${oracleHead(table, seedMulti, maxPieceLen, seedPerLen)}${
+      (stages :+ enc).mkString(",", ",", "")},
       wl AS MATERIALIZED (
         SELECT lang, word, COUNT(*) AS freq
         FROM (SELECT lang,
@@ -307,10 +386,33 @@ object UnigramOps {
 
   /** the multi-piece budget after `r` 3/4-shrink prunes (integer
     * arithmetic — both engines replay the same schedule) */
-  private def pruneTo(seedMulti: Int, r: Int): Int =
-    (1 to r).foldLeft(seedMulti)((k, _) => k * 3 / 4)
+  private def pruneTo(pool: Int, r: Int): Int =
+    (1 to r).foldLeft(pool)((k, _) => k * 3 / 4)
 
-  private def oracleHead(table: String, seedMulti: Int): String = s"""
+  /** the multi-piece pool the shrink schedule starts from — mirrors
+    * [[trainOn]]'s `keep` initialization exactly */
+  private def initialPool(seedMulti: Int, maxPieceLen: Int,
+                          seedPerLen: Int): Int =
+    if (seedPerLen > 0) seedPerLen * (maxPieceLen - 1) else seedMulti
+
+  private def oracleHead(table: String, seedMulti: Int,
+                         maxPieceLen: Int = MaxPieceLen,
+                         seedPerLen: Int = 0): String = {
+    // v0's multi-piece pool: global top-seedMulti, or (seedPerLen > 0)
+    // the per-length pool — row_number per length partition is the
+    // oracle twin of seedPoolPerLen's per-length TakeOrdereds
+    val seed =
+      if (seedPerLen > 0) s"""
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (
+              PARTITION BY length(piece)
+              ORDER BY cnt DESC, piece ASC) AS rn
+          FROM ms) WHERE rn <= $seedPerLen"""
+      else s"""
+        SELECT piece, cnt FROM (SELECT piece, cnt FROM ms
+                                ORDER BY cnt DESC, piece ASC
+                                LIMIT $seedMulti)"""
+    s"""
       WITH RECURSIVE w AS MATERIALIZED (
         SELECT word, COUNT(*) AS freq
         FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
@@ -325,24 +427,23 @@ object UnigramOps {
         SELECT substring(word, s, l) AS piece,
                CAST(SUM(freq) AS BIGINT) AS cnt
         FROM w
-        CROSS JOIN LATERAL unnest(range(2, ${MaxPieceLen + 1})) tl(l)
+        CROSS JOIN LATERAL unnest(range(2, ${maxPieceLen + 1})) tl(l)
         CROSS JOIN LATERAL unnest(range(1, length(word) - l + 2)) ts(s)
         GROUP BY 1),
       v0 AS MATERIALIZED (
         SELECT piece, cnt FROM ch
-        UNION ALL
-        SELECT piece, cnt FROM (SELECT piece, cnt FROM ms
-                                ORDER BY cnt DESC, piece ASC
-                                LIMIT $seedMulti))"""
+        UNION ALL$seed)"""
+  }
 
   /** one EM stage (dp + backtrack + usage counts, and the prune when
     * `keep >= 0`) against the previous stage's vocab v(r-1) */
-  private def emStageSql(r: Int, keep: Int): String = {
-    val costs = (1 to MaxPieceLen).map(cc)
+  private def emStageSql(r: Int, keep: Int,
+                         maxPieceLen: Int = MaxPieceLen): String = {
+    val costs = (1 to maxPieceLen).map(cc)
     val m = s"LEAST(${costs.mkString(",\n            ")})"
-    val choice = (MaxPieceLen to 2 by -1)
+    val choice = (maxPieceLen to 2 by -1)
       .map(j => s"WHEN ${costs(j - 1)} = $m THEN ${j}").mkString("\n          ")
-    val joins = (1 to MaxPieceLen).map(j =>
+    val joins = (1 to maxPieceLen).map(j =>
       s"""LEFT JOIN v${r - 1} p$j ON d.i >= $j
             AND p$j.piece = substring(d.word, d.i - $j + 1, $j)""")
       .mkString("\n          ")

@@ -2545,7 +2545,27 @@ object TextOps {
             (col("n_chars").cast("double") / col("n_tokens").cast("double"))
               .as("chars_per_token"))
       },
-      Some(graft.operators.UnigramOps.fertilityOracleSql(3)))
+      Some(graft.operators.UnigramOps.fertilityOracleSql(3))),
+
+    // ---- DEEP unigram training (round 18: the production shape) -----------
+    //      maxPieceLen=8 with the PER-LENGTH seed pool: a realistic
+    //      subword inventory carries pieces well past 4 chars, and a
+    //      single global top-N seed lets the shortest (most frequent)
+    //      substrings crowd out every longer candidate — the per-length
+    //      pool keeps each length represented while the driver-side
+    //      seed stays bounded at perLen*(maxPieceLen-1) entries at ANY
+    //      corpus scale (physically: one materialized substring count,
+    //      then one TakeOrdered per length — no global sort, no
+    //      single-partition window). Oracle replays the same chain with
+    //      a row_number-per-length v0. t50 keeps the small-cap config;
+    //      UnigramOpsSpec pins that the parameterized trainer at
+    //      (maxPieceLen=4, global seed) reproduces t50's chain exactly.
+    Q("t54_unigram_deep",
+      (s, d) => graft.operators.UnigramOps.train(
+        Tables.documents(s, d), rounds = 2, maxPieceLen = 8,
+        seedPerLen = 16),
+      Some(graft.operators.UnigramOps.oracleSql(2, table = "documents",
+        maxPieceLen = 8, seedPerLen = 16)))
   )
 
   /** decomposed e-acute + ANGSTROM SIGN — both NFC-compose; embedded as

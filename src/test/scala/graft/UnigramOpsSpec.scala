@@ -98,4 +98,91 @@ class UnigramOpsSpec extends SparkSpec {
     assert(chars.map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
     assert(multi.length <= 2, multi.mkString(", "))
   }
+
+  // ---- round-18: deep piece lengths + the per-length seed pool --------
+
+  private def trainMap(docs: org.apache.spark.sql.DataFrame, rounds: Int,
+      seedMulti: Int = 64, maxPieceLen: Int = UnigramOps.MaxPieceLen,
+      seedPerLen: Int = 0): Map[String, Long] =
+    countsMap(UnigramOps.train(docs, rounds, seedMulti, maxPieceLen,
+      seedPerLen))
+
+  test("the parameterized trainer at the small-cap config reproduces " +
+      "the t50 chain value-for-value") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("the banana band ban the bandana dan nab and",
+      "an anna banana ad a banda and").toDF("text")
+    // explicit (maxPieceLen=4, seedPerLen=0) must be the EXACT default
+    // path — the t50/t51/t52 oracles replay the default constants, so
+    // any drift here is a silent correctness break of three gates
+    assert(trainMap(docs, rounds = 3) ==
+      trainMap(docs, rounds = 3, maxPieceLen = 4, seedPerLen = 0))
+    assert(countsMap(UnigramOps.encodeCounts(docs, rounds = 2)) ==
+      countsMap(UnigramOps.encodeCounts(docs, rounds = 2,
+        maxPieceLen = 4, seedPerLen = 0)))
+  }
+
+  test("deep config: pieces past 4 chars survive, floor intact, " +
+      "deterministic, pool bounded") {
+    val s = spark
+    import s.implicits._
+    // 'bananas' (7 chars) dominates: with maxPieceLen=8 + per-length
+    // seeding it must survive as a single piece, which the len<=4
+    // default can never produce
+    val docs = Seq(("bananas bananas bananas bananas kiwi " * 3) +
+      "grape melon").toDF("text")
+    val deep = trainMap(docs, rounds = 2, maxPieceLen = 8, seedPerLen = 4)
+    assert(deep.keys.exists(_.length > 4),
+      s"no deep piece survived: ${deep.keys.toSeq.sorted}")
+    assert(deep.contains("bananas"), deep.keys.toSeq.sorted.mkString(", "))
+    // single-char floor: every corpus character present
+    val alphabet = "bananaskiwigrapemelon".toSet.map((c: Char) => c.toString)
+    assert(alphabet.subsetOf(deep.keySet))
+    // multi-piece budget respects the shrink schedule from the
+    // per-length pool: 4*(8-1)=28 -> 21 -> 15
+    assert(deep.keys.count(_.length > 1) <= 15)
+    // bit-determinism across runs (the EM chain has no float, no rand)
+    assert(deep == trainMap(docs, rounds = 2, maxPieceLen = 8,
+      seedPerLen = 4))
+  }
+
+  test("seedPoolPerLen keeps every length represented and bounds the " +
+      "driver transfer") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("abcdefgh abcdefgh abcd abcd ab ab xy xyz")
+      .toDF("text")
+    val w = UnigramOps.words(docs).localCheckpoint()
+    try {
+      val pool = UnigramOps.seedPoolPerLen(w, perLen = 2, maxPieceLen = 8)
+      assert(pool.length <= 2 * 7)
+      val byLen = pool.groupBy(_._1.length)
+      // every length 2..8 with at least one candidate substring is in
+      // the pool, at most perLen entries each
+      for (l <- 2 to 8) {
+        assert(byLen.getOrElse(l, Array.empty).length <= 2, s"len $l")
+        assert(byLen.contains(l), s"len $l missing from the pool")
+      }
+      // and the global top-N shape would NOT have kept the longest: the
+      // 2-char substrings alone outnumber a budget of 14 here
+      assert(byLen(8).map(_._1).contains("abcdefgh"))
+    } finally w.unpersist(false)
+  }
+
+  test("parameter validation fails loud") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("ab").toDF("text")
+    intercept[IllegalArgumentException] {
+      UnigramOps.train(docs, rounds = 1, maxPieceLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramOps.train(docs, rounds = 1,
+        maxPieceLen = UnigramOps.MaxTrainPieceLen + 1)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramOps.train(docs, rounds = 1, maxPieceLen = 8, seedPerLen = -1)
+    }
+  }
 }
