@@ -133,17 +133,99 @@ object UnigramOps {
 
   /** backtrack: walk the backpointers from position len down to 0,
     * emitting the chosen pieces (at most len steps, so one aggregate
-    * over the same sequence suffices; finished states pass through) */
-  private[graft] lazy val btSql: String =
+    * over the same sequence suffices; finished states pass through).
+    * `arr` is the choice array to follow — `__dp.j` for greedy
+    * Viterbi, `__sj` for the sampled choices ([[sampleChoiceSql]]);
+    * both carry a dummy at index 1 so position p reads index p+1. */
+  private[graft] def btSqlOn(arr: String): String =
     s"""aggregate(sequence(1, length(word)),
         named_struct('p', cast(length(word) as bigint),
                      'o', cast(array() as array<string>)),
         (acc, x) -> if(acc.p <= 0, acc, named_struct(
-          'p', acc.p - element_at(__dp.j, cast(acc.p + 1 as int)),
+          'p', acc.p - element_at($arr, cast(acc.p + 1 as int)),
           'o', concat(acc.o, array(substring(word,
-            cast(acc.p - element_at(__dp.j, cast(acc.p + 1 as int)) + 1 as int),
-            cast(element_at(__dp.j, cast(acc.p + 1 as int)) as int)))))),
+            cast(acc.p - element_at($arr, cast(acc.p + 1 as int)) + 1 as int),
+            cast(element_at($arr, cast(acc.p + 1 as int)) as int)))))),
         acc -> acc.o)"""
+
+  private[graft] lazy val btSql: String = btSqlOn("__dp.j")
+
+  /** SAMPLED choice per position — subword regularization (Kudo 2018
+    * §3: train with MULTIPLE segmentations drawn per epoch, not the
+    * single Viterbi argmax). At each position i the candidate piece
+    * lengths are those whose transition cost sits within `slack` of
+    * the position's Viterbi minimum (the DP already holds both: cost
+    * of length j = c[i-j+1] + Big - usage, and the minimum is
+    * c[i+1]); the draw picks among them weighted by usage+1, using a
+    * deterministic md5-derived uniform over (word, position, salt) —
+    * the d18/t41 portable-hash discipline, so the DuckDB oracle
+    * replays every draw bit-for-bit and DIFFERENT salts (epochs)
+    * yield different segmentations.
+    *
+    * `slack` is the temperature analog in integer cost units: 0
+    * samples only among exact Viterbi ties; values below [[Big]]
+    * admit same-piece-count segmentations whose usage sum is within
+    * slack; k*Big admits up to k extra pieces. The candidate set
+    * always contains the argmax (its weight is >= 1), so the modulus
+    * is never zero. Output array carries the btSql dummy at index 1. */
+  private[graft] def sampleChoiceSql(maxPieceLen: Int, slack: Long,
+      salt: String): String = {
+    def usage(j: Int) =
+      s"try_element_at(__vm, substring(word, i - $j + 1, $j))"
+    def w(j: Int): String =
+      s"""(case when i >= $j and ${usage(j)} is not null
+            and element_at(__dp.c, i - $j + 1) + (${Big}L - ${usage(j)})
+              <= element_at(__dp.c, i + 1) + ${slack}L
+          then ${usage(j)} + 1L else 0L end)"""
+    val ws = (1 to maxPieceLen).map(w)
+    val cums = (1 to maxPieceLen)
+      .map(k => ws.take(k).mkString("(", " + ", ")"))
+    val u = s"""(cast(conv(substring(md5(cast(concat(word, ':',
+        cast(i as string), ':$salt') as binary)), 1, 13), 16, 10)
+        as bigint) % ${cums.last})"""
+    val choice = (1 until maxPieceLen)
+      .map(k => s"when $u < ${cums(k - 1)} then ${k}L")
+      .mkString("\n          ")
+    s"""concat(array(1L), transform(sequence(1, length(word)),
+        i -> case $choice else ${maxPieceLen}L end))"""
+  }
+
+  /** sampled-segmentation piece counts over the word frame — the
+    * regularized twin of [[segmentCounts]]: same forward DP, the
+    * backtrack follows [[sampleChoiceSql]]'s draws instead of the
+    * argmax backpointers. Still row-local, model as one map literal,
+    * one keyed shuffle for the count. */
+  def sampledSegmentCounts(w: DataFrame, vocab: Seq[(String, Long)],
+      slack: Long, salt: String,
+      maxPieceLen: Int = MaxPieceLen): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(salt.matches("[A-Za-z0-9_]+"),
+      s"salt must match [A-Za-z0-9_]+ (it is embedded in generated " +
+        s"SQL on both engines), got '$salt'")
+    require(vocab.forall(_._2 < Big / MaxWordLen),
+      s"unigram piece count >= ${Big / MaxWordLen} would invert the " +
+        "integer Viterbi objective — raise UnigramOps.Big for this corpus")
+    w.withColumn("__vm", typedLit(vocab.toMap))
+      .withColumn("__dp", expr(dpSqlFor(maxPieceLen)))
+      .withColumn("__sj", expr(sampleChoiceSql(maxPieceLen, slack, salt)))
+      .select(explode(expr(btSqlOn("__sj"))).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** train, then ONE sampled encode pass (an epoch's segmentation
+    * draw): the t51 reporting contract (merged units, length >= 2)
+    * under a `salt`-selected sample — run with a different salt per
+    * epoch for Kudo's multiple-subword-candidates regularization. */
+  def sampledEncodeCounts(docs: DataFrame, rounds: Int, slack: Long,
+      salt: String, seedMulti: Int = 64,
+      maxPieceLen: Int = MaxPieceLen, seedPerLen: Int = 0): DataFrame = {
+    val w = words(docs).localCheckpoint()
+    val vocab = trainOn(w, rounds, seedMulti, maxPieceLen, seedPerLen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    sampledSegmentCounts(w, vocab, slack, salt, maxPieceLen)
+      .filter(length(col("piece")) > 1)
+      .select(col("piece"), col("cnt"))
+  }
 
   /** E-step + M-step count: Viterbi-segment every word under `vocab`
     * and return weighted piece-usage counts. The vocab rides in as a
@@ -382,6 +464,71 @@ object UnigramOps {
           AS chars_per_token
       FROM wl JOIN ppw ON wl.word = ppw.word
       GROUP BY 1"""
+  }
+
+  /** SAMPLED-ENCODE replay ([[sampledEncodeCounts]]'s oracle): the
+    * training chain verbatim, one more dp pass against the final vocab
+    * for the cost arrays, then the sampled choice per (word, position)
+    * with the SAME md5 draw arithmetic, a list-assembled backtrack,
+    * and the merged-unit count — every draw replays bit-for-bit
+    * because cost, weights, and the uniform are all integers. */
+  def sampleOracleSql(rounds: Int, slack: Long, salt: String,
+      seedMulti: Int = 64, table: String = "documents",
+      maxPieceLen: Int = MaxPieceLen, seedPerLen: Int = 0): String = {
+    require(salt.matches("[A-Za-z0-9_]+"),
+      s"salt must match [A-Za-z0-9_]+, got '$salt'")
+    val L = maxPieceLen
+    val pool = initialPool(seedMulti, maxPieceLen, seedPerLen)
+    val stages = (1 to rounds).map(r => emStageSql(r, pruneTo(pool, r), L))
+    // stage rounds+1 is included for its dp CTE only (the final-vocab
+    // cost arrays); its bt/cnt CTEs go unreferenced and unevaluated
+    val enc = emStageSql(rounds + 1, keep = -1, L)
+    val R = rounds
+    def w(j: Int) =
+      s"""CASE WHEN q$j.piece IS NOT NULL
+            AND f.c[t.pos - $j + 1] + ($Big - q$j.cnt)
+              <= f.c[t.pos + 1] + $slack
+          THEN q$j.cnt + 1 ELSE 0 END"""
+    val joins = (1 to L).map(j =>
+      s"""LEFT JOIN v$R q$j ON t.pos >= $j
+            AND q$j.piece = substring(f.word, t.pos - $j + 1, $j)""")
+      .mkString("\n          ")
+    val cums = (1 to L)
+      .map(k => (1 to k).map(i => s"w$i").mkString("(", " + ", ")"))
+    val choice = (1 until L)
+      .map(k => s"WHEN u < ${cums(k - 1)} THEN $k")
+      .mkString("\n            ")
+    s"""${oracleHead(table, seedMulti, L, seedPerLen)}${
+      (stages :+ enc).mkString(",", ",", "")},
+      sfin AS (SELECT word, freq, c FROM dp${R + 1}
+               WHERE i = length(word) + 1),
+      sw AS (
+        SELECT f.word, f.freq, t.pos,
+          ${(1 to L).map(j => s"${w(j)} AS w$j").mkString(",\n          ")}
+        FROM sfin f
+        CROSS JOIN LATERAL unnest(range(1, length(f.word) + 1)) t(pos)
+          $joins),
+      sch AS (
+        SELECT word, freq, pos, CASE $choice ELSE $L END AS sj
+        FROM (SELECT word, freq, pos,
+                ${(1 to L).map(i => s"w$i").mkString(", ")},
+                CAST(CONCAT('0x', substring(md5(word || ':' ||
+                  CAST(pos AS VARCHAR) || ':$salt'), 1, 13)) AS BIGINT)
+                  % ${cums.last} AS u
+              FROM sw)),
+      sarr AS MATERIALIZED (
+        SELECT word, freq, list(sj ORDER BY pos) AS sj
+        FROM sch GROUP BY word, freq),
+      sbt AS (
+        SELECT word, freq, CAST(length(word) AS BIGINT) AS pos, sj
+        FROM sarr
+        UNION ALL
+        SELECT word, freq, pos - sj[pos], sj FROM sbt WHERE pos > 0),
+      scnt AS (
+        SELECT substring(word, pos - sj[pos] + 1, sj[pos]) AS piece,
+               CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM sbt WHERE pos > 0 GROUP BY 1)
+      SELECT piece, cnt FROM scnt WHERE length(piece) > 1"""
   }
 
   /** the multi-piece budget after `r` 3/4-shrink prunes (integer

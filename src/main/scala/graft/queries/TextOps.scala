@@ -2560,6 +2560,26 @@ object TextOps {
     //      a row_number-per-length v0. t50 keeps the small-cap config;
     //      UnigramOpsSpec pins that the parameterized trainer at
     //      (maxPieceLen=4, global seed) reproduces t50's chain exactly.
+    // ---- subword-regularization SAMPLING (round 18, Kudo 2018 §3) ---------
+    //      the unigram model's actual deliverable beyond Viterbi:
+    //      sample a segmentation per epoch instead of always taking
+    //      the argmax. Per position, candidates within `slack` of the
+    //      Viterbi minimum (slack=Big admits up to one extra piece)
+    //      are drawn weighted by usage+1 under a deterministic
+    //      md5(word:pos:salt) uniform — the d18/t41 portable-hash
+    //      discipline — so the DuckDB oracle replays every draw
+    //      bit-for-bit, and a different salt per epoch yields a
+    //      different (still valid) segmentation. Reported like t51:
+    //      merged units, length >= 2. UnigramSampleSpec pins coverage
+    //      conservation, slack=0 == Viterbi on tie-free vocabs, and
+    //      salt sensitivity.
+    Q("t53_unigram_sample",
+      (s, d) => graft.operators.UnigramOps.sampledEncodeCounts(
+        Tables.documents(s, d), rounds = 2,
+        slack = graft.operators.UnigramOps.Big, salt = "ep1"),
+      Some(graft.operators.UnigramOps.sampleOracleSql(2,
+        slack = graft.operators.UnigramOps.Big, salt = "ep1"))),
+
     Q("t54_unigram_deep",
       (s, d) => graft.operators.UnigramOps.train(
         Tables.documents(s, d), rounds = 2, maxPieceLen = 8,
