@@ -77,9 +77,31 @@ con.executemany("INSERT INTO e VALUES (?, ?, ?)", erows)
 con.execute(f"COPY e TO '{OUT}/embeddings.parquet' (FORMAT PARQUET, "
             "COMPRESSION ZSTD)")
 
+# events 10x (round 18, the e42/e43 auto as-of router probe): copy 0
+# verbatim, copies 1-9 keep user_id (so per-key row counts scale 10x —
+# the skew the router must detect scales WITH the data) and shift ts by
+# a tiny deterministic per-copy/per-row offset so copies don't tie on
+# (user, ts); event_id offsets by max+1 like the other tables. As-of
+# output is one row per left row, so replication cannot manufacture a
+# quadratic-output artifact here (unlike the set-identical-clone trap
+# documented above for PPJoin).
+ev_off = con.execute(
+    f"SELECT MAX(event_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0]
+con.execute(f"""
+    CREATE TABLE ev AS
+    SELECT e.event_id + c.k * {ev_off} AS event_id,
+           e.ts + to_microseconds(CAST(CASE WHEN c.k = 0 THEN 0
+             ELSE c.k * 7919 + e.event_id % 997 END AS BIGINT)) AS ts,
+           e.user_id, e.event_type, e.value, e.props
+    FROM '{SRC}/events.parquet' e
+    CROSS JOIN (SELECT unnest(range({COPIES})) AS k) c""")
+con.execute(f"COPY ev TO '{OUT}/events.parquet' (FORMAT PARQUET, "
+            "COMPRESSION ZSTD)")
+
 for f in os.listdir(SRC):
     if f.endswith(".parquet") and f not in ("documents.parquet",
-                                            "embeddings.parquet"):
+                                            "embeddings.parquet",
+                                            "events.parquet"):
         dst = os.path.join(OUT, f)
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f), dst)
