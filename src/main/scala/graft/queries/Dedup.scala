@@ -705,16 +705,27 @@ object Dedup {
     Q("d20_banding_curve",
       (s, d) => {
         import graft.functions.TextFunctions.{tokens, wordNgrams}
+        import s.implicits._
         val k = 16
         val mm = graft.expressions.MinHashAgg.M
         val (has, hbs) = graft.expressions.MinHashAgg.hashFamily(k)
         val docs = Tables.documents(s, d)
+        // r18 restructure (guide §1.2/§2.4 — one pass, shared work):
+        // ONE distinct (doc, 3-gram-string) frame feeds BOTH the
+        // portable md5 signature pass AND the exact-truth pair join;
+        // previously the truth side re-ran its own tokenize + shingle +
+        // distinct (DedupOps.ngramJaccardPairs), and each of the four
+        // banding branches re-evaluated the truth join and the bucket
+        // explode — 4x the self-join/dedup machinery for the same rows.
+        val grams = docs.withColumn("toks", tokens("text"))
+          .select(col("doc_id"), explode(wordNgrams("toks", 3)).as("g"))
+          .distinct()
+          // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val gid31 = expr(
           "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 15), 16, 10) " +
             s"AS BIGINT) % $mm")
-        val sigs = docs.withColumn("toks", tokens("text"))
-          .select(col("doc_id"), explode(wordNgrams("toks", 3)).as("g"))
-          .distinct()
+        val sigs = grams
           .withColumn("gid", gid31)
           .groupBy(col("doc_id"))
           .agg((0 until k).map(i =>
@@ -723,36 +734,61 @@ object Dedup {
             (1 until k).map(i =>
               min((lit(has(i)) * col("gid") + lit(hbs(i))) % lit(mm))
                 .as(s"s$i")): _*)
+        // exact Jaccard >= 0.5 truth over the SAME gram frame; the pair
+        // join runs on 8-byte hashed gram ids (the shinglePostings
+        // discipline), identical pair set to ngramJaccardPairs
+        val posts = grams.select(col("doc_id"), xxhash64(col("g")).as("gid"))
+        val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val truth = posts.as("a")
+          .join(posts.as("b"),
+            col("a.gid") === col("b.gid") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .filter(col("common").cast("double") /
+            (col("sa.sz") + col("sb.sz") - col("common")) >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        // ALL FOUR bandings ride one exploded frame (bset tags the
+        // banding): ONE bucket self-join + ONE pair distinct + ONE truth
+        // join + ONE keyed rollup where there were four of each
+        val bandings = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+        val bandCols = for ((b, r) <- bandings; bnd <- 0 until b) yield
+          struct(lit(b.toLong).as("bset"), lit(bnd).as("band"),
+            concat_ws(",", (0 until r).map(j =>
+              col(s"s${bnd * r + j}").cast("string")): _*).as("key"))
+        val buckets = sigs.select(col("doc_id"),
+            explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.bset").as("bset"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+          // persisted: the self-join's two branches would otherwise each
+          // recompute the 16-min-hash aggregation
           // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val truth = DedupOps.ngramJaccardPairs(docs, n = 3, minJaccard = 0.5)
-          .select(col("doc_a"), col("doc_b"))
-        Seq((2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
-          val bandCols = (0 until b).map { bnd =>
-            struct(lit(bnd).as("band"),
-              concat_ws(",", (0 until r).map(j =>
-                col(s"s${bnd * r + j}").cast("string")): _*).as("key"))
-          }
-          val buckets = sigs.select(col("doc_id"),
-            explode(array(bandCols: _*)).as("bk"))
-            .select(col("doc_id"), col("bk.band").as("band"),
-              col("bk.key").as("key"))
-          val cand = buckets.as("x")
-            .join(buckets.as("y"),
+        val cand = buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.bset") === col("y.bset") &&
               col("x.band") === col("y.band") &&
-                col("x.key") === col("y.key") &&
-                col("x.doc_id") < col("y.doc_id"))
-            .select(col("x.doc_id").as("doc_a"),
-              col("y.doc_id").as("doc_b"))
-            .distinct()
-          cand.join(truth.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
-              "left")
-            .agg(count(lit(1)).as("n_cand_pairs"),
-              count(col("hit")).as("n_true_pairs"))
-            .select(lit(b.toLong).as("bands"),
-              lit(r.toLong).as("rows_per_band"),
-              col("n_cand_pairs"), col("n_true_pairs"))
-        }.reduce(_ unionByName _)
+              col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.bset").as("bset"),
+            col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val counts = cand
+          .join(truth.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"),
+            "left")
+          .groupBy(col("bset"))
+          .agg(count(lit(1)).as("cand"), count(col("hit")).as("hits"))
+        // anchor on the banding grid so a zero-candidate banding still
+        // reports its (b, r, 0, 0) row (the kcorePeel anchor rule — the
+        // old per-branch global aggregates emitted a row unconditionally)
+        val spec = bandings.map { case (b, r) => (b.toLong, r.toLong) }
+          .toDF("bands", "rows_per_band")
+        spec.join(counts, col("bands") === col("bset"), "left")
+          .select(col("bands"), col("rows_per_band"),
+            coalesce(col("cand"), lit(0L)).as("n_cand_pairs"),
+            coalesce(col("hits"), lit(0L)).as("n_true_pairs"))
       },
       Some {
         val k = 16

@@ -950,16 +950,26 @@ object TextOps {
             "CAST(conv(substring(md5(CAST(f AS BINARY)), 1, 13), 16, 10) " +
               s"AS BIGINT) % $nb"))
           .select(col("doc_id"), col("lang"), col("b"))
-        val tgtC = feats.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val rawC = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-        val totals = feats.agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tot_t"),
-          count(lit(1)).as("tot_r"))
-        val ratios = rawC.join(tgtC, Seq("b"), "left")
+        // ONE bucket-stats pass where there were three (target fit, raw
+        // fit, grand totals): the en/raw counts come out of a single
+        // conditional aggregation (guide §2.3 — aggregate before you
+        // shuffle; §1.2 — don't recompute what one pass can carry), and
+        // the totals are a rollup of the 256-row bucket frame instead of
+        // a third full pass over the exploded feature stream. The bucket
+        // frame is persisted because it feeds two consumers (totals +
+        // ratios) and its LINEAGE is the whole tokenize/explode/md5
+        // feature pass; the cached rows themselves are 256 longs.
+        // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
+        val bucketCounts = feats.groupBy(col("b"))
+          .agg(count(lit(1)).as("cr"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val totals = bucketCounts.agg(
+          sum(col("ct")).as("tot_t"), sum(col("cr")).as("tot_r"))
+        val ratios = bucketCounts
           .crossJoin(broadcast(totals))
           .select(col("b"), floor(
-            (log(coalesce(col("ct"), lit(0L)) + 1) -
+            (log(col("ct") + 1) -
               log(col("tot_t") + nb) -
               log(col("cr") + 1) + log(col("tot_r") + nb)) * 1e9 + 0.5)
             .cast("long").as("lrq"))
@@ -1054,11 +1064,19 @@ object TextOps {
     //      the lowest-id benchmark doc appended — both branches fire
     //      and both engines replay the injection. Scale shape: the
     //      dirty-gram set is TEST-set-sized, never corpus-sized — built
-    //      once, bloom-compressed to a KB-scale literal that pre-filters
-    //      the train gram stream IN ITS SCAN PARTITIONS (JoinOps
-    //      .bloomPreFilter, false negatives impossible), then the exact
-    //      broadcast join decides on the survivors; the corpus is
-    //      touched once and never shuffled by gram.
+    //      once, broadcast, and probed by ONE corpus pass: the per-doc
+    //      distinct grams explode_outer so every doc keeps a row, the
+    //      broadcast LEFT join marks exact hits in the same stage, and a
+    //      single doc-keyed aggregation carries BOTH the gram count and
+    //      the dirty count (r18: the original two corpus passes — one
+    //      for n_grams, one bloom-prefiltered join for the hits — paid
+    //      tokenize + 13-gram assembly twice; a broadcast-hash probe is
+    //      the same per-row O(1) as the bloom test, so folding the exact
+    //      join into the counting pass halves the corpus work, guide
+    //      §1.2/§2.3. bloomPreFilter remains the right pre-shuffle
+    //      reducer when the exact set CANNOT broadcast — ds-family gates
+    //      and BloomReductionSpec keep that path pinned); the corpus is
+    //      never shuffled by gram.
     Q("t37_contamination_scan",
       (s, d) => {
         val n = 13
@@ -1078,23 +1096,20 @@ object TextOps {
           .withColumn("toks", split(trim(col("raw")), " +"))
         val testGrams = bench.withColumn("toks", tokens("text"))
           .select(explode(wordNgrams("toks", n)).as("g")).distinct()
-        val trainGrams = train
-          .select(col("doc_id"),
-            explode(array_distinct(wordNgrams("toks", n))).as("g"))
-        val pre = graft.operators.JoinOps.bloomPreFilter(
-          trainGrams.withColumn("h", xxhash64(col("g"))), "h",
-          testGrams.select(xxhash64(col("g")).as("h")), "h",
-          expectedItems = 1000000L, fpp = 0.01)
-        val dirty = pre.join(broadcast(testGrams), Seq("g"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("nd"))
-        train
-          .select(col("doc_id"),
-            size(array_distinct(wordNgrams("toks", n))).cast("long")
-              .as("n_grams"))
-          .join(dirty, Seq("doc_id"), "left")
+        // explode_outer: a doc too short to own any 13-gram keeps one
+        // null-gram row, so it survives to the output with n_grams = 0
+        // (count(g) skips the null) exactly as the old size()-pass did
+        val exploded = train.select(col("doc_id"),
+          explode_outer(array_distinct(wordNgrams("toks", n))).as("g"))
+        exploded
+          .join(broadcast(testGrams.withColumn("hit", lit(1))),
+            Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(col("g")).as("n_grams"),
+            count(col("hit")).as("nd"))
           .select(col("doc_id"), col("n_grams"),
-            coalesce(col("nd"), lit(0L)).as("n_dirty_grams"),
-            (coalesce(col("nd"), lit(0L)) > 0).as("is_contaminated"))
+            col("nd").as("n_dirty_grams"),
+            (col("nd") > 0).as("is_contaminated"))
       },
       Some("""
         WITH b AS (SELECT doc_id, string_split_regex(trim(text), ' +') toks
