@@ -758,6 +758,14 @@ object DedupOps {
     // the tail back to exactly gramLen. (A fixed window narrower than
     // this silently dropped anchors inside 1-char-word runs.)
     val anchorWords = gramLen / 2 + 1
+    // r18: the distinct gram postings feed FOUR plan branches (the df
+    // bound plus both sides of the pair self-join, each via the
+    // semi-join) — unpersisted, the split/posexplode/substring string
+    // pass re-ran per branch (guide §1.2). Persist once; and downstream
+    // of the length filter only gram IDENTITY matters, so the postings
+    // carry xxhash64(gram) — 8-byte ids through the df aggregation and
+    // the pair join instead of 32-char strings (§2.3 narrower types;
+    // the shinglePostings discipline).
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
@@ -767,14 +775,17 @@ object DedupOps {
           slice(col("ws"), col("i") + 1, lit(anchorWords))),
           1, gramLen).as("gram"))
       .filter(length(col("gram")) === gramLen)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gid"))
       .distinct()
-    val bounded = grams.groupBy(col("gram"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounded = grams.groupBy(col("gid"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDocsPerGram)
-      .select(col("gram"))
-    val posting = grams.join(bounded, Seq("gram"), "left_semi")
-    posting.select(col("gram"), col("doc_id").as("doc_a"))
-      .join(posting.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .select(col("gid"))
+    val posting = grams.join(bounded, Seq("gid"), "left_semi")
+    posting.select(col("gid"), col("doc_id").as("doc_a"))
+      .join(posting.select(col("gid"), col("doc_id").as("doc_b")), "gid")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -820,45 +831,63 @@ object DedupOps {
     require(gramLen >= 2)
     val anchorWords = gramLen / 2 + 1
     val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(col("ws").isNotNull)
+    // r18: anchors feed two branches (first-carrier agg + removal join)
+    // — persisted so the split/posexplode/substring pass runs once
+    // (guide §1.2); downstream only gram IDENTITY matters, so postings
+    // carry xxhash64(gram) ids, not 32-char strings (§2.3).
     val anchors = ws
       .select(col("doc_id"), col("ws"),
         posexplode(col("ws")).as(Seq("i", "w")))
       .select(col("doc_id"), col("i").cast("long").as("i"),
+        size(col("ws")).cast("long").as("nw"),
         substring(concat_ws(" ",
           slice(col("ws"), col("i") + 1, lit(anchorWords))),
           1, gramLen).as("gram"))
       .filter(length(col("gram")) === gramLen)
+      .select(col("doc_id"), col("i"), col("nw"),
+        xxhash64(col("gram")).as("gid"))
+      // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence keeps the span; every later occurrence of a
     // >=2-occurrence gram is a removal site. min(struct) under struct's
     // lexicographic field order IS the (doc_id, i)-first row, and both
     // it and the count partial-aggregate map-side — the hot-gram-safe
     // form of rank-1 + count-over.
-    val firsts = anchors.groupBy(col("gram"))
+    val firsts = anchors.groupBy(col("gid"))
       .agg(min(struct(col("doc_id"), col("i"))).as("first"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-      .select(col("gram"), col("first"))
-    val removals = anchors.join(firsts, Seq("gram"))
+      .select(col("gid"), col("first"))
+    val removals = anchors.join(firsts, Seq("gid"))
       .filter(col("doc_id") =!= col("first.doc_id") ||
         col("i") =!= col("first.i"))
+      // covered indices clamp to the doc's word count: a gram sampled
+      // near the end of a long-worded doc can reach gramLen chars with
+      // fewer than anchorWords words left, and an index past the array
+      // must not count as a removed word (the old words-join dropped
+      // such indices implicitly)
       .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (anchorWords - 1))).as("wi"))
+        explode(sequence(col("i"),
+          least(col("i") + (anchorWords - 1), col("nw") - 1))).as("wi"))
       .distinct()
-    val words = ws
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("wi", "w")))
-      .select(col("doc_id"), col("wi").cast("long").as("wi"), col("w"))
-    words
-      .join(removals.withColumn("rm", lit(true)), Seq("doc_id", "wi"),
-        "left")
-      .withColumn("rm", coalesce(col("rm"), lit(false)))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
-        sort_array(collect_list(struct(col("wi"), col("rm"), col("w"))))
-          .as("sorted"))
-      .select(col("doc_id"), col("n_words"), col("n_removed"),
-        array_join(transform(filter(col("sorted"),
-          x => !x.getField("rm")), x => x.getField("w")), " ")
+    // r18 final assembly is ROW-LOCAL (guide §2.3 — shuffle keys, not
+    // payloads): the removed word-index SET per doc (bounded by the
+    // doc's own word count) joins back to the one-row-per-doc word
+    // arrays, and the excision is an index-filter HOF over the array —
+    // replacing the old explode-every-word shuffle + per-doc
+    // collect_list + sort_array, which moved the whole corpus's words
+    // through an exchange to rebuild arrays Spark already had.
+    val rmSets = removals.groupBy(col("doc_id"))
+      .agg(collect_set(col("wi")).as("rms"))
+    ws.join(rmSets, Seq("doc_id"), "left")
+      .withColumn("rms",
+        coalesce(col("rms"), array().cast("array<bigint>")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("rms")).cast("long").as("n_removed"),
+        array_join(filter(col("ws"),
+          (w, i) => !array_contains(col("rms"), i.cast("long"))), " ")
           .as("clean_text"))
   }
 }

@@ -546,6 +546,24 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringDedupSpans: a removal window truncated by the doc end " +
+      "counts only real words (r18 row-local assembly)") {
+    // gramLen 16 -> anchorWords 9. With 8-char words, the anchor at the
+    // third word reaches 16 chars from just TWO remaining words, so its
+    // covered window [i, i+9) extends past the array — the clamp must
+    // count {2, 3} removed, never the padded 9.
+    val fix = docs(
+      1L -> "xx yy AAAAAAAA BBBBBBBB",
+      2L -> "zz ww AAAAAAAA BBBBBBBB")
+    val out = DedupOps.substringDedupSpans(fix, gramLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 is the corpus-wide first occurrence and keeps everything
+    assert(out(1L) == ((4L, 0L, "xx yy AAAAAAAA BBBBBBBB")), s"got ${out(1L)}")
+    // doc 2 loses exactly the two real words the shared gram anchors
+    assert(out(2L) == ((4L, 2L, "zz ww")), s"got ${out(2L)}")
+  }
+
   test("d22 SemDeDup: each planted twin pair keeps exactly one member") {
     // identical vectors land in the same cell with identical d2, so the
     // id tiebreak decides: the twin (higher id) survives, the original
