@@ -553,26 +553,29 @@ object GraphOps {
     * aggregate, never a per-dst sort. Nodes need an in-edge to receive
     * votes: feed an undirected graph as both edge directions. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      // cache lifecycle: scoped to this call — unpersisted below
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // LAZY localCheckpoint rotation (the kcorePeel/boundedSssp shape,
+    // r18): each round references its input label frame exactly ONCE
+    // (the join), so the whole fixed-round propagation can run as a
+    // single caller-driven job with per-round frames cached as they are
+    // first computed — replacing the old eager persist + count() per
+    // round, which paid one full driver-synchronized job per round just
+    // to materialize state the next round would re-shuffle anyway.
+    // Lineage still truncates per round (labels is consumed by a
+    // self-referencing loop), and callers that read the result several
+    // times (g14's three label joins) scan the checkpointed RDD.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      // cache lifecycle: scoped to this call — unpersisted below
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     for (_ <- 0 until rounds) {
-      val next = e.join(labels, e("src") === labels("id"))
+      labels = e.join(labels, e("src") === labels("id"))
         .groupBy(e("dst").as("nid"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("nid").as("id"))
         .agg((max(struct(col("c"), (col("label") * -1).as("neg")))
           .getField("neg") * -1).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(false)
     }
-    e.unpersist()
     labels
   }
 
