@@ -1173,18 +1173,24 @@ object TextOps {
         val bucket = expr(
           "CAST(conv(substring(md5(CAST(f AS BINARY)), 1, 13), 16, 10) " +
             s"AS BIGINT) % $nb + 1")
+        // the per-doc feature total is CLOSED-FORM — |toks| unigrams +
+        // |toks|-1 bigrams + the bias row = 2·|toks| exactly — so it
+        // rides the rows as an integer-valued double column instead of
+        // a corpus-wide partitionBy(doc_id) window (r18: that window
+        // paid a full sort+exchange to recompute a number the schema
+        // already determines; both forms are exact, same IEEE division)
         val counts = docs.withColumn("toks", tokens("text"))
           .select(col("doc_id"), col("lang"),
+            (size(col("toks")) * 2).cast("double").as("t"),
             explode(concat(col("toks"), wordNgrams("toks", 2))).as("f"))
           .withColumn("b", bucket)
-          .groupBy(col("doc_id"), col("lang"), col("b"))
+          .groupBy(col("doc_id"), col("lang"), col("t"), col("b"))
           .agg(count(lit(1)).cast("double").as("c"))
-          .unionByName(docs.select(col("doc_id"), col("lang"),
-            lit(0L).as("b"), lit(1.0).as("c")))
+          .unionByName(docs.withColumn("toks", tokens("text"))
+            .select(col("doc_id"), col("lang"),
+              (size(col("toks")) * 2).cast("double").as("t"),
+              lit(0L).as("b"), lit(1.0).as("c")))
         val fx = counts
-          .withColumn("t", sum(col("c"))
-            .over(org.apache.spark.sql.expressions.Window
-              .partitionBy("doc_id")))
           .select(col("doc_id"), col("lang"), col("b"),
             (col("c") / col("t")).as("x"))
           // cache lifecycle: CALLER-owned — clearCache()/unpersist after the action (DedupOps class doc)
