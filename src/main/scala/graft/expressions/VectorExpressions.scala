@@ -470,6 +470,22 @@ object VectorExpressions {
           require(k >= 1, s"minhash_agg k must be >= 1, got $k")
           MinHashAgg(args.head, k).toAggregateExpression()
         }),
+      (FunctionIdentifier("smallest_k_agg"),
+        new ExpressionInfo(classOf[SmallestKAgg].getName, "smallest_k_agg"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"smallest_k_agg expects (value, k), got ${args.length}")
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val k = args(1) match {
+            case Literal(v: Int, _) => v
+            case Literal(v: Long, _) => v.toInt
+            case Literal(v: Short, _) => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"smallest_k_agg k must be an integer literal, got $other")
+          }
+          require(k >= 1, s"smallest_k_agg k must be >= 1, got $k")
+          SmallestKAgg(args.head, k).toAggregateExpression()
+        }),
       (FunctionIdentifier("mg_topk_agg"),
         new ExpressionInfo(classOf[HeavyHittersAgg].getName, "mg_topk_agg"),
         (args: Seq[Expression]) => {

@@ -710,24 +710,48 @@ object Graph {
     //      global sort.
     Q("g15_link_prediction",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
+        // defensive for externally-built sessions (idempotent; GraftSession
+        // already injects via spark.sql.extensions)
+        graft.expressions.VectorExpressions.registerAll(s)
+        // cache lifecycle: CALLER-owned — clearCache()/unpersist after
+        // the action (DedupOps class doc); p feeds three plan branches
+        // (both direction projections of e + the existing-edge anti-
+        // join), and unpersisted each branch replays the lineitem
+        // self-join from scratch
         val p = coPurchasePairs(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val e = p.select(col("u").as("src"), col("v").as("dst"))
           .unionByName(p.select(col("v").as("src"), col("u").as("dst")))
-        val adj = e
-          .withColumn("rn_out", row_number().over(
-            Window.partitionBy(col("src")).orderBy(col("dst").asc)))
-          .filter(col("rn_out") <= 8)
-          .withColumn("rn_in", row_number().over(
-            Window.partitionBy(col("dst")).orderBy(col("src").asc)))
-          .filter(col("rn_in") <= 12)
-          .select(col("src"), col("dst"))
-          .localCheckpoint(false)
+        // the two degree caps as BOUNDED smallest-k aggregations
+        // (smallest_k_agg — guide §2.3 "aggregate before you shuffle")
+        // instead of the former two row_number windows: the window form
+        // exchanged + fully sorted the edge list twice, while the agg
+        // form bounds every key to k values ON THE MAP SIDE, so a hot
+        // part's spokes collapse to <= 12 before either exchange. e has
+        // one row per (src, dst) — values in a group are unique, so
+        // "k smallest dst/src" is EXACTLY the row_number <= k cap.
+        val byDst = e
+          .groupBy(col("src"))
+          .agg(expr("smallest_k_agg(dst, 8)").as("ds"))
+          .select(col("src"), explode(col("ds")).as("dst"))
+          .groupBy(col("dst"))
+          .agg(expr("smallest_k_agg(src, 12)").as("srcs"))
+          // cache lifecycle: CALLER-owned (same contract) — feeds the
+          // degree aggregate and the wedge expansion
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val adj = byDst.select(explode(col("srcs")).as("src"), col("dst"))
         val cdeg = adj.groupBy(col("src")).agg(count(lit(1)).as("cdeg"))
-        val wedges = adj.as("x")
-          .join(adj.as("y"),
-            col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
-          .groupBy(col("x.src").as("u"), col("y.src").as("v"))
+        // wedges ROW-LOCALLY from each center's sorted unique in-spoke
+        // array (<= 12, so <= 66 pairs) — replaces the adj-adj self-join
+        // exchange; srcs is ascending and duplicate-free, so pairing
+        // index i with every later index is exactly the x.src < y.src
+        // join condition
+        val wedges = byDst
+          .select(explode(expr(
+            "flatten(transform(srcs, (x, i) -> " +
+              "transform(slice(srcs, i + 2, 12), y -> " +
+              "struct(x AS u, y AS v))))")).as("w"))
+          .groupBy(col("w.u").as("u"), col("w.v").as("v"))
           .agg(count(lit(1)).as("cn"))
         val cand = wedges.join(p, Seq("u", "v"), "left_anti")
         cand
